@@ -1,0 +1,471 @@
+"""SceneDesc -> FlatScene: the device-side scene representation.
+
+The reference instantiates an object graph and intersects through virtual
+calls (ref: src/core/io/Scene.cpp:373-376, TraceableScene.hpp:57-137).
+The TPU-native design flattens everything into typed SoA arrays up front:
+  * all finite geometry triangulated / gathered into one triangle SoA with
+    a host-built SAH BVH over it (+ analytic sphere list),
+  * BSDFs as one parameter-table row each,
+  * emissive primitives as a light table with area CDFs,
+  * an equirect envmap with Tungsten-compatible importance-sampling CDFs
+    (ref: src/core/textures/BitmapTexture.cpp:400-431).
+Everything lives in one pytree so a render step jits against it.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from tungsten_tpu.bsdf import types as bsdf_types
+from tungsten_tpu.io import mesh as mesh_io
+from tungsten_tpu.scene import transform as xform
+from tungsten_tpu.scene.parse import SceneDesc
+from tungsten_tpu.scene.textures import TextureTableBuilder
+
+LIGHT_AREA = 0
+LIGHT_INFINITE = 1
+
+MAX_LIGHT_TRIS = 32  # padded per-light CDF width for area lights
+
+TONEMAPS = {"linear": 0, "gamma": 1, "reinhard": 2, "filmic": 3, "pbrt": 4}
+FILTERS = {"dirac": 0, "box": 1, "tent": 2, "gaussian": 3,
+           "mitchell_netravali": 4, "catmull_rom": 5, "lanczos": 6}
+
+
+@struct.dataclass
+class FlatScene:
+    # --- triangles (SoA) ---
+    tri_v0: Any
+    tri_e1: Any
+    tri_e2: Any
+    tri_n0: Any
+    tri_n1: Any
+    tri_n2: Any
+    tri_uv0: Any
+    tri_uv1: Any
+    tri_uv2: Any
+    tri_prim: Any       # (T,) i32
+    # --- BVH ---
+    bvh_min: Any        # (N,3)
+    bvh_max: Any
+    bvh_meta: Any       # (N,2) i32
+    bvh_skip: Any       # (N,) i32
+    # --- analytic spheres ---
+    sph_center: Any     # (S,3)
+    sph_radius: Any     # (S,)
+    sph_prim: Any       # (S,) i32
+    # --- primitives ---
+    prim_bsdf: Any      # (P,) i32
+    prim_emission_tex: Any  # (P,) i32, -1 if not emissive
+    prim_light: Any     # (P,) i32, -1 if not a samplable light
+    # --- bsdf table ---
+    bsdf_type: Any      # (B,) i32
+    bsdf_albedo_tex: Any
+    bsdf_params: Any    # (B,16)
+    bsdf_aux: Any       # (B,4) i32
+    # --- textures ---
+    tex_type: Any
+    tex_const: Any
+    tex_params: Any
+    tex_bitmap_id: Any
+    bitmaps: Any        # tuple of (H,W,3) arrays
+    # --- lights ---
+    light_type: Any     # (L,) i32
+    light_prim: Any     # (L,) i32
+    light_emission: Any  # (L,3) constant emission (area lights)
+    light_tris: Any     # (L, MAX_LIGHT_TRIS) i32 triangle ids (-1 pad)
+    light_cdf: Any      # (L, MAX_LIGHT_TRIS+1) normalized area cdf
+    light_area: Any     # (L,) total area
+    # --- envmap ---
+    env_image: Any      # (H,W,3) (1x1 black if none)
+    env_cond_pdf: Any   # (H,W)
+    env_cond_cdf: Any   # (H,W+1)
+    env_marg_pdf: Any   # (H,)
+    env_marg_cdf: Any   # (H+1,)
+    env_to_world: Any   # (3,3)
+    env_to_local: Any   # (3,3)
+    env_light_index: Any  # () i32, -1 if none
+    env_emission_scale: Any  # () f32
+    # --- camera ---
+    cam_mat: Any        # (4,4) camera-to-world
+    cam_plane_dist: Any  # ()
+    cam_ratio: Any      # ()
+
+
+@dataclass(frozen=True)
+class RenderSettings:
+    """Static (python-side) render configuration — jit-static."""
+    width: int
+    height: int
+    spp: int = 16
+    max_bounces: int = 64
+    min_bounces: int = 0
+    enable_light_sampling: bool = True
+    two_sided_shading: bool = True
+    seed: int = 0xBA5EBA11
+    tonemap: str = "gamma"
+    filter: str = "tent"
+    camera_type: str = "pinhole"
+    fov_deg: float = 60.0
+    spp_step: int = 16
+    has_env: bool = False
+    num_lights: int = 0
+
+
+_UNIT_QUAD_UV = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+
+
+class _GeomAccum:
+    def __init__(self):
+        self.v0, self.e1, self.e2 = [], [], []
+        self.n0, self.n1, self.n2 = [], [], []
+        self.uv0, self.uv1, self.uv2 = [], [], []
+        self.prim = []
+
+    def add_tris(self, verts, uvs, normals, tri_idx, prim_id):
+        """verts (V,3), uvs (V,2), normals (V,3), tri_idx (T,3)."""
+        a = verts[tri_idx[:, 0]]
+        b = verts[tri_idx[:, 1]]
+        c = verts[tri_idx[:, 2]]
+        self.v0.append(a)
+        self.e1.append(b - a)
+        self.e2.append(c - a)
+        self.n0.append(normals[tri_idx[:, 0]])
+        self.n1.append(normals[tri_idx[:, 1]])
+        self.n2.append(normals[tri_idx[:, 2]])
+        self.uv0.append(uvs[tri_idx[:, 0]])
+        self.uv1.append(uvs[tri_idx[:, 1]])
+        self.uv2.append(uvs[tri_idx[:, 2]])
+        self.prim.append(np.full(tri_idx.shape[0], prim_id, np.int32))
+
+    def count(self):
+        return sum(p.shape[0] for p in self.prim)
+
+
+def _quad_verts(m):
+    """Tungsten quad: unit XZ square through origin (ref Quad.cpp:298-312)."""
+    base = xform.transform_point(m, [0.0, 0.0, 0.0])
+    e0 = xform.transform_vectors(m, [[1.0, 0.0, 0.0]])[0]
+    e1 = xform.transform_vectors(m, [[0.0, 0.0, 1.0]])[0]
+    base = base - 0.5 * e0 - 0.5 * e1
+    verts = np.stack([base, base + e0, base + e0 + e1, base + e1])
+    n = np.cross(e1, e0)
+    n = n / max(np.linalg.norm(n), 1e-30)
+    return verts.astype(np.float32), n.astype(np.float32)
+
+
+def _cube_tris(m):
+    """Unit cube [-0.5,0.5]^3 in local space, 12 tris (ref Cube.cpp:17-33:
+    world box is transform * unit cube)."""
+    corners = np.array(
+        [[x, y, z] for x in (-0.5, 0.5) for y in (-0.5, 0.5) for z in (-0.5, 0.5)]
+    )
+    # faces as corner indices (ccw from outside)
+    faces = [
+        (0, 1, 3, 2, (-1, 0, 0)), (4, 6, 7, 5, (1, 0, 0)),
+        (0, 4, 5, 1, (0, -1, 0)), (2, 3, 7, 6, (0, 1, 0)),
+        (0, 2, 6, 4, (0, 0, -1)), (1, 5, 7, 3, (0, 0, 1)),
+    ]
+    verts, uvs, normals, tris = [], [], [], []
+    for a, b, c, d, n in faces:
+        i = len(verts)
+        quad = corners[[a, b, c, d]]
+        world = xform.transform_points(m, quad)
+        fn = np.cross(world[1] - world[0], world[3] - world[0])
+        fn = fn / max(np.linalg.norm(fn), 1e-30)
+        verts.extend(world)
+        uvs.extend(_UNIT_QUAD_UV)
+        normals.extend([fn] * 4)
+        tris.append((i, i + 1, i + 2))
+        tris.append((i, i + 2, i + 3))
+    return (np.asarray(verts, np.float32), np.asarray(uvs, np.float32),
+            np.asarray(normals, np.float32), np.asarray(tris, np.int32))
+
+
+def _build_env_distribution(img: np.ndarray):
+    """Luminance*sin(theta) weights with 3-wide max dilation in u and v,
+    per-row + marginal CDFs — matches BitmapTexture::makeSamplable
+    (MAP_SPHERICAL) + Distribution2D semantics."""
+    h, w = img.shape[:2]
+    weight = img.max(axis=-1)  # ref BitmapTexture::weight uses max channel
+    rows = np.sin((np.arange(h) * np.pi) / h)[:, None]
+    wgt = weight * rows
+    # dilate: max with left/right neighbor (wrap), then up/down (wrap)
+    wgt = np.maximum(wgt, np.maximum(np.roll(wgt, 1, axis=1), np.roll(wgt, -1, axis=1)))
+    wgt = np.maximum(wgt, np.maximum(np.roll(wgt, 1, axis=0), np.roll(wgt, -1, axis=0)))
+
+    row_sum = wgt.sum(axis=1)
+    cond_pdf = np.where(row_sum[:, None] < 1e-4, 1.0 / w, wgt / np.maximum(row_sum[:, None], 1e-30))
+    cond_cdf = np.zeros((h, w + 1), np.float32)
+    cond_cdf[:, 1:] = np.cumsum(cond_pdf, axis=1)
+    cond_cdf[:, -1] = 1.0
+
+    marg = row_sum / max(row_sum.sum(), 1e-30)
+    marg_cdf = np.zeros(h + 1, np.float32)
+    marg_cdf[1:] = np.cumsum(marg)
+    marg_cdf[-1] = 1.0
+    return (cond_pdf.astype(np.float32), cond_cdf,
+            marg.astype(np.float32), marg_cdf)
+
+
+def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
+    textures = TextureTableBuilder(desc.resolve_path)
+
+    # ---- BSDF table ----
+    bsdf_rows = [bsdf_types.parse_bsdf_row(b, textures) for b in desc.bsdfs]
+    if not bsdf_rows:
+        bsdf_rows = [bsdf_types.parse_bsdf_row({"type": "lambert"}, textures)]
+
+    geom = _GeomAccum()
+    spheres_c, spheres_r, spheres_p = [], [], []
+    prim_bsdf, prim_emission_tex = [], []
+    lights = []  # (type, prim_id, emission_tex_or_none, tri_range)
+    light_tri_ranges = []
+    env_info = None
+
+    prim_id = -1
+    for prim in desc.primitives:
+        ptype = prim.get("type", "mesh")
+        m = xform.parse_transform(prim.get("transform"))
+        prim_id += 1
+        bidx = prim.get("bsdf_index")
+        if bidx is None:
+            bidx = 0
+        prim_bsdf.append(bidx)
+
+        emission = prim.get("emission")
+        power = prim.get("power")
+        etex = -1
+        if emission is not None or power is not None:
+            etex = textures.add(emission if emission is not None else 1.0)
+        prim_emission_tex.append(etex)
+
+        samplable = bool(prim.get("sample", True))
+        tri_start = geom.count()
+
+        if ptype == "quad":
+            verts, n = _quad_verts(m)
+            normals = np.repeat(n[None], 4, axis=0)
+            tris = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+            geom.add_tris(verts, _UNIT_QUAD_UV, normals, tris, prim_id)
+        elif ptype == "cube":
+            verts, uvs, normals, tris = _cube_tris(m)
+            geom.add_tris(verts, uvs, normals, tris, prim_id)
+        elif ptype == "disk":
+            # Triangulated approximation (analytic disk TODO).
+            segs = 64
+            ang = np.linspace(0, 2 * np.pi, segs, endpoint=False)
+            local = np.stack([0.5 * np.cos(ang), np.zeros(segs), 0.5 * np.sin(ang)], axis=1)
+            local = np.concatenate([[[0, 0, 0]], local])
+            world = xform.transform_points(m, local).astype(np.float32)
+            n = xform.transform_normals(m, [[0, 1, 0]])[0]
+            n = (n / max(np.linalg.norm(n), 1e-30)).astype(np.float32)
+            tris = np.array([[0, 1 + (i + 1) % segs, 1 + i] for i in range(segs)], np.int32)
+            uvs = np.zeros((segs + 1, 2), np.float32)
+            geom.add_tris(world, uvs, np.repeat(n[None], segs + 1, 0), tris, prim_id)
+        elif ptype == "sphere":
+            center = xform.transform_point(m, [0, 0, 0])
+            radius = float(np.linalg.norm(xform.transform_vectors(m, [[1, 0, 0]])[0]))
+            spheres_c.append(center)
+            spheres_r.append(radius)
+            spheres_p.append(prim_id)
+        elif ptype == "mesh":
+            mesh = mesh_io.load_mesh(desc.resolve_path(prim["file"]))
+            if bool(prim.get("recompute_normals", False)) or not np.any(mesh.normal):
+                mesh.normal = mesh_io.compute_smooth_normals(mesh)
+            pos = xform.transform_points(m, mesh.pos).astype(np.float32)
+            if bool(prim.get("smooth", True)):
+                nrm = xform.transform_normals(m, mesh.normal).astype(np.float32)
+                norms = np.linalg.norm(nrm, axis=1, keepdims=True)
+                nrm = nrm / np.maximum(norms, 1e-30)
+            else:
+                nrm = np.zeros_like(pos)  # flat: zero shading normals -> use Ng
+            geom.add_tris(pos, mesh.uv, nrm, mesh.indices, prim_id)
+        elif ptype == "infinite_sphere":
+            if etex >= 0:
+                rot = m[:3, :3].astype(np.float32)
+                norm = np.linalg.norm(rot, axis=0, keepdims=True)
+                rot = rot / np.maximum(norm, 1e-30)
+                env_info = {
+                    "prim": prim_id,
+                    "tex": etex,
+                    "rot": rot,
+                    "samplable": samplable,
+                }
+            continue
+        else:
+            # skydome, curves, point, infinite_sphere_cap, ... not yet built
+            raise NotImplementedError(f"primitive type not yet supported: {ptype}")
+
+        tri_end = geom.count()
+        if etex >= 0 and samplable and ptype != "infinite_sphere":
+            lights.append({"type": LIGHT_AREA, "prim": prim_id, "tex": etex})
+            light_tri_ranges.append((tri_start, tri_end))
+
+    num_prims = prim_id + 1
+
+    # ---- concatenate triangles ----
+    if geom.count() > 0:
+        tri_v0 = np.concatenate(geom.v0)
+        tri_e1 = np.concatenate(geom.e1)
+        tri_e2 = np.concatenate(geom.e2)
+        tri_n0 = np.concatenate(geom.n0)
+        tri_n1 = np.concatenate(geom.n1)
+        tri_n2 = np.concatenate(geom.n2)
+        tri_uv0 = np.concatenate(geom.uv0)
+        tri_uv1 = np.concatenate(geom.uv1)
+        tri_uv2 = np.concatenate(geom.uv2)
+        tri_prim = np.concatenate(geom.prim)
+    else:
+        tri_v0 = tri_e1 = tri_e2 = np.zeros((0, 3), np.float32)
+        tri_n0 = tri_n1 = tri_n2 = np.zeros((0, 3), np.float32)
+        tri_uv0 = tri_uv1 = tri_uv2 = np.zeros((0, 2), np.float32)
+        tri_prim = np.zeros((0,), np.int32)
+
+    # ---- BVH over triangles (host build), reorder tris to leaf order ----
+    from tungsten_tpu.scene.bvh import build_bvh
+    p_min = np.minimum(tri_v0, np.minimum(tri_v0 + tri_e1, tri_v0 + tri_e2))
+    p_max = np.maximum(tri_v0, np.maximum(tri_v0 + tri_e1, tri_v0 + tri_e2))
+    bvh = build_bvh(p_min, p_max)
+    order = bvh.order if len(bvh.order) else np.zeros(0, np.int32)
+    remap = np.zeros(len(order), np.int64)
+    remap[order] = np.arange(len(order))
+    tri_v0, tri_e1, tri_e2 = tri_v0[order], tri_e1[order], tri_e2[order]
+    tri_n0, tri_n1, tri_n2 = tri_n0[order], tri_n1[order], tri_n2[order]
+    tri_uv0, tri_uv1, tri_uv2 = tri_uv0[order], tri_uv1[order], tri_uv2[order]
+    tri_prim = tri_prim[order]
+
+    # ---- lights ----
+    L = len(lights) + (1 if env_info and env_info["samplable"] else 0)
+    light_type = np.zeros(max(L, 1), np.int32)
+    light_prim = np.full(max(L, 1), -1, np.int32)
+    light_emission = np.zeros((max(L, 1), 3), np.float32)
+    light_tris = np.full((max(L, 1), MAX_LIGHT_TRIS), -1, np.int32)
+    light_cdf = np.zeros((max(L, 1), MAX_LIGHT_TRIS + 1), np.float32)
+    light_area = np.zeros(max(L, 1), np.float32)
+    prim_light = np.full(max(num_prims, 1), -1, np.int32)
+
+    tri_cross = np.cross(tri_e1, tri_e2)
+    tri_area = 0.5 * np.linalg.norm(tri_cross, axis=-1) if len(tri_v0) else np.zeros(0)
+
+    for li, (light, (t0, t1)) in enumerate(zip(lights, light_tri_ranges)):
+        ids = np.nonzero((tri_prim >= 0))[0]
+        # triangles of this prim (they were permuted; select by prim id)
+        ids = np.nonzero(tri_prim == light["prim"])[0]
+        if len(ids) > MAX_LIGHT_TRIS:
+            raise NotImplementedError(
+                f"area light with {len(ids)} tris exceeds MAX_LIGHT_TRIS")
+        areas = tri_area[ids]
+        total = float(areas.sum())
+        light_type[li] = LIGHT_AREA
+        light_prim[li] = light["prim"]
+        # constant emission color from its texture table entry
+        light_emission[li] = textures.const[light["tex"]]
+        light_tris[li, :len(ids)] = ids
+        cdf = np.zeros(MAX_LIGHT_TRIS + 1, np.float32)
+        cdf[1:len(ids) + 1] = np.cumsum(areas / max(total, 1e-30))
+        cdf[len(ids) + 1:] = 1.0
+        light_cdf[li] = cdf
+        light_area[li] = total
+        prim_light[light["prim"]] = li
+
+    env_light_index = -1
+    env_image = np.zeros((1, 1, 3), np.float32)
+    env_rot = np.eye(3, dtype=np.float32)
+    env_scale = 1.0
+    if env_info is not None:
+        tex_id = env_info["tex"]
+        bid = textures.bitmap_id[tex_id]
+        if bid >= 0:
+            env_image = np.asarray(textures.bitmaps[bid], np.float32)
+        else:
+            env_image = np.broadcast_to(
+                textures.const[tex_id][None, None], (1, 1, 3)).astype(np.float32)
+        env_rot = env_info["rot"]
+        if env_info["samplable"]:
+            li = len(lights)
+            env_light_index = li
+            light_type[li] = LIGHT_INFINITE
+            light_prim[li] = env_info["prim"]
+            prim_light[env_info["prim"]] = li
+    cond_pdf, cond_cdf, marg_pdf, marg_cdf = _build_env_distribution(env_image)
+
+    # ---- camera ----
+    cam = desc.camera
+    cam_mat = xform.parse_transform(cam.get("transform")).astype(np.float32)
+    res = cam.get("resolution", [512, 512])
+    if isinstance(res, (int, float)):
+        res = [res, res]
+    fov = float(cam.get("fov", 60.0))
+    plane_dist = 1.0 / np.tan(np.deg2rad(fov) * 0.5)
+    ratio = res[1] / res[0]
+
+    # ---- settings ----
+    integ = desc.integrator
+    rend = desc.renderer
+    settings = RenderSettings(
+        width=int(res[0]),
+        height=int(res[1]),
+        spp=int(rend.get("spp", 32)),
+        spp_step=int(rend.get("spp_step", 16)),
+        max_bounces=int(integ.get("max_bounces", 64)),
+        min_bounces=int(integ.get("min_bounces", 0)),
+        enable_light_sampling=bool(integ.get("enable_light_sampling", True)),
+        two_sided_shading=bool(integ.get("enable_two_sided_shading", True)),
+        tonemap=cam.get("tonemap", "gamma"),
+        filter=cam.get("reconstruction_filter", "tent"),
+        camera_type=cam.get("type", "pinhole"),
+        fov_deg=fov,
+        has_env=env_info is not None,
+        num_lights=int(L),
+    )
+
+    tex_type, tex_const, tex_params, tex_bitmap_id, bitmaps = textures.finalize()
+
+    def dev(x, dtype=None):
+        return jnp.asarray(x, dtype=dtype)
+
+    flat = FlatScene(
+        tri_v0=dev(tri_v0), tri_e1=dev(tri_e1), tri_e2=dev(tri_e2),
+        tri_n0=dev(tri_n0), tri_n1=dev(tri_n1), tri_n2=dev(tri_n2),
+        tri_uv0=dev(tri_uv0), tri_uv1=dev(tri_uv1), tri_uv2=dev(tri_uv2),
+        tri_prim=dev(tri_prim),
+        bvh_min=dev(bvh.bounds_min), bvh_max=dev(bvh.bounds_max),
+        bvh_meta=dev(bvh.meta), bvh_skip=dev(bvh.skip),
+        sph_center=dev(np.asarray(spheres_c, np.float32).reshape(-1, 3)),
+        sph_radius=dev(np.asarray(spheres_r, np.float32)),
+        sph_prim=dev(np.asarray(spheres_p, np.int32)),
+        prim_bsdf=dev(np.asarray(prim_bsdf, np.int32)),
+        prim_emission_tex=dev(np.asarray(prim_emission_tex, np.int32)),
+        prim_light=dev(prim_light),
+        bsdf_type=dev(np.asarray([r[0] for r in bsdf_rows], np.int32)),
+        bsdf_albedo_tex=dev(np.asarray([r[1] for r in bsdf_rows], np.int32)),
+        bsdf_params=dev(np.stack([r[2] for r in bsdf_rows])),
+        bsdf_aux=dev(np.stack([r[3] for r in bsdf_rows])),
+        tex_type=dev(tex_type), tex_const=dev(tex_const),
+        tex_params=dev(tex_params), tex_bitmap_id=dev(tex_bitmap_id),
+        bitmaps=tuple(bitmaps),
+        light_type=dev(light_type), light_prim=dev(light_prim),
+        light_emission=dev(light_emission), light_tris=dev(light_tris),
+        light_cdf=dev(light_cdf), light_area=dev(light_area),
+        env_image=dev(env_image),
+        env_cond_pdf=dev(cond_pdf), env_cond_cdf=dev(cond_cdf),
+        env_marg_pdf=dev(marg_pdf), env_marg_cdf=dev(marg_cdf),
+        env_to_world=dev(env_rot), env_to_local=dev(env_rot.T),
+        env_light_index=dev(np.int32(env_light_index)),
+        env_emission_scale=dev(np.float32(env_scale)),
+        cam_mat=dev(cam_mat),
+        cam_plane_dist=dev(np.float32(plane_dist)),
+        cam_ratio=dev(np.float32(ratio)),
+    )
+    return flat, settings
+
+
+def load_flat_scene(path):
+    """Convenience: path -> (FlatScene, RenderSettings)."""
+    from tungsten_tpu.scene.parse import load_scene
+    return flatten_scene(load_scene(path))

@@ -1,0 +1,146 @@
+"""Texture table: host-side parse + device-side evaluation.
+
+A texture value in scene JSON is a scalar, an [r,g,b] array, a path
+string (bitmap), or a typed object (checker / constant / bitmap / ...)
+(ref: src/core/textures/).  The flattened representation is a small SoA
+table indexed per-BSDF-slot; bitmaps are stored as a list of device
+arrays referenced by index (static pytree structure per scene).
+
+Checker parity: on iff (floor(u*resU) ^ floor(v*resV)) & 1
+(ref: src/core/textures/CheckerTexture.cpp).
+Bitmap parity: bilinear, wrap addressing, v flipped
+(ref: src/core/textures/BitmapTexture.cpp:298-352).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+TEX_CONST = 0
+TEX_CHECKER = 1
+TEX_BITMAP = 2
+
+
+class TextureTableBuilder:
+    """Accumulates textures during flattening; emits SoA arrays."""
+
+    def __init__(self, resolve_path):
+        self.resolve_path = resolve_path
+        self.types: list[int] = []
+        self.const: list[np.ndarray] = []
+        self.params: list[np.ndarray] = []
+        self.bitmap_id: list[int] = []
+        self.bitmaps: list[np.ndarray] = []
+        self._bitmap_cache: dict[str, int] = {}
+
+    def _push(self, ttype, const=(0, 0, 0), params=(0,) * 8, bitmap=-1) -> int:
+        self.types.append(ttype)
+        self.const.append(np.asarray(const, np.float32))
+        self.params.append(np.asarray(params, np.float32))
+        self.bitmap_id.append(bitmap)
+        return len(self.types) - 1
+
+    def _load_bitmap(self, rel_path, gamma_if_ldr=True) -> int:
+        key = str(rel_path)
+        if key in self._bitmap_cache:
+            return self._bitmap_cache[key]
+        from tungsten_tpu.io import image as imageio_mod
+        path = self.resolve_path(rel_path)
+        img = imageio_mod.load_image(path)
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, axis=-1)
+        self.bitmaps.append(np.ascontiguousarray(img, np.float32))
+        self._bitmap_cache[key] = len(self.bitmaps) - 1
+        return self._bitmap_cache[key]
+
+    def add(self, value, default=None) -> int:
+        """Parse a texture JSON value; returns texture index."""
+        if value is None:
+            value = default if default is not None else 0.0
+        if isinstance(value, (int, float)):
+            return self._push(TEX_CONST, const=(value,) * 3)
+        if isinstance(value, (list, tuple)):
+            v = list(value) + [value[-1]] * (3 - len(value))
+            return self._push(TEX_CONST, const=v[:3])
+        if isinstance(value, str):
+            return self._push(TEX_BITMAP, bitmap=self._load_bitmap(value))
+        if isinstance(value, dict):
+            t = value.get("type", "constant")
+            if t == "constant":
+                return self.add(value.get("value", 0.0))
+            if t == "checker":
+                on = value.get("on_color", [0.8, 0.8, 0.8])
+                off = value.get("off_color", [0.2, 0.2, 0.2])
+                if isinstance(on, (int, float)):
+                    on = [on] * 3
+                if isinstance(off, (int, float)):
+                    off = [off] * 3
+                ru = float(value.get("res_u", 20))
+                rv = float(value.get("res_v", 20))
+                return self._push(
+                    TEX_CHECKER, const=on, params=tuple(off) + (ru, rv, 0, 0, 0)
+                )
+            if t == "bitmap":
+                return self._push(TEX_BITMAP, bitmap=self._load_bitmap(value["file"]))
+            raise ValueError(f"unsupported texture type: {t}")
+        raise TypeError(f"bad texture value: {value!r}")
+
+    def finalize(self):
+        """Returns (tex_type, tex_const, tex_params, tex_bitmap_id, bitmaps)."""
+        if not self.types:
+            self._push(TEX_CONST)
+        return (
+            np.asarray(self.types, np.int32),
+            np.stack(self.const).astype(np.float32),
+            np.stack(self.params).astype(np.float32),
+            np.asarray(self.bitmap_id, np.int32),
+            [jnp.asarray(b) for b in self.bitmaps],
+        )
+
+
+def eval_texture(tex_type, tex_const, tex_params, tex_bitmap_id, bitmaps, tex_idx, uv):
+    """Evaluate textures for a batch: tex_idx (R,), uv (R,2) -> (R,3).
+
+    Bitmap evaluation is done per distinct bitmap (static python loop over
+    the scene's bitmap list) with masked select — bitmap count is small.
+    """
+    t = tex_type[tex_idx]
+    const = tex_const[tex_idx]
+
+    # checker
+    p = tex_params[tex_idx]
+    ui = jnp.floor(uv[..., 0] * p[..., 3]).astype(jnp.int32)
+    vi = jnp.floor(uv[..., 1] * p[..., 4]).astype(jnp.int32)
+    on = ((ui ^ vi) & 1) == 1
+    checker = jnp.where(on[..., None], const, p[..., 0:3])
+
+    out = jnp.where((t == TEX_CHECKER)[..., None], checker, const)
+
+    if bitmaps:
+        bid = tex_bitmap_id[tex_idx]
+        for i, img in enumerate(bitmaps):
+            val = sample_bitmap(img, uv)
+            out = jnp.where(((t == TEX_BITMAP) & (bid == i))[..., None], val, out)
+    return out
+
+
+def sample_bitmap(img, uv):
+    """Bilinear, wrap addressing, v flipped — matches BitmapTexture::operator[]."""
+    h, w = img.shape[0], img.shape[1]
+    u = uv[..., 0] * w - 0.5
+    v = (1.0 - uv[..., 1]) * h - 0.5
+    iu0 = jnp.floor(u).astype(jnp.int32)
+    iv0 = jnp.floor(v).astype(jnp.int32)
+    fu = u - iu0
+    fv = v - iv0
+    iu0 = jnp.mod(iu0, w)
+    iv0 = jnp.mod(iv0, h)
+    iu1 = jnp.mod(iu0 + 1, w)
+    iv1 = jnp.mod(iv0 + 1, h)
+    c00 = img[iv0, iu0]
+    c10 = img[iv0, iu1]
+    c01 = img[iv1, iu0]
+    c11 = img[iv1, iu1]
+    fu = fu[..., None]
+    fv = fv[..., None]
+    return (c00 * (1 - fu) + c10 * fu) * (1 - fv) + (c01 * (1 - fu) + c11 * fu) * fv

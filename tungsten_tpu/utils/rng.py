@@ -1,0 +1,104 @@
+"""Stateless, replay-exact counter RNG.
+
+Design rule (the single choice underlying differentiable replay, resume,
+and sharding determinism): every random number in the renderer is
+addressed by the static tuple (seed, pixel_id, sample_index, dim).
+No mutable state travels with a ray — any pass (forward render, backward
+path replay, a resumed render, or any device sharding of the same pixels)
+regenerates identical decisions.
+
+This replaces the reference's stateful PCG32 per-tile samplers
+(ref: src/core/sampling/UniformSampler.hpp:37-45,
+src/core/sampling/SobolPathSampler.hpp:20-54) with the pcg4d hash
+(Jarzynski & Olano, JCGT 2020), a standard public-domain construction for
+exactly this counter-based usage in renderers.
+
+Dimension layout (static, so replay can re-address every decision):
+  dims 0..3            camera: pixel jitter / filter (2) + lens (2)
+  dims 4 + b*DIMS_PER_BOUNCE ...  per-bounce block, see `BounceDims`.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Per-bounce random-dimension slots (offsets within a bounce's dim block).
+DIM_CAMERA = 0           # 4 dims reserved
+DIMS_CAMERA = 4
+DIMS_PER_BOUNCE = 10
+
+
+class BounceDims:
+    """Offsets of each per-bounce random decision inside its dim block."""
+    LIGHT_SELECT = 0     # 1D: which light
+    LIGHT_SAMPLE = 1     # 2D: point/direction on light
+    BSDF_LOBE = 3        # 1D: lobe / component selection
+    BSDF_SAMPLE = 4      # 2D: direction sample
+    ROULETTE = 6         # 1D: russian roulette
+    MEDIUM = 7           # 3D: distance sampling / channel select / phase
+
+
+def bounce_dim(bounce, slot):
+    return DIMS_CAMERA + bounce * DIMS_PER_BOUNCE + slot
+
+
+def _pcg4d(v0, v1, v2, v3):
+    """pcg4d mixing of four uint32 words; returns four uint32 words."""
+    M = jnp.uint32(1664525)
+    A = jnp.uint32(1013904223)
+    x = v0 * M + A
+    y = v1 * M + A
+    z = v2 * M + A
+    w = v3 * M + A
+    x = x + y * w
+    y = y + z * x
+    z = z + x * y
+    w = w + y * z
+    x = x ^ (x >> 16)
+    y = y ^ (y >> 16)
+    z = z ^ (z >> 16)
+    w = w ^ (w >> 16)
+    x = x + y * w
+    y = y + z * x
+    z = z + x * y
+    w = w + y * z
+    return x, y, z, w
+
+
+def _to_unit_float(u):
+    """uint32 -> float32 in [0, 1) using the top 24 bits."""
+    return (u >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def random_1d(seed, pixel, sample_idx, dim):
+    """One uniform float in [0,1) addressed by (seed, pixel, sample, dim).
+
+    All args broadcastable uint32/int32 arrays.
+    """
+    x, _, _, _ = _pcg4d(
+        jnp.asarray(pixel).astype(jnp.uint32),
+        jnp.asarray(sample_idx).astype(jnp.uint32),
+        jnp.asarray(dim).astype(jnp.uint32),
+        jnp.asarray(seed).astype(jnp.uint32),
+    )
+    return _to_unit_float(x)
+
+
+def random_2d(seed, pixel, sample_idx, dim):
+    """Two uniform floats; consumes dims [dim, dim+1] in the static layout."""
+    x, y, _, _ = _pcg4d(
+        jnp.asarray(pixel).astype(jnp.uint32),
+        jnp.asarray(sample_idx).astype(jnp.uint32),
+        jnp.asarray(dim).astype(jnp.uint32),
+        jnp.asarray(seed).astype(jnp.uint32),
+    )
+    return _to_unit_float(x), _to_unit_float(y)
+
+
+def random_3d(seed, pixel, sample_idx, dim):
+    x, y, z, _ = _pcg4d(
+        jnp.asarray(pixel).astype(jnp.uint32),
+        jnp.asarray(sample_idx).astype(jnp.uint32),
+        jnp.asarray(dim).astype(jnp.uint32),
+        jnp.asarray(seed).astype(jnp.uint32),
+    )
+    return _to_unit_float(x), _to_unit_float(y), _to_unit_float(z)
