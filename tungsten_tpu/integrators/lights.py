@@ -1,0 +1,149 @@
+"""Light sampling: area lights (triangle sets with area CDFs) and the
+infinite-sphere environment light with 2D-CDF importance sampling.
+
+Parity targets:
+  * Quad/TriangleMesh::sampleDirect — uniform-by-area point, solid-angle
+    pdf r^2/(cos * area), front side only (ref Quad.cpp:172-222).
+  * InfiniteSphere::sampleDirect/directPdf — envmap CDF warp, pdf
+    INV_PI*INV_TWO_PI*texPdf/sinTheta (ref InfiniteSphere.cpp:160-230).
+  * equirect mapping u = atan2(z,x)/2pi + 0.5, v = acos(-y)/pi
+    (ref InfiniteSphere.cpp:27-56).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from tungsten_tpu.scene.flatten import LIGHT_AREA, LIGHT_INFINITE
+from tungsten_tpu.scene.textures import sample_bitmap
+from tungsten_tpu.utils.vecmath import INV_PI, INV_TWO_PI, INV_FOUR_PI
+
+INF = jnp.float32(3.0e38)
+
+
+# ----------------------------------------------------------------- envmap
+
+def env_direction_to_uv(scene, d):
+    """World direction -> equirect uv (+ sinTheta)."""
+    local = d @ scene.env_to_local.T
+    u = jnp.arctan2(local[..., 2], local[..., 0]) * INV_TWO_PI + 0.5
+    cos_t = jnp.clip(-local[..., 1], -1.0, 1.0)
+    v = jnp.arccos(cos_t) * INV_PI
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - local[..., 1] ** 2, 0.0))
+    return jnp.stack([u, v], axis=-1), sin_t
+
+
+def env_uv_to_direction(scene, uv):
+    phi = (uv[..., 0] - 0.5) * (2.0 * jnp.pi)
+    theta = uv[..., 1] * jnp.pi
+    sin_t = jnp.sin(theta)
+    local = jnp.stack(
+        [jnp.cos(phi) * sin_t, -jnp.cos(theta), jnp.sin(phi) * sin_t], axis=-1)
+    return local @ scene.env_to_world.T, sin_t
+
+
+def env_eval(scene, d):
+    """Environment radiance for escaping rays."""
+    uv, _ = env_direction_to_uv(scene, d)
+    return sample_bitmap(scene.env_image, uv) * scene.env_emission_scale
+
+
+def env_pdf(scene, d):
+    """Solid-angle pdf of env importance sampling for direction d."""
+    h, w = scene.env_cond_pdf.shape
+    uv, sin_t = env_direction_to_uv(scene, d)
+    row = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    col = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
+    tex_pdf = scene.env_cond_pdf[row, col] * scene.env_marg_pdf[row] * (w * h)
+    return jnp.where(
+        sin_t > 1e-8,
+        INV_PI * INV_TWO_PI * tex_pdf / jnp.maximum(sin_t, 1e-8),
+        0.0)
+
+
+def env_sample(scene, u1, u2):
+    """Importance-sample the envmap; returns (d, radiance, pdf)."""
+    h, w = scene.env_cond_pdf.shape
+    row = jnp.clip(
+        jnp.searchsorted(scene.env_marg_cdf, u2, side="right") - 1, 0, h - 1)
+    ry = jnp.clip(
+        (u2 - scene.env_marg_cdf[row]) / jnp.maximum(scene.env_marg_pdf[row], 1e-30),
+        0.0, 1.0)
+    cdf_rows = scene.env_cond_cdf[row]  # (R, W+1)
+    col = jnp.clip(
+        jax_searchsorted_rows(cdf_rows, u1) - 1, 0, w - 1)
+    take = jnp.take_along_axis
+    c0 = take(cdf_rows, col[..., None], axis=-1)[..., 0]
+    p = take(scene.env_cond_pdf[row], col[..., None], axis=-1)[..., 0]
+    rx = jnp.clip((u1 - c0) / jnp.maximum(p, 1e-30), 0.0, 1.0)
+    uv = jnp.stack([(col + rx) / w, 1.0 - (row + ry) / h], axis=-1)
+    # NOTE ref flips v in BitmapTexture::sample; uvToDirection takes uv as-is
+    d, sin_t = env_uv_to_direction(scene, uv)
+    tex_row = jnp.clip(((1.0 - uv[..., 1]) * h).astype(jnp.int32), 0, h - 1)
+    tex_pdf = p * scene.env_marg_pdf[row] * (w * h)
+    pdf = jnp.where(sin_t > 1e-8,
+                    INV_PI * INV_TWO_PI * tex_pdf / jnp.maximum(sin_t, 1e-8),
+                    0.0)
+    radiance = sample_bitmap(scene.env_image, uv) * scene.env_emission_scale
+    return d, radiance, pdf
+
+
+def jax_searchsorted_rows(cdf_rows, u):
+    """Row-wise searchsorted: cdf_rows (..., W+1), u (...,) -> index."""
+    return jnp.sum((cdf_rows <= u[..., None]).astype(jnp.int32), axis=-1)
+
+
+# -------------------------------------------------------------- area light
+
+def area_light_sample(scene, light_idx, p, u_tri, u1, u2):
+    """Sample a point on area light `light_idx` (R,) as seen from p (R,3).
+
+    Returns dict(d, dist, pdf, emission, valid).
+    """
+    cdf = scene.light_cdf[light_idx]            # (R, M+1)
+    k = jnp.clip(jax_searchsorted_rows(cdf, u_tri) - 1, 0,
+                 scene.light_tris.shape[1] - 1)
+    tri = jnp.take_along_axis(scene.light_tris, k[..., None], axis=-1)[..., 0]
+    tri_c = jnp.clip(tri, 0, scene.tri_v0.shape[0] - 1)
+
+    # uniform point in triangle (ref SampleWarp::uniformTriangleUv)
+    su = jnp.sqrt(jnp.maximum(u1, 0.0))
+    a = 1.0 - su
+    b = (1.0 - u2) * su
+    v0 = scene.tri_v0[tri_c]
+    e1 = scene.tri_e1[tri_c]
+    e2 = scene.tri_e2[tri_c]
+    # barycentric over (v0, v1, v2): point = v0 + b1*e1 + b2*e2 with
+    # (b1, b2) = (a, b) mapped onto edges — uniform either way
+    q = v0 + a[..., None] * e1 + b[..., None] * e2
+
+    n = jnp.cross(e1, e2)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+
+    dvec = q - p
+    r_sq = jnp.sum(dvec * dvec, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(r_sq, 1e-20))
+    d = dvec / dist[..., None]
+    cos_theta = -jnp.sum(d * n, axis=-1)
+
+    area = scene.light_area[light_idx]
+    pdf = r_sq / jnp.maximum(cos_theta * area, 1e-20)
+    valid = (cos_theta > 0.0) & (area > 0.0)
+    emission = scene.light_emission[light_idx]
+    return dict(d=d, dist=dist, pdf=pdf, emission=emission, valid=valid)
+
+
+def area_light_direct_pdf(scene, light_idx, hit_t, d, hit_normal):
+    """Solid-angle pdf that sampling light `light_idx` would have produced
+    the given hit (for MIS of the bsdf strategy).
+    Matches Quad::directPdf r^2/(cos * area)."""
+    cos_theta = -jnp.sum(d * hit_normal, axis=-1)
+    area = scene.light_area[light_idx]
+    return jnp.where(
+        cos_theta > 1e-6,
+        hit_t * hit_t / jnp.maximum(cos_theta * area, 1e-20),
+        0.0)
+
+
+def power_heuristic(pdf0, pdf1):
+    """(ref SampleWarp::powerHeuristic)"""
+    return pdf0 * pdf0 / jnp.maximum(pdf0 * pdf0 + pdf1 * pdf1, 1e-30)

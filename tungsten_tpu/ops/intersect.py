@@ -1,0 +1,169 @@
+"""Ray-scene intersection: jnp reference implementations.
+
+Replaces embree's rtcIntersect/rtcOccluded single-ray queries
+(ref: src/core/primitives/TriangleMesh.cpp:317-343,
+src/core/renderer/TraceableScene.hpp:112-134) with wavefront-vectorized
+kernels: every function takes SoA ray batches (R,3)/(R,) and intersects
+the whole batch per step.
+
+Traversal uses the flattened BVH's *skip pointers*: each ray keeps a
+node cursor; a box hit advances depth-first (cursor+1), a miss jumps
+`skip[cursor]`.  This stackless scheme maps directly onto the Pallas
+coherent-traversal kernel (ops/pallas_trace.py) where a whole ray block
+shares the cursor.
+
+A Hit is the SoA tuple (t, tri_id, u, v); tri_id == -1 means miss.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+INF = jnp.float32(3.0e38)
+
+
+def ray_tri(o, d, v0, e1, e2, t_min, t_max):
+    """Möller-Trumbore. All args broadcast; returns (hit, t, u, v)."""
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-16, 1.0 / det, 0.0)
+    tvec = o - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    hit = (
+        (jnp.abs(det) > 1e-16)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > t_min) & (t < t_max)
+    )
+    return hit, t, u, v
+
+
+def ray_box(o, inv_d, lo, hi, t_max):
+    """Slab test; returns (hit, t_near)."""
+    t0 = (lo - o) * inv_d
+    t1 = (hi - o) * inv_d
+    tn = jnp.minimum(t0, t1)
+    tf = jnp.maximum(t0, t1)
+    t_near = jnp.maximum(jnp.max(tn, axis=-1), 0.0)
+    t_far = jnp.minimum(jnp.min(tf, axis=-1), t_max)
+    # slight conservative inflation for watertightness (robust slab test)
+    return t_near <= t_far * 1.00000024, t_near
+
+
+def ray_sphere(o, d, center, radius, t_min, t_max):
+    """Analytic sphere; returns (hit, t) for the nearest valid root."""
+    oc = o - center
+    b = jnp.sum(oc * d, axis=-1)
+    c = jnp.sum(oc * oc, axis=-1) - radius * radius
+    disc = b * b - c
+    ok = disc >= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = -b - sq
+    t1 = -b + sq
+    t = jnp.where((t0 > t_min) & (t0 < t_max), t0, t1)
+    hit = ok & (t > t_min) & (t < t_max)
+    return hit, t
+
+
+MAX_LEAF = 4  # must match bvh.build_bvh max_leaf_size
+
+
+def bvh_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
+    """Closest-hit (or any-hit) traversal of the scene BVH + spheres.
+
+    Args:
+      scene: FlatScene
+      o, d: (R,3) ray origins/directions
+      t_min: scalar or (R,)
+      t_max: scalar or (R,) far clip
+      any_hit: occlusion query — stop at first hit
+    Returns:
+      dict with t (R,), tri (R,) [-1 = miss or sphere], sph (R,) [-1 = miss
+      or triangle], u, v (R,), hit (R,) bool.
+    """
+    R = o.shape[0]
+    num_nodes = scene.bvh_meta.shape[0]
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d >= 0, 1e-20, -1e-20), d)
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+
+    # --- spheres first (dense; S is tiny) ---
+    best_t = t_max
+    best_sph = jnp.full((R,), -1, jnp.int32)
+    S = scene.sph_radius.shape[0]
+    if S > 0:
+        hs, ts = ray_sphere(
+            o[:, None, :], d[:, None, :],
+            scene.sph_center[None, :, :], scene.sph_radius[None, :],
+            t_min[:, None], best_t[:, None],
+        )  # (R, S)
+        ts = jnp.where(hs, ts, INF)
+        k = jnp.argmin(ts, axis=1)
+        tk = jnp.take_along_axis(ts, k[:, None], axis=1)[:, 0]
+        got = tk < best_t
+        best_t = jnp.where(got, tk, best_t)
+        best_sph = jnp.where(got, k.astype(jnp.int32), best_sph)
+
+    if scene.tri_v0.shape[0] == 0:
+        hit = best_sph >= 0
+        return dict(t=best_t, tri=jnp.full((R,), -1, jnp.int32), sph=best_sph,
+                    u=jnp.zeros((R,)), v=jnp.zeros((R,)), hit=hit)
+
+    def body(state):
+        node, t_best, tri_best, u_best, v_best, done = state
+        nlo = scene.bvh_min[node]
+        nhi = scene.bvh_max[node]
+        meta = scene.bvh_meta[node]       # (R, 2)
+        skip = scene.bvh_skip[node]
+
+        box_hit, _ = ray_box(o, inv_d, nlo, nhi, t_best)
+        is_leaf = meta[:, 1] > 0
+
+        # Leaf: test up to MAX_LEAF triangles (static unroll).
+        lt = t_best
+        ltri = tri_best
+        lu, lv = u_best, v_best
+        test_leaf = box_hit & is_leaf
+        for k in range(MAX_LEAF):
+            tid = meta[:, 0] + k
+            valid = test_leaf & (k < meta[:, 1])
+            tid_c = jnp.clip(tid, 0, scene.tri_v0.shape[0] - 1)
+            h, t, uu, vv = ray_tri(
+                o, d, scene.tri_v0[tid_c], scene.tri_e1[tid_c],
+                scene.tri_e2[tid_c], t_min, lt)
+            h = h & valid
+            lt = jnp.where(h, t, lt)
+            ltri = jnp.where(h, tid_c.astype(jnp.int32), ltri)
+            lu = jnp.where(h, uu, lu)
+            lv = jnp.where(h, vv, lv)
+
+        # Advance cursor: into subtree on interior box hit, else skip.
+        descend = box_hit & ~is_leaf
+        nxt = jnp.where(descend, node + 1, skip)
+        if any_hit:
+            done = done | (ltri >= 0)
+            nxt = jnp.where(done, num_nodes, nxt)
+        return nxt, lt, ltri, lu, lv, done
+
+    def cond(state):
+        node = state[0]
+        return jnp.any(node < num_nodes)
+
+    node0 = jnp.zeros((R,), jnp.int32)
+    tri0 = jnp.full((R,), -1, jnp.int32)
+    state = (node0, best_t, tri0, jnp.zeros((R,)), jnp.zeros((R,)),
+             jnp.zeros((R,), bool))
+    _, t, tri, u, v, _ = jax.lax.while_loop(cond, body, state)
+
+    got_tri = tri >= 0
+    sph = jnp.where(got_tri, -1, best_sph)
+    hit = got_tri | (sph >= 0)
+    return dict(t=t, tri=tri, sph=sph, u=u, v=v, hit=hit)
+
+
+def occluded(scene, o, d, t_min, t_max):
+    """Binary occlusion along segments (t_min, t_max)."""
+    res = bvh_intersect(scene, o, d, t_min, t_max, any_hit=True)
+    return res["hit"]

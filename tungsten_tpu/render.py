@@ -1,0 +1,75 @@
+"""Top-level render driver: the analog of the reference's standalone
+renderer loop (ref: src/tungsten/Shared.hpp:191-337) — spp rounds over a
+jitted wavefront step, accumulation into a framebuffer, tonemap + save.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tungsten_tpu.cameras.camera import tonemap
+from tungsten_tpu.integrators.path_tracer import trace_wave
+from tungsten_tpu.scene.flatten import FlatScene, RenderSettings, load_flat_scene
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "spp_chunk"))
+def render_pass(scene: FlatScene, settings: RenderSettings, sample_start,
+                seed, spp_chunk: int = 1):
+    """Render spp_chunk samples for every pixel; returns (H, W, 3) sum."""
+    w, h = settings.width, settings.height
+    n = w * h
+    pixel = jnp.arange(n, dtype=jnp.uint32)
+    acc = jnp.zeros((n, 3))
+
+    def body(i, acc):
+        rad = trace_wave(scene, settings, pixel,
+                         jnp.full((n,), sample_start + i, jnp.uint32),
+                         jnp.uint32(seed))
+        # NaN guard (ref PathTracer returns diagnostic colors on NaN)
+        rad = jnp.where(jnp.isfinite(rad), rad, 0.0)
+        return acc + rad
+
+    acc = jax.lax.fori_loop(0, spp_chunk, body, acc)
+    return acc.reshape(h, w, 3)
+
+
+def render(scene: FlatScene, settings: RenderSettings, spp: int | None = None,
+           seed: int | None = None, spp_chunk: int = 1, verbose: bool = False):
+    """Render `spp` samples per pixel; returns linear HDR (H, W, 3) numpy."""
+    spp = spp if spp is not None else settings.spp
+    seed = seed if seed is not None else settings.seed
+    acc = None
+    done = 0
+    while done < spp:
+        chunk = min(spp_chunk, spp - done)
+        t0 = time.time()
+        out = render_pass(scene, settings, np.uint32(done), np.uint32(seed),
+                          spp_chunk=chunk)
+        out.block_until_ready()
+        acc = out if acc is None else acc + out
+        done += chunk
+        if verbose:
+            print(f"spp {done}/{spp}  ({time.time() - t0:.2f}s)")
+    return np.asarray(acc) / spp
+
+
+def render_file(scene_path, output=None, spp=None, resolution=None,
+                seed=None, verbose=False):
+    """Load a Tungsten scene file, render, tonemap, save; returns HDR."""
+    scene, settings = load_flat_scene(scene_path)
+    if resolution is not None:
+        settings = replace(settings, width=resolution[0], height=resolution[1])
+    hdr = render(scene, settings, spp=spp, seed=seed, verbose=verbose)
+    if output:
+        from tungsten_tpu.io import image as im
+        if im.is_hdr(output):
+            im.save_hdr(output, hdr)
+        else:
+            ldr = np.asarray(tonemap(settings.tonemap, jnp.asarray(hdr)))
+            im.save_ldr(output, np.clip(ldr, 0, 1))
+    return hdr

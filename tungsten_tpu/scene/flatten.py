@@ -114,6 +114,7 @@ class RenderSettings:
     spp_step: int = 16
     has_env: bool = False
     num_lights: int = 0
+    present_bsdf_types: tuple = ()
 
 
 _UNIT_QUAD_UV = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
@@ -250,7 +251,9 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         if ptype == "quad":
             verts, n = _quad_verts(m)
             normals = np.repeat(n[None], 4, axis=0)
-            tris = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+            # winding chosen so cross(e1, e2) == Tungsten's quad normal
+            # (edge1 x edge0, ref Quad.cpp:306-309)
+            tris = np.array([[0, 2, 1], [0, 3, 2]], np.int32)
             geom.add_tris(verts, _UNIT_QUAD_UV, normals, tris, prim_id)
         elif ptype == "cube":
             verts, uvs, normals, tris = _cube_tris(m)
@@ -396,7 +399,9 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
 
     # ---- camera ----
     cam = desc.camera
-    cam_mat = xform.parse_transform(cam.get("transform")).astype(np.float32)
+    cam_mat = xform.parse_transform(cam.get("transform"))
+    cam_mat[:3, 0] = -cam_mat[:3, 0]  # ref Camera::fromJson flips right axis
+    cam_mat = cam_mat.astype(np.float32)
     res = cam.get("resolution", [512, 512])
     if isinstance(res, (int, float)):
         res = [res, res]
@@ -422,6 +427,7 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         fov_deg=fov,
         has_env=env_info is not None,
         num_lights=int(L),
+        present_bsdf_types=tuple(sorted({int(r[0]) for r in bsdf_rows})),
     )
 
     tex_type, tex_const, tex_params, tex_bitmap_id, bitmaps = textures.finalize()

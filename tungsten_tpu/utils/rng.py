@@ -24,17 +24,29 @@ import jax.numpy as jnp
 # Per-bounce random-dimension slots (offsets within a bounce's dim block).
 DIM_CAMERA = 0           # 4 dims reserved
 DIMS_CAMERA = 4
-DIMS_PER_BOUNCE = 10
+DIMS_PER_BOUNCE = 16
 
 
 class BounceDims:
-    """Offsets of each per-bounce random decision inside its dim block."""
-    LIGHT_SELECT = 0     # 1D: which light
-    LIGHT_SAMPLE = 1     # 2D: point/direction on light
-    BSDF_LOBE = 3        # 1D: lobe / component selection
-    BSDF_SAMPLE = 4      # 2D: direction sample
-    ROULETTE = 6         # 1D: russian roulette
-    MEDIUM = 7           # 3D: distance sampling / channel select / phase
+    """Offsets of each per-bounce random decision inside its dim block.
+
+    NEE uses an *independent* BSDF sample for its MIS counterpart — the
+    reference samples the BSDF twice per bounce (TraceBase::bsdfSample for
+    NEE vs handleSurface's continuation sample), so both get own slots.
+    The *_LOBE2 slots feed nested lobe decisions (coat substrates, mixed
+    children, rough-dielectric reflect/refract choice).
+    """
+    LIGHT_SELECT = 0      # 1D: which light
+    LIGHT_SAMPLE = 1      # 2D: point/direction on light
+    LIGHT_TRI = 3         # 1D: triangle pick within an area light
+    NEE_BSDF_LOBE = 4     # 1D: lobe select for the NEE bsdf-MIS sample
+    NEE_BSDF_SAMPLE = 5   # 2D
+    NEE_BSDF_LOBE2 = 7    # 1D: nested lobe decision
+    BSDF_LOBE = 8         # 1D: continuation lobe / transparency selection
+    BSDF_SAMPLE = 9       # 2D: continuation direction sample
+    BSDF_LOBE2 = 11       # 1D: nested lobe decision
+    ROULETTE = 12         # 1D: russian roulette
+    MEDIUM = 13           # 3D: distance sampling / channel select / phase
 
 
 def bounce_dim(bounce, slot):
