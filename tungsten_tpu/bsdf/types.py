@@ -187,11 +187,27 @@ def parse_bsdf_row(b: dict, textures) -> tuple[int, int, np.ndarray, np.ndarray]
     params[P.SIGMA_A_R:P.SIGMA_A_B + 1] = sigma_a
     params[P.THICKNESS] = float(b.get("thickness", 1.0))
 
-    if t == OREN_NAYAR:
-        params[P.EXTRA0] = float(b.get("sigma", 0.2)) if not isinstance(b.get("sigma"), dict) else 0.2
     if t == PHONG:
         params[P.EXTRA0] = float(b.get("exponent", 64.0))
         params[P.EXTRA1] = float(b.get("diffuse_ratio", 0.2))
+    if t in (DIELECTRIC, ROUGH_DIELECTRIC):
+        params[P.EXTRA0] = 1.0 if b.get("enable_refraction", True) else 0.0
+    if t == THINSHEET:
+        params[P.EXTRA0] = 1.0 if b.get("enable_interference", False) else 0.0
+    if t in (PLASTIC, ROUGH_PLASTIC, SMOOTH_COAT, ROUGH_COAT):
+        from tungsten_tpu.bsdf.fresnel import compute_diffuse_fresnel
+        params[P.EXTRA0] = compute_diffuse_fresnel(params[P.IOR])
+        scaled = params[P.THICKNESS] * params[P.SIGMA_A_R:P.SIGMA_A_B + 1]
+        params[P.EXTRA1] = float(np.exp(-2.0 * scaled.mean()))
+        # rough_plastic scales its substrate probability by avg albedo
+        alb = b.get("albedo", 1.0)
+        if isinstance(alb, (int, float)):
+            avg_alb = float(alb)
+        elif isinstance(alb, (list, tuple)):
+            avg_alb = float(np.mean(alb))
+        else:
+            avg_alb = 0.7  # textured albedo: rough average (sampling-only)
+        params[P.EXTRA2] = avg_alb if t == ROUGH_PLASTIC else 1.0
     if t == MIXED:
         ratio = b.get("ratio", 0.5)
         aux[AUX.RATIO_TEX] = textures.add(ratio)

@@ -27,7 +27,9 @@ import jax
 import jax.numpy as jnp
 
 from tungsten_tpu.bsdf.eval import (
-    FLAG_SPECULAR, FLAG_VALID, ShadePoint, bsdf_eval, bsdf_pdf, bsdf_sample)
+    FLAG_SPECULAR, FLAG_VALID, NESTED_TYPES, ShadePoint,
+    bsdf_eval, bsdf_forward, bsdf_pdf, bsdf_sample)
+from tungsten_tpu.bsdf import types as bt
 from tungsten_tpu.cameras.camera import generate_rays
 from tungsten_tpu.integrators import lights as L
 from tungsten_tpu.ops.intersect import bvh_intersect, occluded
@@ -139,9 +141,11 @@ def _nee(scene, settings, sp, info, wi_local, frame, seed, pixel, sample_idx,
                        bounce_dim_base + rng.BounceDims.NEE_BSDF_LOBE)
     ub1, ub2 = rng.random_2d(seed, pixel, sample_idx,
                              bounce_dim_base + rng.BounceDims.NEE_BSDF_SAMPLE)
+    ub_l2 = rng.random_1d(seed, pixel, sample_idx,
+                          bounce_dim_base + rng.BounceDims.NEE_BSDF_LOBE2)
     wo_b, wt_b, pdf_b, flags_b = bsdf_sample(
         sp, wi_local, ub, ub1, ub2, settings.present_bsdf_types,
-        no_specular=True)
+        u_lobe2=ub_l2, no_specular=True)
     wd = vm.to_global(t, b, n, wo_b)
     ok_b = ((flags_b & FLAG_VALID) != 0) & (jnp.max(wt_b, axis=-1) > 0)
 
@@ -234,11 +238,28 @@ def trace_wave(scene, settings, pixel, sample_idx, seed):
 
         sp = ShadePoint(scene, info["bsdf"], info["uv"])
 
+        # ---- forward/transparency lobe passthrough (ref handleSurface
+        # transparency branch: continue straight through, no NEE/emission) ----
+        has_forward = any(
+            t in settings.present_bsdf_types
+            for t in (bt.FORWARD, bt.TRANSPARENCY, bt.THINSHEET))
+        if has_forward:
+            transp = bsdf_forward(sp, wi_local, settings.present_bsdf_types)
+            t_scalar = jnp.mean(transp, axis=-1)
+            u_fwd = rng.random_1d(seed, pixel, sample_idx,
+                                  dim_base + rng.BounceDims.FORWARD)
+            take_forward = active & (u_fwd < t_scalar)
+            fwd_weight = transp / jnp.maximum(t_scalar, 1e-20)[..., None]
+        else:
+            take_forward = jnp.zeros_like(active)
+            fwd_weight = None
+        shade = active & ~take_forward
+
         # ---- NEE ----
         if settings.enable_light_sampling and settings.num_lights > 0:
             nee = _nee(scene, settings, sp, info, wi_local, (tan, bit, ns),
                        seed, pixel, sample_idx, dim_base)
-            do_nee = active & (bounce < settings.max_bounces - 1)
+            do_nee = shade & (bounce < settings.max_bounces - 1)
             emission = emission + jnp.where(
                 do_nee[..., None], nee * s["throughput"], 0.0)
 
@@ -255,7 +276,7 @@ def trace_wave(scene, settings, pixel, sample_idx, seed):
         # non-samplable emissive prims: look up their emission texture const
         e_tex = scene.tex_const[jnp.clip(etex, 0, scene.tex_const.shape[0] - 1)]
         e_hit = jnp.where(samplable[..., None], e_val, e_tex)
-        take_emit = active & is_emissive & front & \
+        take_emit = shade & is_emissive & front & \
             (bounce >= settings.min_bounces) & guard
         emission = emission + jnp.where(
             take_emit[..., None], s["throughput"] * e_hit, 0.0)
@@ -265,13 +286,20 @@ def trace_wave(scene, settings, pixel, sample_idx, seed):
                            dim_base + rng.BounceDims.BSDF_LOBE)
         u1, u2 = rng.random_2d(seed, pixel, sample_idx,
                                dim_base + rng.BounceDims.BSDF_SAMPLE)
+        ul2 = rng.random_1d(seed, pixel, sample_idx,
+                            dim_base + rng.BounceDims.BSDF_LOBE2)
         wo, wt, pdf, flags = bsdf_sample(
-            sp, wi_local, ul, u1, u2, settings.present_bsdf_types)
+            sp, wi_local, ul, u1, u2, settings.present_bsdf_types,
+            u_lobe2=ul2)
         ok = ((flags & FLAG_VALID) != 0) & (jnp.max(wt, axis=-1) > 0)
         new_d = vm.to_global(tan, bit, ns, wo)
+        if has_forward:
+            new_d = vm.where3(take_forward, s["d"], new_d)
+            wt = jnp.where(take_forward[..., None], fwd_weight, wt)
+            ok = jnp.where(take_forward, jnp.max(fwd_weight, axis=-1) > 0, ok)
         throughput = jnp.where((active & ok)[..., None],
                                s["throughput"] * wt, s["throughput"])
-        was_specular = jnp.where(active, (flags & FLAG_SPECULAR) != 0,
+        was_specular = jnp.where(shade & ok, (flags & FLAG_SPECULAR) != 0,
                                  s["was_specular"])
         alive2 = active & ok
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 # Per-bounce random-dimension slots (offsets within a bounce's dim block).
 DIM_CAMERA = 0           # 4 dims reserved
 DIMS_CAMERA = 4
-DIMS_PER_BOUNCE = 16
+DIMS_PER_BOUNCE = 20
 
 
 class BounceDims:
@@ -47,6 +47,7 @@ class BounceDims:
     BSDF_LOBE2 = 11       # 1D: nested lobe decision
     ROULETTE = 12         # 1D: russian roulette
     MEDIUM = 13           # 3D: distance sampling / channel select / phase
+    FORWARD = 16          # 1D: transparency / forward-lobe passthrough
 
 
 def bounce_dim(bounce, slot):
