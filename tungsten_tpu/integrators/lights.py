@@ -51,7 +51,9 @@ def env_pdf(scene, d):
     """Solid-angle pdf of env importance sampling for direction d."""
     h, w = scene.env_cond_pdf.shape
     uv, sin_t = env_direction_to_uv(scene, d)
-    row = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    # distribution rows are image rows: row = (1 - v) * h, ref
+    # BitmapTexture::pdf (src/core/textures/BitmapTexture.cpp:452-455)
+    row = jnp.clip(((1.0 - uv[..., 1]) * h).astype(jnp.int32), 0, h - 1)
     col = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
     tex_pdf = scene.env_cond_pdf[row, col] * scene.env_marg_pdf[row] * (w * h)
     return jnp.where(

@@ -105,7 +105,7 @@ def _nee(scene, settings, sp, info, wi_local, frame, seed, pixel, sample_idx,
     u1, u2 = rng.random_2d(seed, pixel, sample_idx,
                            bounce_dim_base + rng.BounceDims.LIGHT_SAMPLE)
     u_tri = rng.random_1d(seed, pixel, sample_idx,
-                          bounce_dim_base + rng.BounceDims.LIGHT_SELECT_EXTRA)
+                          bounce_dim_base + rng.BounceDims.LIGHT_TRI)
     a = L.area_light_sample(scene, li, p, u_tri, u1, u2)
 
     if settings.has_env:
