@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Headline benchmark: forward path tracing throughput on materialtest.
+
+BASELINE.json config[0]: materialtest.json with the BSDF set reduced to
+lambert + mirror, 256x256 @ 16 spp, fixed seed.  Metric: Mrays/s/chip
+(all traced rays: primary + continuation + shadow + MIS rays), target
+>= 100 (vs_baseline = value / 100).
+
+Prints exactly one JSON line.
+"""
+import json
+import sys
+import time
+
+
+def simplified_bsdfs(bsdfs):
+    """Reduce the BSDF set to lambert + mirror per config[0]: mirror-like
+    types stay mirror, everything else becomes lambert with its albedo."""
+    mirror_types = {"mirror", "conductor", "rough_conductor"}
+    out = []
+    for b in bsdfs:
+        nb = {"name": b.get("name", ""), "albedo": b.get("albedo", 0.8)}
+        nb["type"] = "mirror" if b.get("type") in mirror_types else "lambert"
+        if isinstance(nb["albedo"], dict) and nb["albedo"].get("type") not in (
+                "checker", "constant"):
+            nb["albedo"] = 0.8
+        out.append(nb)
+    return out
+
+
+def main():
+    import numpy as np
+    from dataclasses import replace
+
+    from tungsten_tpu.scene.parse import load_scene
+    from tungsten_tpu.scene.flatten import flatten_scene
+    from tungsten_tpu.render import render
+
+    scene_path = "/root/reference/data/materialtest/materialtest.json"
+    desc = load_scene(scene_path)
+    desc.bsdfs[:] = simplified_bsdfs(desc.bsdfs)
+    flat, settings = flatten_scene(desc)
+    settings = replace(settings, width=256, height=256,
+                       seed=0xBA5EBA11, max_bounces=64)
+
+    spp = 16
+    # warmup / compile
+    render(flat, settings, spp=1, spp_chunk=1)
+    # timed run
+    img, stats = render(flat, settings, spp=spp, spp_chunk=spp,
+                        return_stats=True)
+
+    ok = bool(np.isfinite(img).all() and img.mean() > 0)
+    value = stats["mrays_per_s"] if ok else 0.0
+    print(json.dumps({
+        "metric": "materialtest_fwd_Mrays_per_s_per_chip",
+        "value": round(value, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(value / 100.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,44 @@
+"""Golden-image regression: render fixture scenes at low spp and compare
+against high-spp references rendered by the original Tungsten (stored in
+tests/goldens/).  Tolerances account for MC noise at the test spp.
+"""
+import os
+from dataclasses import replace
+
+import numpy as np
+import pytest
+
+from tungsten_tpu.io.image import _load_pfm
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+DATA = "/root/reference/data"
+
+
+def _compare(scene_path, golden_name, spp=16, mean_tol=0.04, ds_tol=0.10):
+    from tungsten_tpu.scene.flatten import load_flat_scene
+    from tungsten_tpu.render import render
+
+    scene, settings = load_flat_scene(scene_path)
+    settings = replace(settings, width=128, height=72)
+    hdr = render(scene, settings, spp=spp, spp_chunk=spp)
+    ref = _load_pfm(os.path.join(GOLDEN_DIR, golden_name))
+
+    mean_rel = np.abs(hdr.mean((0, 1)) - ref.mean((0, 1))) / ref.mean((0, 1))
+    assert mean_rel.max() < mean_tol, f"mean mismatch: {mean_rel}"
+
+    def ds(x):
+        return x.reshape(9, 8, 16, 8, 3).mean(axis=(1, 3))
+    d_rel = np.abs(ds(hdr) - ds(ref)) / (ds(ref) + 5e-2)
+    assert d_rel.mean() < ds_tol, f"downsampled mismatch: {d_rel.mean()}"
+
+
+@pytest.mark.skipif(not os.path.exists(DATA), reason="reference data absent")
+def test_cornell_box_matches_reference():
+    _compare(f"{DATA}/example-scenes/cornell-box/scene.json",
+             "cornell_128x72_512spp.pfm", spp=16)
+
+
+@pytest.mark.skipif(not os.path.exists(DATA), reason="reference data absent")
+def test_materialtest_matches_reference():
+    _compare(f"{DATA}/materialtest/materialtest.json",
+             "materialtest_128x72_512spp.pfm", spp=16)

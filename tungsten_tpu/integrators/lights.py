@@ -147,5 +147,9 @@ def area_light_direct_pdf(scene, light_idx, hit_t, d, hit_normal):
 
 
 def power_heuristic(pdf0, pdf1):
-    """(ref SampleWarp::powerHeuristic)"""
-    return pdf0 * pdf0 / jnp.maximum(pdf0 * pdf0 + pdf1 * pdf1, 1e-30)
+    """pdf0^2 / (pdf0^2 + pdf1^2) (ref SampleWarp::powerHeuristic), in
+    ratio form so huge pdfs don't overflow float32 into inf/inf = nan
+    (which would poison gradients through jnp.where branches)."""
+    ratio = pdf1 / jnp.maximum(pdf0, 1e-30)
+    ratio = jnp.minimum(ratio, 1e15)
+    return jnp.where(pdf0 > 0.0, 1.0 / (1.0 + ratio * ratio), 0.0)

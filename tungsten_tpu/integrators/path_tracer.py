@@ -85,7 +85,7 @@ def _expand_hit(scene, o, d, res):
 
 
 def _nee(scene, settings, sp, info, wi_local, frame, seed, pixel, sample_idx,
-         bounce_dim_base):
+         bounce_dim_base, detach=False):
     """Next-event estimation with both MIS strategies toward one chosen
     light; returns (R,3) contribution (excluding throughput)."""
     t, b, n = frame
@@ -127,6 +127,8 @@ def _nee(scene, settings, sp, info, wi_local, frame, seed, pixel, sample_idx,
     shadow_o = p + d * EPSILON
     far = jnp.where(dist >= INF, INF, dist * SHADOW_FUDGE)
     occ = occluded(scene, shadow_o, d, 0.0, far)
+    if detach:
+        occ = jax.lax.stop_gradient(occ)
     vis = do_shadow & ~occ
 
     mis_l = L.power_heuristic(
@@ -150,6 +152,8 @@ def _nee(scene, settings, sp, info, wi_local, frame, seed, pixel, sample_idx,
     ok_b = ((flags_b & FLAG_VALID) != 0) & (jnp.max(wt_b, axis=-1) > 0)
 
     res_b = bvh_intersect(scene, p + wd * EPSILON, wd, 0.0, INF)
+    if detach:
+        res_b = _detach(res_b)
     hit_prim = jnp.where(
         res_b["tri"] >= 0,
         scene.tri_prim[jnp.clip(res_b["tri"], 0, scene.tri_v0.shape[0] - 1)],
@@ -159,11 +163,14 @@ def _nee(scene, settings, sp, info, wi_local, frame, seed, pixel, sample_idx,
             jnp.clip(res_b["sph"], 0, scene.sph_prim.shape[0] - 1)]
         hit_prim = jnp.where(res_b["sph"] >= 0, sprim, hit_prim)
 
-    # area light: first hit must be the chosen light, front side
+    # area light: first hit must be the chosen light, front side.
+    # (hit_t sanitized: misses carry t=INF whose square is inf and would
+    # poison gradients through the untaken where-branch)
     tri_b = jnp.clip(res_b["tri"], 0, scene.tri_v0.shape[0] - 1)
     nb = jnp.cross(scene.tri_e1[tri_b], scene.tri_e2[tri_b])
     nb = nb / jnp.maximum(jnp.linalg.norm(nb, axis=-1, keepdims=True), 1e-20)
-    lpdf_area = L.area_light_direct_pdf(scene, li, res_b["t"], wd, nb)
+    hit_t = jnp.where(res_b["hit"], res_b["t"], 1.0)
+    lpdf_area = L.area_light_direct_pdf(scene, li, hit_t, wd, nb)
     front = jnp.sum(wd * nb, axis=-1) < 0.0
     hit_light_area = (ltype == LIGHT_AREA) & res_b["hit"] & \
         (hit_prim == scene.light_prim[li]) & front
@@ -186,15 +193,17 @@ def _nee(scene, settings, sp, info, wi_local, frame, seed, pixel, sample_idx,
     return (contrib_l + contrib_b) * sel_weight
 
 
-def trace_wave(scene, settings, pixel, sample_idx, seed):
-    """Trace one radiance sample per entry; pixel/sample_idx (R,) int32.
-    Returns radiance (R,3)."""
+def _detach(tree):
+    return jax.tree.map(jax.lax.stop_gradient, tree)
+
+
+def _init_state(scene, settings, pixel, sample_idx, seed, detach):
     R = pixel.shape[0]
     o, d = generate_rays(scene, settings, pixel, sample_idx, seed)
-
     res = bvh_intersect(scene, o, d, 0.0, INF)
-
-    state = dict(
+    if detach:
+        res = _detach(res)
+    return dict(
         o=o, d=d,
         t=res["t"], tri=res["tri"], sph=res["sph"],
         u=res["u"], v=res["v"], hit=res["hit"],
@@ -203,10 +212,17 @@ def trace_wave(scene, settings, pixel, sample_idx, seed):
         was_specular=jnp.ones((R,), bool),
         alive=jnp.ones((R,), bool),
         bounce=jnp.int32(0),
+        rays=jnp.int32(R),  # primary rays already traced
     )
 
-    def cond(s):
-        return (s["bounce"] < settings.max_bounces) & jnp.any(s["alive"])
+
+def _make_bounce_body(scene, settings, pixel, sample_idx, seed,
+                      detach: bool = False):
+    """The per-bounce wavefront step, shared by the while_loop forward
+    path and the bounded-depth differentiable path.  With detach=True all
+    intersection results are stop-gradient'ed (detached sampling —
+    interior derivatives only, as in path-replay differentiable
+    rendering; geometry/silhouette terms are out of scope)."""
 
     def body(s):
         bounce = s["bounce"]
@@ -258,7 +274,7 @@ def trace_wave(scene, settings, pixel, sample_idx, seed):
         # ---- NEE ----
         if settings.enable_light_sampling and settings.num_lights > 0:
             nee = _nee(scene, settings, sp, info, wi_local, (tan, bit, ns),
-                       seed, pixel, sample_idx, dim_base)
+                       seed, pixel, sample_idx, dim_base, detach=detach)
             do_nee = shade & (bounce < settings.max_bounces - 1)
             emission = emission + jnp.where(
                 do_nee[..., None], nee * s["throughput"], 0.0)
@@ -321,6 +337,15 @@ def trace_wave(scene, settings, pixel, sample_idx, seed):
         d2 = vm.where3(alive2, new_d, s["d"])
         res = bvh_intersect(scene, o2, d2, 0.0,
                             jnp.where(alive2, INF, 0.0))
+        if detach:
+            res = _detach(res)
+
+        # ray accounting: continuation + (shadow + bsdf-MIS when NEE ran)
+        rays = s["rays"] + jnp.sum(alive2.astype(jnp.int32))
+        if settings.enable_light_sampling and settings.num_lights > 0:
+            nee_rays = jnp.sum((shade & (bounce < settings.max_bounces - 1))
+                               .astype(jnp.int32))
+            rays = rays + 2 * nee_rays
 
         return dict(
             o=o2, d=d2,
@@ -331,10 +356,38 @@ def trace_wave(scene, settings, pixel, sample_idx, seed):
             was_specular=was_specular,
             alive=alive2,
             bounce=bounce + 1,
+            rays=rays,
         )
+
+    return body
+
+
+def trace_wave(scene, settings, pixel, sample_idx, seed, with_stats=False):
+    """Trace one radiance sample per entry; pixel/sample_idx (R,) int32.
+    Returns radiance (R,3), or (radiance, rays_traced) with stats."""
+    state = _init_state(scene, settings, pixel, sample_idx, seed, False)
+    body = _make_bounce_body(scene, settings, pixel, sample_idx, seed)
+
+    def cond(s):
+        return (s["bounce"] < settings.max_bounces) & jnp.any(s["alive"])
 
     final = jax.lax.while_loop(cond, body, state)
     # Escapes are credited at the top of the body; rays whose final
     # intersect happened at bounce == max_bounces fall outside the
     # reference's `bounce < maxBounces` env guard, so nothing to add here.
+    if with_stats:
+        return final["emission"], final["rays"]
+    return final["emission"]
+
+
+def trace_wave_diff(scene, settings, pixel, sample_idx, seed):
+    """Differentiable radiance estimate: same estimator, but a static
+    bounce count (lax.fori_loop, reverse-differentiable) and detached
+    intersections/sampling decisions, so gradients flow through the
+    shading chain (albedo/emission/roughness/ior/textures) only."""
+    state = _init_state(scene, settings, pixel, sample_idx, seed, True)
+    body = _make_bounce_body(scene, settings, pixel, sample_idx, seed,
+                             detach=True)
+    final = jax.lax.fori_loop(0, settings.max_bounces,
+                              lambda i, s: body(s), state)
     return final["emission"]

@@ -1,0 +1,108 @@
+"""Multi-chip rendering: pixels x spp data-parallel over a jax Mesh.
+
+The reference's parallelism is tile data-parallelism on a thread pool
+(ref: src/core/integrators/path_tracer/PathTraceIntegrator.cpp:27-42,
+220-239) plus manual multi-machine seed-splitting merged by
+`hdrmanip --merge`.  The TPU-native design shards the pixel wavefront
+across chips with shard_map: the flattened scene is replicated, each
+device traces its pixel shard, and per-device framebuffer partials need
+no collective until the final gather (tiles own disjoint pixels, exactly
+like the reference's tile ownership).  Determinism: the RNG is keyed on
+(pixel, sample), so any mesh shape produces bitwise-identical samples.
+
+The differentiable path psums parameter gradients across the mesh — the
+DP-gradient pattern from BASELINE.json's north star.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+from tungsten_tpu.integrators.path_tracer import trace_wave, trace_wave_diff
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def render_pass_sharded(scene, settings, mesh: Mesh, sample_start=0, seed=0,
+                        spp_chunk: int = 1, axis: str = "dp"):
+    """Render spp_chunk samples for every pixel, pixels sharded over the
+    mesh; returns ((H, W, 3) radiance sum, total rays traced)."""
+    w, h = settings.width, settings.height
+    n = w * h
+    ndev = mesh.devices.size
+    pad = (-n) % ndev
+    pixels = jnp.arange(n + pad, dtype=jnp.uint32)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis),),
+        out_specs=(P(axis), P()),
+        check_vma=False,
+    )
+    def shard_fn(pixel_shard):
+        acc = jnp.zeros(pixel_shard.shape + (3,))
+        rays = jnp.int32(0)
+
+        def body(i, carry):
+            acc, rays = carry
+            rad, r = trace_wave(
+                scene, settings, pixel_shard,
+                jnp.full(pixel_shard.shape, sample_start + i, jnp.uint32),
+                jnp.uint32(seed), with_stats=True)
+            rad = jnp.where(jnp.isfinite(rad), rad, 0.0)
+            return acc + rad, rays + r
+
+        acc, rays = jax.lax.fori_loop(0, spp_chunk, body, (acc, rays))
+        # rays: reduce across devices so callers see the global count
+        return acc, jax.lax.psum(rays, axis)
+
+    acc, rays = jax.jit(shard_fn)(pixels)
+    return acc[:n].reshape(h, w, 3), rays
+
+
+def train_step_sharded(scene, settings, mesh: Mesh, param_fn, loss_fn,
+                       params, sample_start=0, seed=0, axis: str = "dp"):
+    """One differentiable render step: pixels sharded over the mesh,
+    parameter gradients psum-all-reduced (the DP gradient path).
+
+    param_fn(scene, params) -> scene with params substituted in
+    loss_fn(image (N,3) shard, pixel_idx) -> scalar partial loss
+    Returns (loss, grads) with grads replicated across devices.
+    """
+    w, h = settings.width, settings.height
+    n = w * h
+    ndev = mesh.devices.size
+    pad = (-n) % ndev
+    pixels = jnp.arange(n + pad, dtype=jnp.uint32)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def shard_fn(pixel_shard, params):
+        def local_loss(params):
+            sc = param_fn(scene, params)
+            rad = trace_wave_diff(
+                sc, settings, pixel_shard,
+                jnp.full(pixel_shard.shape, sample_start, jnp.uint32),
+                jnp.uint32(seed))
+            return loss_fn(rad, pixel_shard)
+
+        loss, grads = jax.value_and_grad(local_loss)(params)
+        loss = jax.lax.psum(loss, axis)
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, axis), grads)
+        return loss, grads
+
+    return jax.jit(shard_fn)(pixels, params)

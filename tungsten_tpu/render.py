@@ -20,42 +20,55 @@ from tungsten_tpu.scene.flatten import FlatScene, RenderSettings, load_flat_scen
 @functools.partial(jax.jit, static_argnames=("settings", "spp_chunk"))
 def render_pass(scene: FlatScene, settings: RenderSettings, sample_start,
                 seed, spp_chunk: int = 1):
-    """Render spp_chunk samples for every pixel; returns (H, W, 3) sum."""
+    """Render spp_chunk samples per pixel; returns ((H, W, 3) sum, rays)."""
     w, h = settings.width, settings.height
     n = w * h
     pixel = jnp.arange(n, dtype=jnp.uint32)
     acc = jnp.zeros((n, 3))
 
-    def body(i, acc):
-        rad = trace_wave(scene, settings, pixel,
-                         jnp.full((n,), sample_start + i, jnp.uint32),
-                         jnp.uint32(seed))
+    def body(i, carry):
+        acc, rays = carry
+        rad, r = trace_wave(scene, settings, pixel,
+                            jnp.full((n,), sample_start + i, jnp.uint32),
+                            jnp.uint32(seed), with_stats=True)
         # NaN guard (ref PathTracer returns diagnostic colors on NaN)
         rad = jnp.where(jnp.isfinite(rad), rad, 0.0)
-        return acc + rad
+        return acc + rad, rays + r
 
-    acc = jax.lax.fori_loop(0, spp_chunk, body, acc)
-    return acc.reshape(h, w, 3)
+    acc, rays = jax.lax.fori_loop(0, spp_chunk, body, (acc, jnp.int64(0) if
+                                  jax.config.jax_enable_x64 else jnp.int32(0)))
+    return acc.reshape(h, w, 3), rays
 
 
 def render(scene: FlatScene, settings: RenderSettings, spp: int | None = None,
-           seed: int | None = None, spp_chunk: int = 1, verbose: bool = False):
+           seed: int | None = None, spp_chunk: int = 1, verbose: bool = False,
+           return_stats: bool = False):
     """Render `spp` samples per pixel; returns linear HDR (H, W, 3) numpy."""
     spp = spp if spp is not None else settings.spp
     seed = seed if seed is not None else settings.seed
     acc = None
     done = 0
+    total_rays = 0
+    elapsed = 0.0
     while done < spp:
         chunk = min(spp_chunk, spp - done)
         t0 = time.time()
-        out = render_pass(scene, settings, np.uint32(done), np.uint32(seed),
-                          spp_chunk=chunk)
+        out, rays = render_pass(scene, settings, np.uint32(done),
+                                np.uint32(seed), spp_chunk=chunk)
         out.block_until_ready()
+        dt = time.time() - t0
+        elapsed += dt
+        total_rays += int(rays)
         acc = out if acc is None else acc + out
         done += chunk
         if verbose:
-            print(f"spp {done}/{spp}  ({time.time() - t0:.2f}s)")
-    return np.asarray(acc) / spp
+            print(f"spp {done}/{spp}  ({dt:.2f}s, "
+                  f"{int(rays) / dt / 1e6:.1f} Mrays/s)")
+    img = np.asarray(acc) / spp
+    if return_stats:
+        return img, {"rays": total_rays, "time": elapsed,
+                     "mrays_per_s": total_rays / max(elapsed, 1e-9) / 1e6}
+    return img
 
 
 def render_file(scene_path, output=None, spp=None, resolution=None,
