@@ -29,6 +29,8 @@ def simplified_bsdfs(bsdfs):
 
 
 def main():
+    from tungsten_tpu.utils import jaxcfg
+    jaxcfg.setup()
     import numpy as np
     from dataclasses import replace
 
@@ -44,8 +46,8 @@ def main():
                        seed=0xBA5EBA11, max_bounces=64)
 
     spp = 16
-    # warmup / compile
-    render(flat, settings, spp=1, spp_chunk=1)
+    # warmup / compile (same program shape as the timed run)
+    render(flat, settings, spp=spp, spp_chunk=spp)
     # timed run
     img, stats = render(flat, settings, spp=spp, spp_chunk=spp,
                         return_stats=True)

@@ -1,0 +1,149 @@
+"""`tungsten`-equivalent CLI renderer.
+
+Mirrors the reference CLI (ref: src/tungsten/tungsten.cpp:6-23,
+src/tungsten/Shared.hpp:134-145): scene queue, spp/seed/output overrides,
+spp-step rounds with checkpointing, resume support.
+
+Usage:  python -m tungsten_tpu.cli [options] scene1.json [scene2.json ...]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from dataclasses import replace
+
+
+def parse_duration(s: str) -> float:
+    """'1h30m', '15m', '90s', '0' -> seconds (ref StringUtils::parseDuration)."""
+    s = str(s).strip()
+    if not s or s == "0":
+        return 0.0
+    total = 0.0
+    num = ""
+    for ch in s:
+        if ch.isdigit() or ch == ".":
+            num += ch
+        elif ch in "hms" and num:
+            total += float(num) * {"h": 3600, "m": 60, "s": 1}[ch]
+            num = ""
+    if num:
+        total += float(num)
+    return total
+
+
+def render_scene(path, args):
+    import numpy as np
+    import jax.numpy as jnp
+    from tungsten_tpu.scene.flatten import load_flat_scene
+    from tungsten_tpu.render import render_pass
+    from tungsten_tpu.cameras.camera import tonemap
+    from tungsten_tpu.io import image as im
+    from tungsten_tpu.integrators.checkpoint import (
+        save_resume_state, load_resume_state, scene_hash)
+
+    print(f"Loading scene {path}")
+    scene, settings = load_flat_scene(path)
+    if args.spp:
+        settings = replace(settings, spp=args.spp)
+    if args.seed is not None:
+        settings = replace(settings, seed=args.seed)
+
+    with open(path) as f:
+        sjson = json.load(f)
+    rjson = sjson.get("renderer", {})
+    out_dir = args.output_directory or os.path.dirname(path)
+    output_file = args.output_file or rjson.get("output_file",
+                                                "TungstenRender.png")
+    hdr_output = args.hdr_output_file or rjson.get("hdr_output_file")
+    resume_file = os.path.join(
+        out_dir, rjson.get("resume_render_file", "TungstenRenderState.dat"))
+    enable_resume = bool(rjson.get("enable_resume_render", False))
+    checkpoint_s = parse_duration(args.checkpoint or
+                                  rjson.get("checkpoint_interval", "0"))
+    timeout_s = parse_duration(args.timeout or rjson.get("timeout", "0"))
+
+    shash = scene_hash(sjson)
+    acc = np.zeros((settings.height, settings.width, 3))
+    start_spp = 0
+    if enable_resume and not args.restart and os.path.exists(resume_file):
+        st = load_resume_state(resume_file, shash)
+        if st is not None:
+            acc, start_spp = st["framebuffer"], st["current_spp"]
+            print(f"Resuming render from {resume_file} at {start_spp} spp")
+
+    spp = settings.spp
+    step = max(1, settings.spp_step)
+    t_start = time.time()
+    t_checkpoint = time.time()
+    done = start_spp
+    while done < spp:
+        chunk = min(step, spp - done)
+        t0 = time.time()
+        out, rays = render_pass(scene, settings, np.uint32(done),
+                                np.uint32(settings.seed), spp_chunk=chunk)
+        out.block_until_ready()
+        acc += np.asarray(out)
+        done += chunk
+        dt = time.time() - t0
+        print(f"Completed {done}/{spp} spp "
+              f"({dt:.2f}s, {int(rays)/dt/1e6:.1f} Mrays/s)")
+        if checkpoint_s and time.time() - t_checkpoint > checkpoint_s:
+            save_resume_state(resume_file, shash, acc, done)
+            _write_outputs(acc / done, settings, out_dir,
+                           output_file, hdr_output, suffix="_checkpoint")
+            t_checkpoint = time.time()
+        if timeout_s and time.time() - t_start > timeout_s:
+            print("Timeout reached")
+            break
+
+    if enable_resume:
+        save_resume_state(resume_file, shash, acc, done)
+    _write_outputs(acc / max(done, 1), settings, out_dir,
+                   output_file, hdr_output)
+    print(f"Finished render. Render time {time.time() - t_start:.1f}s")
+
+
+def _write_outputs(hdr, settings, out_dir, output_file, hdr_output,
+                   suffix=""):
+    import numpy as np
+    import jax.numpy as jnp
+    from tungsten_tpu.cameras.camera import tonemap
+    from tungsten_tpu.io import image as im
+
+    def with_suffix(name):
+        base, ext = os.path.splitext(name)
+        return os.path.join(out_dir, base + suffix + ext)
+
+    ldr = np.clip(np.asarray(tonemap(settings.tonemap, jnp.asarray(hdr))), 0, 1)
+    im.save_ldr(with_suffix(output_file), ldr)
+    if hdr_output:
+        im.save_hdr(with_suffix(hdr_output), hdr)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="tungsten_tpu")
+    p.add_argument("scenes", nargs="+")
+    p.add_argument("-r", "--restart", action="store_true",
+                   help="ignore resume state, start from 0 spp")
+    p.add_argument("-c", "--checkpoint", default=None,
+                   help="checkpoint interval (duration string)")
+    p.add_argument("-d", "--output-directory", default=None)
+    p.add_argument("--spp", type=int, default=None)
+    p.add_argument("--timeout", default=None)
+    p.add_argument("-s", "--seed", type=int, default=None)
+    p.add_argument("-o", "--output-file", default=None)
+    p.add_argument("-e", "--hdr-output-file", default=None)
+    args = p.parse_args(argv)
+
+    for scene_path in args.scenes:
+        try:
+            render_scene(scene_path, args)
+        except Exception as e:  # keep the queue going, like the reference
+            print(f"Render of {scene_path} failed: {e}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

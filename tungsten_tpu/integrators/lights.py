@@ -104,7 +104,8 @@ def area_light_sample(scene, light_idx, p, u_tri, u1, u2):
     cdf = scene.light_cdf[light_idx]            # (R, M+1)
     k = jnp.clip(jax_searchsorted_rows(cdf, u_tri) - 1, 0,
                  scene.light_tris.shape[1] - 1)
-    tri = jnp.take_along_axis(scene.light_tris, k[..., None], axis=-1)[..., 0]
+    tri = jnp.take_along_axis(scene.light_tris[light_idx], k[..., None],
+                              axis=-1)[..., 0]
     tri_c = jnp.clip(tri, 0, scene.tri_v0.shape[0] - 1)
 
     # uniform point in triangle (ref SampleWarp::uniformTriangleUv)

@@ -1,16 +1,16 @@
 """Wavefront path tracer: the TPU-native counterpart of the reference's
 recursive per-ray hot loop (ref: src/core/integrators/path_tracer/
-PathTracer.cpp:14-149 and TraceBase.cpp:246-568).
+PathTracer.cpp:14-149 and TraceBase.cpp:62-568).
 
 Design: SoA ray/path state over the whole wavefront; a lax.while_loop
 over bounces; per bounce one closest-hit traversal for the continuation
-ray plus (when NEE is on) one occlusion traversal for the light-strategy
-shadow ray and one closest-hit for the independent bsdf-strategy MIS ray
-— the same three traversals per bounce the reference performs.
+ray plus (when NEE is on) shadow traversals for the light-strategy ray
+and the independent bsdf/phase-strategy MIS ray — the same per-bounce
+ray census as the reference.
 
 Estimator parity notes (each mirrors a reference guard):
-  * NEE runs at every non-specular-capable surface while
-    bounce < max_bounces - 1 (TraceBase::handleSurface).
+  * NEE runs at every shading vertex (surface or medium) while
+    bounce < max_bounces - 1 (TraceBase::handleSurface/handleVolume).
   * Direct emitter hits count only when light sampling is off, the
     previous vertex was specular, or the light is not samplable
     (TraceBase.cpp:540-543) — the bsdf-strategy contribution is
@@ -18,6 +18,10 @@ Estimator parity notes (each mirrors a reference guard):
     (TraceBase::bsdfSample, which re-samples the BSDF).
   * Escaped rays collect the environment with the same guard plus
     min_bounces <= bounce < max_bounces (PathTracer.cpp:128-129).
+  * Media: homogeneous distance sampling with spectral channel MIS and
+    pluggable transmittance laws (HomogeneousMedium.cpp:65-108); shadow
+    rays walk through forward-lobe surfaces and accumulate medium
+    transmittance (TraceBase::generalizedShadowRay, :62-142).
   * Russian roulette after bounce 2 at max|throughput| < 0.1
     (PathTracer.cpp:111-117).
 """
@@ -26,12 +30,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from tungsten_tpu.bsdf import types as bt
 from tungsten_tpu.bsdf.eval import (
     FLAG_SPECULAR, FLAG_VALID, NESTED_TYPES, ShadePoint,
     bsdf_eval, bsdf_forward, bsdf_pdf, bsdf_sample)
-from tungsten_tpu.bsdf import types as bt
 from tungsten_tpu.cameras.camera import generate_rays
 from tungsten_tpu.integrators import lights as L
+from tungsten_tpu.media import phase as PH
+from tungsten_tpu.media import transmittance as TR
 from tungsten_tpu.ops.intersect import bvh_intersect, occluded
 from tungsten_tpu.scene.flatten import LIGHT_AREA, LIGHT_INFINITE
 from tungsten_tpu.utils import rng
@@ -40,66 +46,215 @@ from tungsten_tpu.utils import vecmath as vm
 INF = jnp.float32(3.0e38)
 EPSILON = 5e-4  # ray-offset epsilon (ref TraceableScene.hpp:39 DefaultEpsilon)
 SHADOW_FUDGE = 1.0 - 1e-3
+MAX_SHADOW_HOPS = 8  # forward-surface crossings a shadow ray may pass
 
 
-def _expand_hit(scene, o, d, res):
-    """IntersectionInfo expansion: position, normals, uv, prim, bsdf."""
-    t = res["t"]
-    p = o + d * t[..., None]
+def _detach(tree):
+    return jax.tree.map(jax.lax.stop_gradient, tree)
+
+
+def _has_forward_types(settings):
+    return any(t in settings.present_bsdf_types
+               for t in (bt.FORWARD, bt.TRANSPARENCY, bt.THINSHEET))
+
+
+# ---------------------------------------------------------------- media
+
+def _medium_tr(scene, med, seg_len, start_surf, end_surf):
+    """Transmittance of `seg_len` through medium index `med` (-1 = vacuum).
+    Infinite segments through a medium transmit 0 (ref
+    HomogeneousMedium::transmittance)."""
+    m = jnp.clip(med, 0, scene.med_sigma_a.shape[0] - 1)
+    sigma_t = scene.med_sigma_a[m] + scene.med_sigma_s[m]
+    tau = sigma_t * seg_len[..., None]
+    tr = TR.eval_tr(scene.med_trans_type[m], tau, scene.med_trans_params[m],
+                    start_surf, end_surf)
+    tr = jnp.where((seg_len >= INF)[..., None], 0.0, tr)
+    return jnp.where((med >= 0)[..., None], tr, 1.0)
+
+
+def _hit_prim(scene, res):
+    """Primitive id of a hit (-1 on miss)."""
+    prim = jnp.where(
+        res["tri"] >= 0,
+        scene.tri_prim[jnp.clip(res["tri"], 0, scene.tri_v0.shape[0] - 1)],
+        -1)
+    if scene.sph_prim.shape[0] > 0:
+        sprim = scene.sph_prim[
+            jnp.clip(res["sph"], 0, scene.sph_prim.shape[0] - 1)]
+        prim = jnp.where(res["sph"] >= 0, sprim, prim)
+    return prim
+
+
+def _hit_uv_bsdf(scene, res):
+    """Minimal hit expansion for shadow rays: uv + bsdf + prim + backside."""
     tri = jnp.clip(res["tri"], 0, scene.tri_v0.shape[0] - 1)
     u = res["u"][..., None]
     v = res["v"][..., None]
-
-    e1 = scene.tri_e1[tri]
-    e2 = scene.tri_e2[tri]
-    ng_tri = jnp.cross(e1, e2)
-    ng_tri = ng_tri / jnp.maximum(
-        jnp.linalg.norm(ng_tri, axis=-1, keepdims=True), 1e-20)
     w = 1.0 - u - v
-    ns_tri = scene.tri_n0[tri] * w + scene.tri_n1[tri] * u + scene.tri_n2[tri] * v
-    ns_len = jnp.linalg.norm(ns_tri, axis=-1, keepdims=True)
-    ns_tri = jnp.where(ns_len > 1e-6, ns_tri / jnp.maximum(ns_len, 1e-20), ng_tri)
-    uv_tri = (scene.tri_uv0[tri] * w + scene.tri_uv1[tri] * u
-              + scene.tri_uv2[tri] * v)
-    prim_tri = scene.tri_prim[tri]
-
-    is_sph = res["sph"] >= 0
-    if scene.sph_radius.shape[0] > 0:
-        si = jnp.clip(res["sph"], 0, scene.sph_radius.shape[0] - 1)
-        c = scene.sph_center[si]
-        ng_s = (p - c) / jnp.maximum(scene.sph_radius[si][..., None], 1e-20)
-        ng = vm.where3(is_sph, ng_s, ng_tri)
-        ns = vm.where3(is_sph, ng_s, ns_tri)
-        prim = jnp.where(is_sph, scene.sph_prim[si], prim_tri)
-        # spherical uv
-        phi = jnp.arctan2(ng_s[..., 2], ng_s[..., 0]) * vm.INV_TWO_PI + 0.5
-        theta = jnp.arccos(jnp.clip(-ng_s[..., 1], -1, 1)) * vm.INV_PI
-        uv = jnp.where(is_sph[..., None],
-                       jnp.stack([phi, theta], -1), uv_tri)
-    else:
-        ng, ns, prim, uv = ng_tri, ns_tri, prim_tri, uv_tri
-
+    uv = (scene.tri_uv0[tri] * w + scene.tri_uv1[tri] * u
+          + scene.tri_uv2[tri] * v)
+    prim = scene.tri_prim[tri]
+    if scene.sph_prim.shape[0] > 0:
+        si = jnp.clip(res["sph"], 0, scene.sph_prim.shape[0] - 1)
+        prim = jnp.where(res["sph"] >= 0, scene.sph_prim[si], prim)
     prim = jnp.clip(prim, 0, scene.prim_bsdf.shape[0] - 1)
-    return dict(p=p, ng=ng, ns=ns, uv=uv, prim=prim,
-                bsdf=scene.prim_bsdf[prim])
+    return uv, scene.prim_bsdf[prim], prim
 
 
-def _nee(scene, settings, sp, info, wi_local, frame, seed, pixel, sample_idx,
-         bounce_dim_base, detach=False):
+def _select_medium(scene, prim, cur_med, geometric_backside):
+    """ref Primitive::selectMedium (Primitive.hpp:177-183)."""
+    im = scene.prim_int_medium[prim]
+    em = scene.prim_ext_medium[prim]
+    overrides = (im >= 0) | (em >= 0)
+    return jnp.where(overrides, jnp.where(geometric_backside, im, em),
+                     cur_med)
+
+
+def _shadow_transmittance(scene, settings, o, d, dist, medium,
+                          starts_on_surface, detach=False, endcap_prim=None):
+    """Generalized shadow ray (ref TraceBase::generalizedShadowRay):
+    walks through forward-lobe surfaces, accumulating their transparency
+    and the transmittance of each medium segment.  Returns (R,3).
+
+    endcap_prim (R,) excludes the target light primitive from occlusion,
+    like the reference's endCap — vital when the light is closer than the
+    ray-offset epsilon allows the fudged far clip to exclude."""
+    simple = not settings.has_media and not _has_forward_types(settings)
+    if simple:
+        far = jnp.where(dist >= INF, INF, dist * SHADOW_FUDGE)
+        if endcap_prim is None:
+            occ = occluded(scene, o, d, 0.0, far)
+        else:
+            res = bvh_intersect(scene, o, d, 0.0, far)
+            hp = _hit_prim(scene, res)
+            occ = res["hit"] & (hp != endcap_prim)
+        if detach:
+            occ = jax.lax.stop_gradient(occ)
+        return jnp.where(occ[..., None], 0.0, 1.0)
+
+    R = o.shape[0]
+    state = dict(
+        o=o,
+        remaining=jnp.where(dist >= INF, INF, dist * SHADOW_FUDGE),
+        med=medium,
+        tr=jnp.ones((R, 3)),
+        start_surf=starts_on_surface,
+        active=jnp.ones((R,), bool),
+        hops=jnp.int32(0),
+    )
+
+    def cond(s):
+        return (s["hops"] < MAX_SHADOW_HOPS) & jnp.any(s["active"])
+
+    def body(s):
+        res = bvh_intersect(scene, s["o"], d, EPSILON,
+                            jnp.where(s["active"], s["remaining"], 0.0))
+        if detach:
+            res = _detach(res)
+        did_hit = res["hit"] & s["active"]
+        if endcap_prim is not None:
+            # reaching the target light ends the walk successfully; the
+            # medium segment still runs to the light's surface
+            reached_cap = did_hit & (_hit_prim(scene, res) == endcap_prim)
+            did_hit = did_hit & ~reached_cap
+        seg = jnp.where(did_hit, res["t"],
+                        jnp.where(res["hit"] & s["active"], res["t"],
+                                  s["remaining"]))
+
+        tr = s["tr"]
+        if settings.has_media:
+            end_surf = did_hit | jnp.ones_like(did_hit)  # light end = surface
+            seg_tr = _medium_tr(scene, s["med"], seg, s["start_surf"],
+                                end_surf)
+            tr = tr * jnp.where(s["active"][..., None], seg_tr, 1.0)
+
+        # surface crossing: must be a forward-lobe surface
+        uv, bsdf_idx, prim = _hit_uv_bsdf(scene, res)
+        if _has_forward_types(settings):
+            sp = ShadePoint(scene, bsdf_idx, uv)
+            # forward transparency is wi-dependent only for thinsheet
+            tri = jnp.clip(res["tri"], 0, scene.tri_v0.shape[0] - 1)
+            ng = jnp.cross(scene.tri_e1[tri], scene.tri_e2[tri])
+            ng = ng / jnp.maximum(
+                jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
+            cosd = jnp.abs(jnp.sum(d * ng, axis=-1))
+            wi_proxy = jnp.stack(
+                [jnp.sqrt(jnp.maximum(1 - cosd ** 2, 0.0)),
+                 jnp.zeros_like(cosd), cosd], axis=-1)
+            transp = bsdf_forward(sp, wi_proxy, settings.present_bsdf_types)
+        else:
+            transp = jnp.zeros((R, 3))
+        passes = jnp.max(transp, axis=-1) > 0.0
+        blocked = did_hit & ~passes
+        tr = jnp.where(blocked[..., None], 0.0, tr)
+        tr = tr * jnp.where(did_hit[..., None] & passes[..., None],
+                            transp, 1.0)
+
+        # medium handoff at the crossing
+        if settings.has_media:
+            tri = jnp.clip(res["tri"], 0, scene.tri_v0.shape[0] - 1)
+            ng = jnp.cross(scene.tri_e1[tri], scene.tri_e2[tri])
+            backside = jnp.sum(d * ng, axis=-1) > 0.0
+            # continuing through: entering if we hit the front face
+            new_med = _select_medium(scene, prim, s["med"], ~backside)
+            med = jnp.where(did_hit & passes, new_med, s["med"])
+        else:
+            med = s["med"]
+
+        o2 = jnp.where(did_hit[..., None], s["o"] + d * res["t"][..., None],
+                       s["o"])
+        remaining = jnp.where(did_hit, s["remaining"] - res["t"],
+                              s["remaining"])
+        active = s["active"] & did_hit & passes & (remaining > EPSILON)
+        return dict(o=o2, remaining=remaining, med=med, tr=tr,
+                    start_surf=jnp.where(did_hit, True, s["start_surf"]),
+                    active=active, hops=s["hops"] + 1)
+
+    final = jax.lax.while_loop(cond, body, state)
+    # rays that ran out of hops while still active are conservatively blocked
+    return jnp.where(final["active"][..., None], 0.0, final["tr"])
+
+
+# ----------------------------------------------------------------- NEE
+
+def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
+         detach=False):
     """Next-event estimation with both MIS strategies toward one chosen
-    light; returns (R,3) contribution (excluding throughput)."""
-    t, b, n = frame
-    p = info["p"]
+    light, at surface vertices (bsdf) or medium vertices (phase).
+    ctx: p, is_volume, sp/frame/wi_local (surface), ray_d/phase params
+    (volume), medium (for shadow transmittance).
+    Returns (R,3) contribution (excluding path throughput)."""
+    p = ctx["p"]
     R = p.shape[0]
     nl = settings.num_lights
     if nl == 0:
         return jnp.zeros((R, 3))
+    is_vol = ctx["is_volume"]
+    sp = ctx["sp"]
+    wi_local = ctx["wi_local"]
+    t, b, n = ctx["frame"]
 
     u_sel = rng.random_1d(seed, pixel, sample_idx,
                           bounce_dim_base + rng.BounceDims.LIGHT_SELECT)
     li = jnp.minimum((u_sel * nl).astype(jnp.int32), nl - 1)
     sel_weight = jnp.float32(nl)
     ltype = scene.light_type[li]
+
+    def eval_f_pdf(d_world):
+        """(f (R,3) with cos folded in, pdf (R,)) of the scatter function
+        at this vertex toward d_world — bsdf for surfaces, phase for
+        medium vertices."""
+        wo_local = vm.to_local(t, b, n, d_world)
+        f_s = bsdf_eval(sp, wi_local, wo_local, settings.present_bsdf_types)
+        p_s = bsdf_pdf(sp, wi_local, wo_local, settings.present_bsdf_types)
+        if settings.has_media:
+            pe = PH.phase_eval(ctx["phase_type"], ctx["phase_g"],
+                               ctx["ray_d"], d_world)
+            f = jnp.where(is_vol[..., None], pe[..., None], f_s)
+            pdf = jnp.where(is_vol, pe, p_s)
+            return f, pdf
+        return f_s, p_s
 
     # ---------------- light strategy ----------------
     u1, u2 = rng.random_2d(seed, pixel, sample_idx,
@@ -120,25 +275,22 @@ def _nee(scene, settings, sp, info, wi_local, frame, seed, pixel, sample_idx,
         d, dist, pdf, emis, valid = (
             a["d"], a["dist"], a["pdf"], a["emission"], a["valid"])
 
-    wo_local = vm.to_local(t, b, n, d)
-    f = bsdf_eval(sp, wi_local, wo_local, settings.present_bsdf_types)
+    f, _ = eval_f_pdf(d)
+    _, pdf_counter = eval_f_pdf(d)
     do_shadow = valid & (jnp.max(f, axis=-1) > 0.0) & (pdf > 1e-20)
 
+    endcap = jnp.where(ltype == LIGHT_AREA, scene.light_prim[li], -2)
     shadow_o = p + d * EPSILON
-    far = jnp.where(dist >= INF, INF, dist * SHADOW_FUDGE)
-    occ = occluded(scene, shadow_o, d, 0.0, far)
-    if detach:
-        occ = jax.lax.stop_gradient(occ)
-    vis = do_shadow & ~occ
+    tr = _shadow_transmittance(scene, settings, shadow_o, d, dist,
+                               ctx["medium"], ~is_vol, detach=detach,
+                               endcap_prim=endcap)
+    tr = jnp.where(do_shadow[..., None], tr, 0.0)
 
-    mis_l = L.power_heuristic(
-        pdf, bsdf_pdf(sp, wi_local, wo_local, settings.present_bsdf_types))
-    contrib_l = jnp.where(
-        vis[..., None],
-        f * emis / jnp.maximum(pdf, 1e-20)[..., None] * mis_l[..., None],
-        0.0)
+    mis_l = L.power_heuristic(pdf, pdf_counter)
+    contrib_l = f * tr * emis / jnp.maximum(pdf, 1e-20)[..., None] \
+        * mis_l[..., None]
 
-    # ---------------- bsdf strategy (independent sample) ----------------
+    # ---------------- bsdf/phase strategy (independent sample) ----------
     ub = rng.random_1d(seed, pixel, sample_idx,
                        bounce_dim_base + rng.BounceDims.NEE_BSDF_LOBE)
     ub1, ub2 = rng.random_2d(seed, pixel, sample_idx,
@@ -150,6 +302,13 @@ def _nee(scene, settings, sp, info, wi_local, frame, seed, pixel, sample_idx,
         u_lobe2=ub_l2, no_specular=True)
     wd = vm.to_global(t, b, n, wo_b)
     ok_b = ((flags_b & FLAG_VALID) != 0) & (jnp.max(wt_b, axis=-1) > 0)
+    if settings.has_media:
+        pw, ppdf = PH.phase_sample(ctx["phase_type"], ctx["phase_g"],
+                                   ctx["ray_d"], ub1, ub2)
+        wd = vm.where3(is_vol, pw, wd)
+        wt_b = jnp.where(is_vol[..., None], 1.0, wt_b)
+        pdf_b = jnp.where(is_vol, ppdf, pdf_b)
+        ok_b = jnp.where(is_vol, ppdf > 0, ok_b)
 
     res_b = bvh_intersect(scene, p + wd * EPSILON, wd, 0.0, INF)
     if detach:
@@ -186,16 +345,68 @@ def _nee(scene, settings, sp, info, wi_local, frame, seed, pixel, sample_idx,
     else:
         got, e_b, lpdf = hit_light_area, e_area, lpdf_area
 
+    # shadow/visibility for the strategy ray: for a simple scene the
+    # closest-hit test above already proves visibility; media/forward
+    # scenes need the transmittance along the segment
+    if settings.has_media or _has_forward_types(settings):
+        seg = jnp.where(res_b["hit"], res_b["t"], INF)
+        tr_b = _shadow_transmittance(
+            scene, settings, p + wd * EPSILON, wd, seg, ctx["medium"],
+            ~is_vol, detach=detach, endcap_prim=endcap)
+    else:
+        tr_b = jnp.ones((R, 3))
+
     mis_b = L.power_heuristic(pdf_b, lpdf)
     contrib_b = jnp.where(
-        (ok_b & got)[..., None], wt_b * e_b * mis_b[..., None], 0.0)
+        (ok_b & got)[..., None], wt_b * tr_b * e_b * mis_b[..., None], 0.0)
 
     return (contrib_l + contrib_b) * sel_weight
 
 
-def _detach(tree):
-    return jax.tree.map(jax.lax.stop_gradient, tree)
+# ------------------------------------------------------------ hit expand
 
+def _expand_hit(scene, o, d, res):
+    """IntersectionInfo expansion: position, normals, uv, prim, bsdf."""
+    t = res["t"]
+    p = o + d * t[..., None]
+    tri = jnp.clip(res["tri"], 0, scene.tri_v0.shape[0] - 1)
+    u = res["u"][..., None]
+    v = res["v"][..., None]
+
+    e1 = scene.tri_e1[tri]
+    e2 = scene.tri_e2[tri]
+    ng_tri = jnp.cross(e1, e2)
+    ng_tri = ng_tri / jnp.maximum(
+        jnp.linalg.norm(ng_tri, axis=-1, keepdims=True), 1e-20)
+    w = 1.0 - u - v
+    ns_tri = scene.tri_n0[tri] * w + scene.tri_n1[tri] * u + scene.tri_n2[tri] * v
+    ns_len = jnp.linalg.norm(ns_tri, axis=-1, keepdims=True)
+    ns_tri = jnp.where(ns_len > 1e-6, ns_tri / jnp.maximum(ns_len, 1e-20), ng_tri)
+    uv_tri = (scene.tri_uv0[tri] * w + scene.tri_uv1[tri] * u
+              + scene.tri_uv2[tri] * v)
+    prim_tri = scene.tri_prim[tri]
+
+    is_sph = res["sph"] >= 0
+    if scene.sph_radius.shape[0] > 0:
+        si = jnp.clip(res["sph"], 0, scene.sph_radius.shape[0] - 1)
+        c = scene.sph_center[si]
+        ng_s = (p - c) / jnp.maximum(scene.sph_radius[si][..., None], 1e-20)
+        ng = vm.where3(is_sph, ng_s, ng_tri)
+        ns = vm.where3(is_sph, ng_s, ns_tri)
+        prim = jnp.where(is_sph, scene.sph_prim[si], prim_tri)
+        phi = jnp.arctan2(ng_s[..., 2], ng_s[..., 0]) * vm.INV_TWO_PI + 0.5
+        theta = jnp.arccos(jnp.clip(-ng_s[..., 1], -1, 1)) * vm.INV_PI
+        uv = jnp.where(is_sph[..., None],
+                       jnp.stack([phi, theta], -1), uv_tri)
+    else:
+        ng, ns, prim, uv = ng_tri, ns_tri, prim_tri, uv_tri
+
+    prim = jnp.clip(prim, 0, scene.prim_bsdf.shape[0] - 1)
+    return dict(p=p, ng=ng, ns=ns, uv=uv, prim=prim,
+                bsdf=scene.prim_bsdf[prim])
+
+
+# --------------------------------------------------------------- the loop
 
 def _init_state(scene, settings, pixel, sample_idx, seed, detach):
     R = pixel.shape[0]
@@ -203,7 +414,7 @@ def _init_state(scene, settings, pixel, sample_idx, seed, detach):
     res = bvh_intersect(scene, o, d, 0.0, INF)
     if detach:
         res = _detach(res)
-    return dict(
+    state = dict(
         o=o, d=d,
         t=res["t"], tri=res["tri"], sph=res["sph"],
         u=res["u"], v=res["v"], hit=res["hit"],
@@ -214,6 +425,11 @@ def _init_state(scene, settings, pixel, sample_idx, seed, detach):
         bounce=jnp.int32(0),
         rays=jnp.int32(R),  # primary rays already traced
     )
+    if settings.has_media:
+        state["medium"] = jnp.full((R,), scene.cam_medium, jnp.int32)
+        state["med_first"] = jnp.ones((R,), bool)
+        state["med_bounce"] = jnp.zeros((R,), jnp.int32)
+    return state
 
 
 def _make_bounce_body(scene, settings, pixel, sample_idx, seed,
@@ -221,17 +437,75 @@ def _make_bounce_body(scene, settings, pixel, sample_idx, seed,
     """The per-bounce wavefront step, shared by the while_loop forward
     path and the bounded-depth differentiable path.  With detach=True all
     intersection results are stop-gradient'ed (detached sampling —
-    interior derivatives only, as in path-replay differentiable
-    rendering; geometry/silhouette terms are out of scope)."""
+    interior derivatives only; geometry/silhouette terms out of scope)."""
 
     def body(s):
         bounce = s["bounce"]
         dim_base = rng.DIMS_CAMERA + bounce * rng.DIMS_PER_BOUNCE
         alive = s["alive"]
-        active = alive & s["hit"]
-        escaped = alive & ~s["hit"]
+        R = pixel.shape[0]
 
         emission = s["emission"]
+        throughput = s["throughput"]
+
+        # ---- medium distance sampling (ref HomogeneousMedium) ----
+        if settings.has_media:
+            med = s["medium"]
+            in_med = alive & (med >= 0)
+            mi = jnp.clip(med, 0, scene.med_sigma_a.shape[0] - 1)
+            sigma_s = scene.med_sigma_s[mi]
+            sigma_t = scene.med_sigma_a[mi] + sigma_s
+            absorb_only = jnp.max(sigma_s, axis=-1) == 0.0
+            tt = scene.med_trans_type[mi]
+            tp = scene.med_trans_params[mi]
+
+            u_c, u_d, u_e = rng.random_3d(
+                seed, pixel, sample_idx, dim_base + rng.BounceDims.MEDIUM)
+            comp = jnp.minimum((u_c * 3).astype(jnp.int32), 2)
+            sigma_tc = jnp.take_along_axis(sigma_t, comp[..., None],
+                                           axis=-1)[..., 0]
+            t_law = TR.sample_distance(tt, tp, s["med_first"], u_d, u_e)
+            t_m = t_law / jnp.maximum(sigma_tc, 1e-20)
+            max_t = jnp.where(s["hit"], s["t"], INF)
+            exited = (t_m >= max_t) | absorb_only
+            t_s = jnp.minimum(jnp.where(absorb_only, max_t, t_m), max_t)
+            tau = sigma_t * t_s[..., None]
+            sbar = TR.sigma_bar(tt, tp)
+            w_exit = TR.eval_tr(tt, tau, tp, s["med_first"],
+                                jnp.ones_like(exited))
+            p_exit = jnp.mean(
+                TR.surface_probability(tt, tau, tp, s["med_first"]), axis=-1)
+            w_scat = TR.eval_tr(tt, tau, tp, s["med_first"],
+                                jnp.zeros_like(exited)) * sigma_s * \
+                sbar[..., None]
+            p_scat = jnp.mean(
+                sigma_t * TR.medium_pdf(tt, tau, tp, s["med_first"]), axis=-1)
+            w = jnp.where(exited[..., None], w_exit, w_scat) / \
+                jnp.maximum(jnp.where(exited, p_exit, p_scat), 1e-20)[..., None]
+            # absorption-only media skip the MC division (pdf 1, ref :76-82)
+            w = jnp.where(absorb_only[..., None],
+                          TR.eval_tr(tt, tau, tp, s["med_first"],
+                                     jnp.ones_like(exited)), w)
+            throughput = jnp.where(in_med[..., None], throughput * w,
+                                   throughput)
+            # absorption-only + no surface = the ray dies in the fog
+            died_in_fog = in_med & absorb_only & ~s["hit"]
+            # medium max-bounce cap (ref Medium::_maxBounce)
+            over_bounce = in_med & (s["med_bounce"] >
+                                    scene.med_max_bounce[mi])
+            vol_scatter = in_med & ~exited & ~died_in_fog & ~over_bounce
+            alive = alive & ~died_in_fog & ~over_bounce
+            med_point = s["o"] + s["d"] * t_s[..., None]
+            med_first = jnp.where(in_med & ~absorb_only, False,
+                                  s["med_first"])
+            med_bounce = s["med_bounce"] + jnp.where(
+                in_med & ~absorb_only, 1, 0)
+        else:
+            vol_scatter = jnp.zeros((R,), bool)
+            med_point = s["o"]
+
+        active = alive & s["hit"] & ~vol_scatter
+        escaped = alive & ~s["hit"] & ~vol_scatter
 
         # ---- escaped rays: environment (ref handleInfiniteLights) ----
         if settings.has_env:
@@ -241,13 +515,20 @@ def _make_bounce_body(scene, settings, pixel, sample_idx, seed,
             env_val = L.env_eval(scene, s["d"])
             emission = emission + jnp.where(
                 (env_ok & guard)[..., None],
-                s["throughput"] * env_val, 0.0)
+                throughput * env_val, 0.0)
 
         info = _expand_hit(scene, s["o"], s["d"], s)
 
         # two-sided shading: flip the shading frame toward the ray
         backside = jnp.sum(info["ng"] * s["d"], axis=-1) > 0.0
-        flip = backside if settings.two_sided_shading else jnp.zeros_like(backside)
+        flip = backside if settings.two_sided_shading else \
+            jnp.zeros_like(backside)
+        # transmissive BSDFs handle both hemispheres themselves — never flip
+        transmissive = jnp.isin(
+            scene.bsdf_type[info["bsdf"]],
+            jnp.asarray([bt.DIELECTRIC, bt.ROUGH_DIELECTRIC,
+                         bt.DIFFUSE_TRANSMISSION]))
+        flip = flip & ~transmissive
         ns = jnp.where(flip[..., None], -info["ns"], info["ns"])
         tan, bit = vm.ortho_frame(ns)
         wi_local = vm.to_local(tan, bit, ns, -s["d"])
@@ -255,11 +536,8 @@ def _make_bounce_body(scene, settings, pixel, sample_idx, seed,
         sp = ShadePoint(scene, info["bsdf"], info["uv"])
 
         # ---- forward/transparency lobe passthrough (ref handleSurface
-        # transparency branch: continue straight through, no NEE/emission) ----
-        has_forward = any(
-            t in settings.present_bsdf_types
-            for t in (bt.FORWARD, bt.TRANSPARENCY, bt.THINSHEET))
-        if has_forward:
+        # transparency branch: continue straight, no NEE/emission) ----
+        if _has_forward_types(settings):
             transp = bsdf_forward(sp, wi_local, settings.present_bsdf_types)
             t_scalar = jnp.mean(transp, axis=-1)
             u_fwd = rng.random_1d(seed, pixel, sample_idx,
@@ -271,13 +549,26 @@ def _make_bounce_body(scene, settings, pixel, sample_idx, seed,
             fwd_weight = None
         shade = active & ~take_forward
 
-        # ---- NEE ----
+        # ---- NEE (surface + medium vertices together) ----
         if settings.enable_light_sampling and settings.num_lights > 0:
-            nee = _nee(scene, settings, sp, info, wi_local, (tan, bit, ns),
-                       seed, pixel, sample_idx, dim_base, detach=detach)
-            do_nee = shade & (bounce < settings.max_bounces - 1)
+            ctx = dict(
+                p=jnp.where(vol_scatter[..., None], med_point, info["p"])
+                if settings.has_media else info["p"],
+                is_volume=vol_scatter,
+                sp=sp, frame=(tan, bit, ns), wi_local=wi_local,
+                ray_d=s["d"],
+                medium=s.get("medium", None) if settings.has_media else None,
+            )
+            if settings.has_media:
+                mi2 = jnp.clip(s["medium"], 0, scene.med_phase.shape[0] - 1)
+                ctx["phase_type"] = scene.med_phase[mi2]
+                ctx["phase_g"] = scene.med_g[mi2]
+            nee = _nee(scene, settings, ctx, seed, pixel, sample_idx,
+                       dim_base, detach=detach)
+            do_nee = (shade | vol_scatter) & \
+                (bounce < settings.max_bounces - 1)
             emission = emission + jnp.where(
-                do_nee[..., None], nee * s["throughput"], 0.0)
+                do_nee[..., None], nee * throughput, 0.0)
 
         # ---- direct emitter hit ----
         etex = scene.prim_emission_tex[info["prim"]]
@@ -289,15 +580,14 @@ def _make_bounce_body(scene, settings, pixel, sample_idx, seed,
         li = jnp.clip(scene.prim_light[info["prim"]], 0,
                       max(scene.light_emission.shape[0] - 1, 0))
         e_val = scene.light_emission[li]
-        # non-samplable emissive prims: look up their emission texture const
         e_tex = scene.tex_const[jnp.clip(etex, 0, scene.tex_const.shape[0] - 1)]
         e_hit = jnp.where(samplable[..., None], e_val, e_tex)
         take_emit = shade & is_emissive & front & \
             (bounce >= settings.min_bounces) & guard
         emission = emission + jnp.where(
-            take_emit[..., None], s["throughput"] * e_hit, 0.0)
+            take_emit[..., None], throughput * e_hit, 0.0)
 
-        # ---- continuation bsdf sample ----
+        # ---- continuation: bsdf sample / phase sample / forward ----
         ul = rng.random_1d(seed, pixel, sample_idx,
                            dim_base + rng.BounceDims.BSDF_LOBE)
         u1, u2 = rng.random_2d(seed, pixel, sample_idx,
@@ -309,15 +599,44 @@ def _make_bounce_body(scene, settings, pixel, sample_idx, seed,
             u_lobe2=ul2)
         ok = ((flags & FLAG_VALID) != 0) & (jnp.max(wt, axis=-1) > 0)
         new_d = vm.to_global(tan, bit, ns, wo)
-        if has_forward:
+        new_o = info["p"]
+        if _has_forward_types(settings):
             new_d = vm.where3(take_forward, s["d"], new_d)
             wt = jnp.where(take_forward[..., None], fwd_weight, wt)
             ok = jnp.where(take_forward, jnp.max(fwd_weight, axis=-1) > 0, ok)
-        throughput = jnp.where((active & ok)[..., None],
-                               s["throughput"] * wt, s["throughput"])
+        if settings.has_media:
+            pw, _ = PH.phase_sample(
+                scene.med_phase[jnp.clip(s["medium"], 0,
+                                         scene.med_phase.shape[0] - 1)],
+                scene.med_g[jnp.clip(s["medium"], 0,
+                                     scene.med_g.shape[0] - 1)],
+                s["d"], u1, u2)
+            new_d = vm.where3(vol_scatter, pw, new_d)
+            new_o = vm.where3(vol_scatter, med_point, new_o)
+            ok = jnp.where(vol_scatter, True, ok)
+            wt = jnp.where(vol_scatter[..., None], 1.0, wt)
+
+        throughput = jnp.where(((active | vol_scatter) & ok)[..., None],
+                               throughput * wt, throughput)
         was_specular = jnp.where(shade & ok, (flags & FLAG_SPECULAR) != 0,
                                  s["was_specular"])
-        alive2 = active & ok
+        if settings.has_media:
+            # ref handleVolume: wasSpecular = !enableVolumeLightSampling
+            was_specular = jnp.where(
+                vol_scatter,
+                ~jnp.bool_(settings.enable_volume_light_sampling),
+                was_specular)
+        alive2 = (active | vol_scatter) & ok
+
+        # ---- medium handoff at the surface (ref handleSurface tail) ----
+        if settings.has_media:
+            geo_back = jnp.sum(new_d * info["ng"], axis=-1) < 0.0
+            new_med = _select_medium(scene, info["prim"], s["medium"],
+                                     geo_back)
+            medium = jnp.where(active & ok, new_med, s["medium"])
+            # state.reset() on surface scatter
+            med_first = jnp.where(active & ok, True, med_first)
+            med_bounce = jnp.where(active & ok, 0, med_bounce)
 
         # ---- russian roulette (ref PathTracer.cpp:111-117) ----
         r_pdf = jnp.max(jnp.abs(throughput), axis=-1)
@@ -332,8 +651,7 @@ def _make_bounce_body(scene, settings, pixel, sample_idx, seed,
         alive2 = alive2 & (jnp.max(throughput, axis=-1) > 0.0)
 
         # ---- next intersection ----
-        new_o = info["p"] + new_d * EPSILON
-        o2 = vm.where3(alive2, new_o, s["o"])
+        o2 = vm.where3(alive2, new_o + new_d * EPSILON, s["o"])
         d2 = vm.where3(alive2, new_d, s["d"])
         res = bvh_intersect(scene, o2, d2, 0.0,
                             jnp.where(alive2, INF, 0.0))
@@ -343,11 +661,12 @@ def _make_bounce_body(scene, settings, pixel, sample_idx, seed,
         # ray accounting: continuation + (shadow + bsdf-MIS when NEE ran)
         rays = s["rays"] + jnp.sum(alive2.astype(jnp.int32))
         if settings.enable_light_sampling and settings.num_lights > 0:
-            nee_rays = jnp.sum((shade & (bounce < settings.max_bounces - 1))
-                               .astype(jnp.int32))
+            nee_rays = jnp.sum(
+                ((shade | vol_scatter) &
+                 (bounce < settings.max_bounces - 1)).astype(jnp.int32))
             rays = rays + 2 * nee_rays
 
-        return dict(
+        out = dict(
             o=o2, d=d2,
             t=res["t"], tri=res["tri"], sph=res["sph"],
             u=res["u"], v=res["v"], hit=res["hit"] & alive2,
@@ -358,6 +677,11 @@ def _make_bounce_body(scene, settings, pixel, sample_idx, seed,
             bounce=bounce + 1,
             rays=rays,
         )
+        if settings.has_media:
+            out["medium"] = medium
+            out["med_first"] = med_first
+            out["med_bounce"] = med_bounce
+        return out
 
     return body
 

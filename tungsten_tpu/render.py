@@ -10,6 +10,10 @@ from dataclasses import replace
 
 import jax
 import jax.numpy as jnp
+
+from tungsten_tpu.utils import jaxcfg
+
+jaxcfg.setup()
 import numpy as np
 
 from tungsten_tpu.cameras.camera import tonemap

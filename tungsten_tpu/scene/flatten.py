@@ -80,6 +80,17 @@ class FlatScene:
     light_tris: Any     # (L, MAX_LIGHT_TRIS) i32 triangle ids (-1 pad)
     light_cdf: Any      # (L, MAX_LIGHT_TRIS+1) normalized area cdf
     light_area: Any     # (L,) total area
+    # --- media ---
+    med_sigma_a: Any     # (M,3) material sigma_a * density
+    med_sigma_s: Any     # (M,3)
+    med_phase: Any       # (M,) i32
+    med_g: Any           # (M,)
+    med_trans_type: Any  # (M,) i32
+    med_trans_params: Any  # (M,4)
+    med_max_bounce: Any  # (M,) i32
+    prim_int_medium: Any  # (P,) i32, -1 = none
+    prim_ext_medium: Any  # (P,) i32
+    cam_medium: Any      # () i32
     # --- envmap ---
     env_image: Any      # (H,W,3) (1x1 black if none)
     env_cond_pdf: Any   # (H,W)
@@ -105,6 +116,7 @@ class RenderSettings:
     max_bounces: int = 64
     min_bounces: int = 0
     enable_light_sampling: bool = True
+    enable_volume_light_sampling: bool = True
     two_sided_shading: bool = True
     seed: int = 0xBA5EBA11
     tonemap: str = "gamma"
@@ -115,6 +127,7 @@ class RenderSettings:
     has_env: bool = False
     num_lights: int = 0
     present_bsdf_types: tuple = ()
+    has_media: bool = False
 
 
 _UNIT_QUAD_UV = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
@@ -221,9 +234,64 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
     if not bsdf_rows:
         bsdf_rows = [bsdf_types.parse_bsdf_row({"type": "lambert"}, textures)]
 
+    # ---- media table (ref HomogeneousMedium::prepareForRender scales
+    # material cross-sections by density; transmittance law per medium) ----
+    from tungsten_tpu.media.transmittance import NAMES as TRANS_NAMES
+    from tungsten_tpu.media.phase import NAMES as PHASE_NAMES
+
+    def vec3(v, default=0.0):
+        if v is None:
+            v = default
+        if isinstance(v, (int, float)):
+            return [float(v)] * 3
+        return [float(x) for x in v]
+
+    med_sigma_a, med_sigma_s = [], []
+    med_phase, med_g = [], []
+    med_trans_type, med_trans_params, med_max_bounce = [], [], []
+    for m in desc.media:
+        if m.get("type", "homogeneous") != "homogeneous":
+            raise NotImplementedError(
+                f"medium type not yet supported: {m.get('type')}")
+        density = float(m.get("density", 1.0))
+        med_sigma_a.append([density * x for x in vec3(m.get("sigma_a"))])
+        med_sigma_s.append([density * x for x in vec3(m.get("sigma_s"))])
+        ph = m.get("phase_function", {"type": "isotropic"})
+        if isinstance(ph, str):
+            ph = {"type": ph}
+        med_phase.append(PHASE_NAMES.get(ph.get("type", "isotropic"), 0))
+        med_g.append(float(ph.get("g", 0.0)))
+        tr = m.get("transmittance", {"type": "exponential"})
+        if isinstance(tr, str):
+            tr = {"type": tr}
+        med_trans_type.append(TRANS_NAMES.get(tr.get("type", "exponential"), 0))
+        tp = [0.0, 0.0, 0.0, 0.0]
+        tt = tr.get("type", "exponential")
+        if tt in ("linear", "quadratic"):
+            tp[0] = float(tr.get("max_t", 1.0 if tt == "linear" else 0.75))
+        elif tt == "double_exponential":
+            tp[0] = float(tr.get("sigma_a", 0.5))
+            tp[1] = float(tr.get("sigma_b", 10.0))
+        elif tt == "erlang":
+            tp[0] = float(tr.get("rate", 5.0))
+        elif tt == "davis":
+            tp[0] = max(float(tr.get("alpha", 1.1)), 1.0 + 1e-6)
+        elif tt == "davis_weinstein":
+            tp[0] = min(max(float(tr.get("h", 0.75)), 0.5), 1.0)
+            tp[1] = float(tr.get("c", 1.0))
+        elif tt == "pulse":
+            tp[0] = float(tr.get("min", 0.0))
+            tp[1] = float(tr.get("max", 1.0))
+            tp[2] = float(tr.get("num_pulses", 4))
+        med_trans_params.append(tp)
+        med_max_bounce.append(int(m.get("max_bounces", 1024)))
+    num_media = len(med_sigma_a)
+
     geom = _GeomAccum()
     spheres_c, spheres_r, spheres_p = [], [], []
+    prim_int_med, prim_ext_med = [], []
     prim_bsdf, prim_emission_tex = [], []
+    prim_power: dict[int, np.ndarray] = {}
     lights = []  # (type, prim_id, emission_tex_or_none, tri_range)
     light_tri_ranges = []
     env_info = None
@@ -237,12 +305,21 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         if bidx is None:
             bidx = 0
         prim_bsdf.append(bidx)
+        im = prim.get("int_medium_index")
+        em = prim.get("ext_medium_index")
+        prim_int_med.append(-1 if im is None else int(im))
+        prim_ext_med.append(-1 if em is None else int(em))
 
         emission = prim.get("emission")
         power = prim.get("power")
         etex = -1
-        if emission is not None or power is not None:
-            etex = textures.add(emission if emission is not None else 1.0)
+        if emission is not None:
+            etex = textures.add(emission)
+        elif power is not None:
+            # radiance filled in once the primitive's area is known
+            # (ref Quad::powerToRadianceFactor = INV_PI / area)
+            etex = textures.add(1.0)
+            prim_power[prim_id] = np.asarray(vec3(power), np.float64)
         prim_emission_tex.append(etex)
 
         samplable = bool(prim.get("sample", True))
@@ -355,6 +432,13 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
     tri_cross = np.cross(tri_e1, tri_e2)
     tri_area = 0.5 * np.linalg.norm(tri_cross, axis=-1) if len(tri_v0) else np.zeros(0)
 
+    # power-specified emitters: radiance = power / (pi * area)
+    for pid, power in prim_power.items():
+        ids = np.nonzero(tri_prim == pid)[0]
+        area = float(tri_area[ids].sum()) if len(ids) else 1.0
+        textures.const[prim_emission_tex[pid]] = (
+            power / (np.pi * max(area, 1e-20))).astype(np.float32)
+
     for li, (light, (t0, t1)) in enumerate(zip(lights, light_tri_ranges)):
         ids = np.nonzero((tri_prim >= 0))[0]
         # triangles of this prim (they were permuted; select by prim id)
@@ -420,6 +504,8 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         max_bounces=int(integ.get("max_bounces", 64)),
         min_bounces=int(integ.get("min_bounces", 0)),
         enable_light_sampling=bool(integ.get("enable_light_sampling", True)),
+        enable_volume_light_sampling=bool(
+            integ.get("enable_volume_light_sampling", True)),
         two_sided_shading=bool(integ.get("enable_two_sided_shading", True)),
         tonemap=cam.get("tonemap", "gamma"),
         filter=cam.get("reconstruction_filter", "tent"),
@@ -428,6 +514,7 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         has_env=env_info is not None,
         num_lights=int(L),
         present_bsdf_types=tuple(sorted({int(r[0]) for r in bsdf_rows})),
+        has_media=num_media > 0,
     )
 
     tex_type, tex_const, tex_params, tex_bitmap_id, bitmaps = textures.finalize()
@@ -458,6 +545,18 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         light_type=dev(light_type), light_prim=dev(light_prim),
         light_emission=dev(light_emission), light_tris=dev(light_tris),
         light_cdf=dev(light_cdf), light_area=dev(light_area),
+        med_sigma_a=dev(np.asarray(med_sigma_a, np.float32).reshape(-1, 3)),
+        med_sigma_s=dev(np.asarray(med_sigma_s, np.float32).reshape(-1, 3)),
+        med_phase=dev(np.asarray(med_phase, np.int32)),
+        med_g=dev(np.asarray(med_g, np.float32)),
+        med_trans_type=dev(np.asarray(med_trans_type, np.int32)),
+        med_trans_params=dev(np.asarray(med_trans_params,
+                                        np.float32).reshape(-1, 4)),
+        med_max_bounce=dev(np.asarray(med_max_bounce, np.int32)),
+        prim_int_medium=dev(np.asarray(prim_int_med, np.int32)),
+        prim_ext_medium=dev(np.asarray(prim_ext_med, np.int32)),
+        cam_medium=dev(np.int32(cam.get("medium_index")
+                                if cam.get("medium_index") is not None else -1)),
         env_image=dev(env_image),
         env_cond_pdf=dev(cond_pdf), env_cond_cdf=dev(cond_cdf),
         env_marg_pdf=dev(marg_pdf), env_marg_cdf=dev(marg_cdf),

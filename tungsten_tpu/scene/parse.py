@@ -110,6 +110,7 @@ def load_scene(path) -> SceneDesc:
 
     camera = dict(data.get("camera", {}))
     camera.setdefault("type", "pinhole")
+    camera["medium_index"] = media.resolve(camera.get("medium"))
 
     integrator = dict(data.get("integrator", {}))
     integrator.setdefault("type", "path_tracer")
