@@ -45,6 +45,23 @@ def generate_rays(scene, settings, pixel, sample_idx, seed):
     lx = -1.0 + (px + 0.5 + fx) * (2.0 * inv_w)
     ly = scene.cam_ratio - (py + 0.5 + fy) * (2.0 * inv_w)
     lz = jnp.broadcast_to(scene.cam_plane_dist, lx.shape)
+
+    if settings.camera_type == "thinlens":
+        # ref ThinlensCamera::sampleDirection: aperture-disk lens position,
+        # direction through the focus plane
+        u3, u4 = rng.random_2d(seed, pixel, sample_idx, rng.DIM_CAMERA + 2)
+        r = jnp.sqrt(u3) * settings.aperture_size
+        phi = u4 * (2.0 * jnp.pi)
+        lens = jnp.stack([jnp.cos(phi) * r, jnp.sin(phi) * r,
+                          jnp.zeros_like(r)], axis=-1)
+        plane = jnp.stack([lx, ly, lz], axis=-1)
+        plane = plane * (settings.focus_distance / plane[..., 2:3])
+        local = plane - lens
+        local = local / jnp.linalg.norm(local, axis=-1, keepdims=True)
+        d = local @ scene.cam_mat[:3, :3].T
+        o = lens @ scene.cam_mat[:3, :3].T + scene.cam_mat[:3, 3]
+        return o, d
+
     local = jnp.stack([lx, ly, lz], axis=-1)
     local = local / jnp.linalg.norm(local, axis=-1, keepdims=True)
 

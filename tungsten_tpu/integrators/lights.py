@@ -147,6 +147,39 @@ def area_light_direct_pdf(scene, light_idx, hit_t, d, hit_normal):
         0.0)
 
 
+# ----------------------------------------------------------- cap / point
+
+def cap_light_sample(scene, light_idx, u1, u2):
+    """Uniform spherical-cap direction around light_aux dir
+    (ref InfiniteSphereCap::sampleDirect); returns (d, pdf)."""
+    aux = scene.light_aux[light_idx]
+    cap_d = aux[..., :3]
+    cos_cap = aux[..., 3]
+    from tungsten_tpu.utils.vecmath import ortho_frame, to_global
+    phi = u1 * 2.0 * jnp.pi
+    z = 1.0 + u2 * (cos_cap - 1.0)
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    local = jnp.stack([jnp.cos(phi) * r, jnp.sin(phi) * r, z], axis=-1)
+    t, b = ortho_frame(cap_d)
+    d = to_global(t, b, cap_d, local)
+    pdf = cap_pdf_value(cos_cap)
+    return d, pdf
+
+
+def cap_pdf_value(cos_cap):
+    return INV_TWO_PI / jnp.maximum(1.0 - cos_cap, 1e-9)
+
+
+def eval_caps(scene, d):
+    """Summed radiance of all cap emitters containing direction d,
+    split by samplable flag: returns (samplable_rgb, unsamplable_rgb)."""
+    inside = jnp.sum(d[..., None, :] * scene.cap_dir, axis=-1) >= scene.cap_cos
+    e = jnp.where(inside[..., None], scene.cap_emission, 0.0)
+    samp = jnp.sum(jnp.where(scene.cap_samplable[..., None], e, 0.0), axis=-2)
+    unsamp = jnp.sum(jnp.where(scene.cap_samplable[..., None], 0.0, e), axis=-2)
+    return samp, unsamp
+
+
 def power_heuristic(pdf0, pdf1):
     """pdf0^2 / (pdf0^2 + pdf1^2) (ref SampleWarp::powerHeuristic), in
     ratio form so huge pdfs don't overflow float32 into inf/inf = nan

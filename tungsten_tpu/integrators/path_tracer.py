@@ -39,7 +39,8 @@ from tungsten_tpu.integrators import lights as L
 from tungsten_tpu.media import phase as PH
 from tungsten_tpu.media import transmittance as TR
 from tungsten_tpu.ops.intersect import bvh_intersect, occluded
-from tungsten_tpu.scene.flatten import LIGHT_AREA, LIGHT_INFINITE
+from tungsten_tpu.scene.flatten import (
+    LIGHT_AREA, LIGHT_CAP, LIGHT_INFINITE, LIGHT_POINT)
 from tungsten_tpu.utils import rng
 from tungsten_tpu.utils import vecmath as vm
 
@@ -274,6 +275,26 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
     else:
         d, dist, pdf, emis, valid = (
             a["d"], a["dist"], a["pdf"], a["emission"], a["valid"])
+    if settings.num_caps > 0:
+        is_cap = ltype == LIGHT_CAP
+        cd, cpdf = L.cap_light_sample(scene, li, u1, u2)
+        d = vm.where3(is_cap, cd, d)
+        dist = jnp.where(is_cap, INF, dist)
+        pdf = jnp.where(is_cap, cpdf, pdf)
+        emis = jnp.where(is_cap[..., None], scene.light_emission[li], emis)
+        valid = jnp.where(is_cap, True, valid)
+    is_dirac = jnp.zeros_like(valid)
+    if settings.has_points:
+        is_pt = ltype == LIGHT_POINT
+        pvec = scene.light_aux[li, :3] - p
+        p_rsq = jnp.sum(pvec * pvec, axis=-1)
+        p_dist = jnp.sqrt(jnp.maximum(p_rsq, 1e-20))
+        d = vm.where3(is_pt, pvec / p_dist[..., None], d)
+        dist = jnp.where(is_pt, p_dist, dist)
+        pdf = jnp.where(is_pt, p_rsq, pdf)
+        emis = jnp.where(is_pt[..., None], scene.light_emission[li], emis)
+        valid = jnp.where(is_pt, True, valid)
+        is_dirac = is_dirac | is_pt
 
     f, _ = eval_f_pdf(d)
     _, pdf_counter = eval_f_pdf(d)
@@ -287,6 +308,7 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
     tr = jnp.where(do_shadow[..., None], tr, 0.0)
 
     mis_l = L.power_heuristic(pdf, pdf_counter)
+    mis_l = jnp.where(is_dirac, 1.0, mis_l)  # Dirac lights skip MIS
     contrib_l = f * tr * emis / jnp.maximum(pdf, 1e-20)[..., None] \
         * mis_l[..., None]
 
@@ -344,6 +366,14 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
         lpdf = jnp.where(ltype == LIGHT_INFINITE, lpdf_env, lpdf_area)
     else:
         got, e_b, lpdf = hit_light_area, e_area, lpdf_area
+    if settings.num_caps > 0:
+        is_cap = ltype == LIGHT_CAP
+        aux = scene.light_aux[li]
+        in_cap = jnp.sum(wd * aux[..., :3], axis=-1) >= aux[..., 3]
+        got = jnp.where(is_cap, ~res_b["hit"] & in_cap, got)
+        e_b = jnp.where(is_cap[..., None], scene.light_emission[li], e_b)
+        lpdf = jnp.where(is_cap, L.cap_pdf_value(aux[..., 3]), lpdf)
+    got = got & ~is_dirac  # no bsdf strategy toward Dirac lights
 
     # shadow/visibility for the strategy ray: for a simple scene the
     # closest-hit test above already proves visibility; media/forward
@@ -507,15 +537,23 @@ def _make_bounce_body(scene, settings, pixel, sample_idx, seed,
         active = alive & s["hit"] & ~vol_scatter
         escaped = alive & ~s["hit"] & ~vol_scatter
 
-        # ---- escaped rays: environment (ref handleInfiniteLights) ----
-        if settings.has_env:
+        # ---- escaped rays: environment + caps (ref handleInfiniteLights) ----
+        if settings.has_env or settings.num_caps > 0:
             env_ok = escaped & (bounce >= settings.min_bounces)
             guard = (~jnp.bool_(settings.enable_light_sampling)) | \
-                s["was_specular"] | (scene.env_light_index < 0)
-            env_val = L.env_eval(scene, s["d"])
-            emission = emission + jnp.where(
-                (env_ok & guard)[..., None],
-                throughput * env_val, 0.0)
+                s["was_specular"]
+            if settings.has_env:
+                env_guard = guard | (scene.env_light_index < 0)
+                env_val = L.env_eval(scene, s["d"])
+                emission = emission + jnp.where(
+                    (env_ok & env_guard)[..., None],
+                    throughput * env_val, 0.0)
+            if settings.num_caps > 0:
+                cap_samp, cap_unsamp = L.eval_caps(scene, s["d"])
+                emission = emission + jnp.where(
+                    env_ok[..., None],
+                    throughput * (jnp.where(guard[..., None], cap_samp, 0.0)
+                                  + cap_unsamp), 0.0)
 
         info = _expand_hit(scene, s["o"], s["d"], s)
 

@@ -28,6 +28,8 @@ from tungsten_tpu.scene.textures import TextureTableBuilder
 
 LIGHT_AREA = 0
 LIGHT_INFINITE = 1
+LIGHT_CAP = 2
+LIGHT_POINT = 3
 
 MAX_LIGHT_TRIS = 32  # padded per-light CDF width for area lights
 
@@ -80,6 +82,12 @@ class FlatScene:
     light_tris: Any     # (L, MAX_LIGHT_TRIS) i32 triangle ids (-1 pad)
     light_cdf: Any      # (L, MAX_LIGHT_TRIS+1) normalized area cdf
     light_area: Any     # (L,) total area
+    light_aux: Any      # (L, 4) cap: dir(3)+cos_cap; point: pos(3)
+    # --- infinite-cap emitters (sun), hit on escape ---
+    cap_dir: Any        # (C, 3)
+    cap_cos: Any        # (C,)
+    cap_emission: Any   # (C, 3)
+    cap_samplable: Any  # (C,) bool
     # --- media ---
     med_sigma_a: Any     # (M,3) material sigma_a * density
     med_sigma_s: Any     # (M,3)
@@ -123,11 +131,16 @@ class RenderSettings:
     filter: str = "tent"
     camera_type: str = "pinhole"
     fov_deg: float = 60.0
+    focus_distance: float = 1.0
+    aperture_size: float = 0.001
+    cat_eye: float = 0.0
     spp_step: int = 16
     has_env: bool = False
     num_lights: int = 0
     present_bsdf_types: tuple = ()
     has_media: bool = False
+    num_caps: int = 0
+    has_points: bool = False
 
 
 _UNIT_QUAD_UV = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
@@ -295,6 +308,8 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
     lights = []  # (type, prim_id, emission_tex_or_none, tri_range)
     light_tri_ranges = []
     env_info = None
+    caps = []
+    points = []
 
     prim_id = -1
     for prim in desc.primitives:
@@ -377,8 +392,30 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
                     "samplable": samplable,
                 }
             continue
+        elif ptype == "infinite_sphere_cap":
+            # directional "sun" cap (ref InfiniteSphereCap.cpp): direction =
+            # transform's up axis, radiance = emission or
+            # power * INV_TWO_PI / (1 - cos(cap_angle))
+            cap_dir_v = xform.transform_vectors(m, [[0.0, 1.0, 0.0]])[0]
+            cap_dir_v = cap_dir_v / max(np.linalg.norm(cap_dir_v), 1e-30)
+            cos_cap = float(np.cos(np.deg2rad(float(prim.get("cap_angle", 10.0)))))
+            if power is not None:
+                rad = np.asarray(vec3(power)) / (2.0 * np.pi) / max(1.0 - cos_cap, 1e-9)
+            else:
+                rad = np.asarray(vec3(emission if emission is not None else 1.0))
+            caps.append({"prim": prim_id, "dir": cap_dir_v, "cos": cos_cap,
+                         "emission": rad.astype(np.float32),
+                         "samplable": samplable})
+            continue
+        elif ptype == "point":
+            pos = xform.transform_point(m, [0, 0, 0])
+            rad = np.asarray(vec3(emission if emission is not None
+                                  else (power if power is not None else 1.0)))
+            points.append({"prim": prim_id, "pos": pos.astype(np.float32),
+                           "emission": rad.astype(np.float32)})
+            continue
         else:
-            # skydome, curves, point, infinite_sphere_cap, ... not yet built
+            # skydome, curves, minecraft_map ... not yet built
             raise NotImplementedError(f"primitive type not yet supported: {ptype}")
 
         tri_end = geom.count()
@@ -420,13 +457,16 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
     tri_prim = tri_prim[order]
 
     # ---- lights ----
-    L = len(lights) + (1 if env_info and env_info["samplable"] else 0)
+    n_samplable_caps = sum(1 for c in caps if c["samplable"])
+    L = len(lights) + (1 if env_info and env_info["samplable"] else 0) \
+        + n_samplable_caps + len(points)
     light_type = np.zeros(max(L, 1), np.int32)
     light_prim = np.full(max(L, 1), -1, np.int32)
     light_emission = np.zeros((max(L, 1), 3), np.float32)
     light_tris = np.full((max(L, 1), MAX_LIGHT_TRIS), -1, np.int32)
     light_cdf = np.zeros((max(L, 1), MAX_LIGHT_TRIS + 1), np.float32)
     light_area = np.zeros(max(L, 1), np.float32)
+    light_aux = np.zeros((max(L, 1), 4), np.float32)
     prim_light = np.full(max(num_prims, 1), -1, np.int32)
 
     tri_cross = np.cross(tri_e1, tri_e2)
@@ -481,6 +521,35 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
             prim_light[env_info["prim"]] = li
     cond_pdf, cond_cdf, marg_pdf, marg_cdf = _build_env_distribution(env_image)
 
+    # ---- cap + point lights ----
+    li_next = len(lights) + (1 if env_info and env_info["samplable"] else 0)
+    cap_dir_arr = np.zeros((max(len(caps), 1), 3), np.float32)
+    cap_cos_arr = np.full(max(len(caps), 1), 2.0, np.float32)  # 2 = never hit
+    cap_em_arr = np.zeros((max(len(caps), 1), 3), np.float32)
+    cap_samp_arr = np.zeros(max(len(caps), 1), bool)
+    for ci, cap in enumerate(caps):
+        cap_dir_arr[ci] = cap["dir"]
+        cap_cos_arr[ci] = cap["cos"]
+        cap_em_arr[ci] = cap["emission"]
+        cap_samp_arr[ci] = cap["samplable"]
+        if cap["samplable"]:
+            li = li_next
+            li_next += 1
+            light_type[li] = LIGHT_CAP
+            light_prim[li] = cap["prim"]
+            light_emission[li] = cap["emission"]
+            light_aux[li, :3] = cap["dir"]
+            light_aux[li, 3] = cap["cos"]
+            prim_light[cap["prim"]] = li
+    for pt in points:
+        li = li_next
+        li_next += 1
+        light_type[li] = LIGHT_POINT
+        light_prim[li] = pt["prim"]
+        light_emission[li] = pt["emission"]
+        light_aux[li, :3] = pt["pos"]
+        prim_light[pt["prim"]] = li
+
     # ---- camera ----
     cam = desc.camera
     cam_mat = xform.parse_transform(cam.get("transform"))
@@ -511,10 +580,15 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         filter=cam.get("reconstruction_filter", "tent"),
         camera_type=cam.get("type", "pinhole"),
         fov_deg=fov,
+        focus_distance=float(cam.get("focus_distance", 1.0)),
+        aperture_size=float(cam.get("aperture_size", 0.001)),
+        cat_eye=float(cam.get("cateye", cam.get("cat_eye", 0.0))),
         has_env=env_info is not None,
         num_lights=int(L),
         present_bsdf_types=tuple(sorted({int(r[0]) for r in bsdf_rows})),
         has_media=num_media > 0,
+        num_caps=len(caps),
+        has_points=len(points) > 0,
     )
 
     tex_type, tex_const, tex_params, tex_bitmap_id, bitmaps = textures.finalize()
@@ -545,6 +619,9 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         light_type=dev(light_type), light_prim=dev(light_prim),
         light_emission=dev(light_emission), light_tris=dev(light_tris),
         light_cdf=dev(light_cdf), light_area=dev(light_area),
+        light_aux=dev(light_aux),
+        cap_dir=dev(cap_dir_arr), cap_cos=dev(cap_cos_arr),
+        cap_emission=dev(cap_em_arr), cap_samplable=dev(cap_samp_arr),
         med_sigma_a=dev(np.asarray(med_sigma_a, np.float32).reshape(-1, 3)),
         med_sigma_s=dev(np.asarray(med_sigma_s, np.float32).reshape(-1, 3)),
         med_phase=dev(np.asarray(med_phase, np.int32)),
