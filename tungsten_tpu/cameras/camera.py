@@ -42,8 +42,11 @@ def generate_rays(scene, settings, pixel, sample_idx, seed):
     fy = filter_sample(settings.filter, u2)
 
     inv_w = 1.0 / w
+    # aspect ratio follows the *render* resolution (ref Camera::precompute
+    # recomputes _ratio from _res), not the scene file's stored resolution
+    ratio = settings.height / settings.width
     lx = -1.0 + (px + 0.5 + fx) * (2.0 * inv_w)
-    ly = scene.cam_ratio - (py + 0.5 + fy) * (2.0 * inv_w)
+    ly = ratio - (py + 0.5 + fy) * (2.0 * inv_w)
     lz = jnp.broadcast_to(scene.cam_plane_dist, lx.shape)
 
     if settings.camera_type == "thinlens":

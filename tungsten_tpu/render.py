@@ -21,26 +21,38 @@ from tungsten_tpu.integrators.path_tracer import trace_wave
 from tungsten_tpu.scene.flatten import FlatScene, RenderSettings, load_flat_scene
 
 
+# Wavefront chunk size: the TPU backend in this environment faults on
+# very large wavefronts (>~8k rays through the traversal while_loop), so
+# the pass maps trace_wave over fixed-size chunks sequentially.
+WAVEFRONT_CHUNK = 4096
+
+
 @functools.partial(jax.jit, static_argnames=("settings", "spp_chunk"))
 def render_pass(scene: FlatScene, settings: RenderSettings, sample_start,
                 seed, spp_chunk: int = 1):
     """Render spp_chunk samples per pixel; returns ((H, W, 3) sum, rays)."""
     w, h = settings.width, settings.height
     n = w * h
-    pixel = jnp.arange(n, dtype=jnp.uint32)
-    acc = jnp.zeros((n, 3))
+    C = min(WAVEFRONT_CHUNK, n)
+    pad = (-n) % C
+    pixel = jnp.arange(n + pad, dtype=jnp.uint32).reshape(-1, C)
 
     def body(i, carry):
         acc, rays = carry
-        rad, r = trace_wave(scene, settings, pixel,
-                            jnp.full((n,), sample_start + i, jnp.uint32),
-                            jnp.uint32(seed), with_stats=True)
-        # NaN guard (ref PathTracer returns diagnostic colors on NaN)
-        rad = jnp.where(jnp.isfinite(rad), rad, 0.0)
-        return acc + rad, rays + r
 
-    acc, rays = jax.lax.fori_loop(0, spp_chunk, body, (acc, jnp.int64(0) if
-                                  jax.config.jax_enable_x64 else jnp.int32(0)))
+        def chunk(pix):
+            rad, r = trace_wave(scene, settings, pix,
+                                jnp.full(pix.shape, sample_start + i,
+                                         jnp.uint32),
+                                jnp.uint32(seed), with_stats=True)
+            # NaN guard (ref PathTracer returns diagnostic colors on NaN)
+            return jnp.where(jnp.isfinite(rad), rad, 0.0), r
+
+        rad, r = jax.lax.map(chunk, pixel)
+        return acc + rad.reshape(-1, 3)[:n], rays + jnp.sum(r)
+
+    acc, rays = jax.lax.fori_loop(
+        0, spp_chunk, body, (jnp.zeros((n, 3)), jnp.int32(0)))
     return acc.reshape(h, w, 3), rays
 
 
