@@ -1,0 +1,39 @@
+"""BDPT correctness: the strategy-summed, MIS-weighted bidirectional
+estimator must agree with the forward path tracer (same transport, same
+path-length truncation)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from dataclasses import replace
+
+from tungsten_tpu.scene.flatten import load_flat_scene
+from tungsten_tpu.integrators.bdpt import trace_bdpt
+from tungsten_tpu.render import render
+
+SCENE = "/root/reference/data/example-scenes/cornell-box/scene.json"
+
+
+def _bdpt_image(scene, s, spp, nv, me, seed=123):
+    n = s.width * s.height
+    pixel = jnp.arange(n, dtype=jnp.uint32)
+    f = jax.jit(lambda p, si: trace_bdpt(scene, s, p, si, jnp.uint32(seed),
+                                         max_vertices=nv, max_edges=me))
+    acc = np.zeros((n, 3))
+    splat = np.zeros((n, 3))
+    for k in range(spp):
+        rad, spix, sval = f(pixel, jnp.full(n, k, jnp.uint32))
+        acc += np.where(np.isfinite(rad), np.asarray(rad), 0)
+        np.add.at(splat, np.asarray(spix),
+                  np.where(np.isfinite(sval), np.asarray(sval), 0))
+    return ((acc + splat) / spp).reshape(s.height, s.width, 3)
+
+
+@pytest.mark.parametrize("me", [2, 3])
+def test_bdpt_matches_pt(me):
+    scene, settings = load_flat_scene(SCENE)
+    s = replace(settings, width=32, height=18, max_bounces=me)
+    pt = render(scene, s, spp=384, spp_chunk=128)
+    bd = _bdpt_image(scene, s, 192, me + 1, me)
+    rel = np.abs(bd.mean((0, 1)) - pt.mean((0, 1))) / pt.mean((0, 1))
+    assert rel.max() < 0.05, (bd.mean((0, 1)), pt.mean((0, 1)))

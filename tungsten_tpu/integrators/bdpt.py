@@ -311,9 +311,20 @@ def trace_bdpt(scene, settings, pixel, sample_idx, seed, max_vertices=8,
         front = jnp.sum(cam["ng"][:, ci] * cam["wi"][:, ci], axis=-1) > 0.0
         contrib = cam["alpha"][:, ci] * e_hit
         if t == 1:
-            # direct light hit from the camera: only strategy, weight 1
+            # direct light hit from the camera; the (1,1) lens-splat
+            # strategy samples the same 1-edge paths, so balance against
+            # its density (light-area pdf vs camera pdf) unless the
+            # reconstruction filter is Dirac
+            nl0 = settings.num_lights
+            area0 = scene.light_area[li]
+            pdfA0 = (1.0 / nl0) / jnp.maximum(area0, 1e-20)
+            if settings.filter != "dirac":
+                w1 = 1.0 / (1.0 + pdfA0 /
+                            jnp.maximum(cam["pdf_fwd"][:, 0], 1e-20))
+            else:
+                w1 = jnp.ones((R,))
             radiance = radiance + jnp.where(
-                (emissive & front)[..., None], contrib, 0.0)
+                (emissive & front)[..., None], contrib * w1[..., None], 0.0)
             continue
         # MIS arrays for s=0: combined path = camera reversed, n = t
         # pdf_fwd[j] (emitter-side direction) j=0..t-1: j=0: light area pdf;
@@ -344,7 +355,8 @@ def trace_bdpt(scene, settings, pixel, sample_idx, seed, max_vertices=8,
         pf = jnp.stack(pdf_fwd, axis=1)
         pr = jnp.stack(pdf_rev, axis=1)
         cn = jnp.stack(conn, axis=1)
-        w = _mis_weight_s0(pf, pr, cn, t)
+        w = _mis_weight_s0(pf, pr, cn, t,
+                           root_connectable=settings.filter != "dirac")
         radiance = radiance + jnp.where(
             (emissive & front)[..., None], contrib * w[..., None], 0.0)
 
@@ -371,17 +383,18 @@ def trace_bdpt(scene, settings, pixel, sample_idx, seed, max_vertices=8,
     return radiance, splat_pix, splat_val
 
 
-def _mis_weight_s0(pdf_fwd, pdf_rev, connectable, t):
+def _mis_weight_s0(pdf_fwd, pdf_rev, connectable, t, root_connectable=True):
     """MIS for the s=0 strategy: the current strategy is the full camera
-    path; sum ratios walking from the light end."""
+    path; alternatives extend the light side, up to the t'=1 splat
+    (k = t, admitted when the reconstruction filter is non-Dirac)."""
     weight = jnp.ones(pdf_fwd.shape[0])
     pi = jnp.ones_like(weight)
-    # strategies that shorten the camera path and extend the light path:
-    # k = number of light vertices in the alternative, k = 1..t-1
-    for k in range(1, t):
+    for k in range(1, t + 1):
         pi = pi * pdf_fwd[:, k - 1] / jnp.maximum(pdf_rev[:, k - 1], 1e-20)
-        ok = connectable[:, k - 1] & (connectable[:, k] if k < t else
-                                      jnp.ones_like(weight, bool))
+        if k < t:
+            ok = connectable[:, k - 1] & connectable[:, k]
+        else:
+            ok = connectable[:, k - 1] & root_connectable
         weight = weight + jnp.where(ok, pi, 0.0)
     return 1.0 / jnp.maximum(weight, 1e-20)
 
@@ -429,10 +442,14 @@ def _build_emitter_side(scene, cam, lig, root, s, R, pdf_conn_to_light,
     return pdf_fwd, pdf_rev, conn
 
 
-def _build_camera_side(scene, cam, t, R, pdf_light_to_cam, pdf_cam_rev_solid):
+def _build_camera_side(scene, cam, t, R, pdf_light_to_cam, pdf_cam_rev_solid,
+                       root_connectable=True):
     """Combined-array entries for the camera side (indices s..s+t-1).
-    The connecting camera vertex is combined index s (forced connectable);
-    the camera root (pinhole, Dirac) is the last entry, not connectable.
+    The connecting camera vertex is combined index s (forced connectable).
+    The camera root's connectable flag follows the reconstruction
+    filter's Dirac-ness (ref PathVertex: _dirac = camera->isFilterDirac()),
+    so with the default tent filter the t'=1 splat strategy participates
+    in every strategy's MIS weight.
     pdf_cam_rev_solid: solid pdf at the connecting camera vertex toward
     its predecessor given the new (connection) incoming direction."""
     ci = t - 2  # camera walk index of the connecting vertex
@@ -454,7 +471,7 @@ def _build_camera_side(scene, cam, t, R, pdf_light_to_cam, pdf_cam_rev_solid):
             # predecessor is the camera root (lens)
             pdf_fwd.append(jnp.ones((R,)))
             pdf_rev.append(jnp.ones((R,)))
-            conn.append(jnp.zeros((R,), bool))  # pinhole lens is Dirac
+            conn.append(jnp.full((R,), root_connectable))
             return pdf_fwd, pdf_rev, conn
     # remaining camera vertices toward the root
     for j in range(2, t):
@@ -466,7 +483,7 @@ def _build_camera_side(scene, cam, t, R, pdf_light_to_cam, pdf_cam_rev_solid):
         else:
             pdf_fwd.append(jnp.ones((R,)))
             pdf_rev.append(jnp.ones((R,)))
-            conn.append(jnp.zeros((R,), bool))  # camera root (Dirac lens)
+            conn.append(jnp.full((R,), root_connectable))
     return pdf_fwd, pdf_rev, conn
 
 
@@ -523,8 +540,9 @@ def _connect(scene, settings, cam, lig, root, s, t, R):
     pdf_light_to_cam = _area_pdf(pdf_l_f, -dw, dist, cam["ng"][:, ci])
     e_f, e_r, e_c = _build_emitter_side(scene, cam, lig, root, s, R,
                                         pdf_conn_to_light, pdf_l_r)
-    c_f, c_r, c_c = _build_camera_side(scene, cam, t, R,
-                                       pdf_light_to_cam, pdf_c_r)
+    c_f, c_r, c_c = _build_camera_side(
+        scene, cam, t, R, pdf_light_to_cam, pdf_c_r,
+        root_connectable=settings.filter != "dirac")
     pf = jnp.stack(e_f + c_f, axis=1)
     pr = jnp.stack(e_r + c_r, axis=1)
     cn = jnp.stack(e_c + c_c, axis=1)

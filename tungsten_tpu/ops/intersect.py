@@ -111,7 +111,12 @@ def bvh_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
         return dict(t=best_t, tri=jnp.full((R,), -1, jnp.int32), sph=best_sph,
                     u=jnp.zeros((R,)), v=jnp.zeros((R,)), hit=hit)
 
-    def body(state):
+    # Several traversal steps are unrolled per while_loop iteration: this
+    # backend has high fixed cost per loop iteration, so trading a few
+    # speculative node visits for an 8x lower iteration count wins big.
+    UNROLL = 8
+
+    def step(state):
         node, t_best, tri_best, u_best, v_best, done = state
         nlo = scene.bvh_min[node]
         nhi = scene.bvh_max[node]
@@ -146,6 +151,11 @@ def bvh_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
             done = done | (ltri >= 0)
             nxt = jnp.where(done, num_nodes, nxt)
         return nxt, lt, ltri, lu, lv, done
+
+    def body(state):
+        for _ in range(UNROLL):
+            state = step(state)
+        return state
 
     def cond(state):
         node = state[0]
