@@ -4,20 +4,23 @@ The XLA-gather traversal (ops/intersect.py) is bound by per-ray gathers
 (~1 element/cycle on the VPU), capping it far below target.  This kernel
 removes every per-ray gather: a whole ray block (8x128 = 1024 rays)
 shares one DFS cursor into the flattened BVH; node/triangle data is
-fetched with *scalar* loads (shared by all lanes) and tested across the
-block with pure vector ops.  A subtree is skipped only when *no* ray in
-the block wants it (speculative traversal over the skip-pointer DFS,
-the TPU analog of coherent packet traversal — replaces embree's
-rtcIntersect, ref src/core/renderer/TraceableScene.hpp:112-134).
+fetched as (1, 128) rows (dynamic-sublane loads, which Mosaic supports,
+unlike dynamic-lane scalar loads) and tested across the block with pure
+vector ops.  A subtree is skipped only when *no* ray in the block wants
+it — speculative traversal over the skip-pointer DFS, the TPU analog of
+coherent packet traversal (replaces embree's rtcIntersect, ref
+src/core/renderer/TraceableScene.hpp:112-134).
 
 Scene packing (host, once):
-  nodes  (ceil(N/16), 128) f32 — 16 nodes/row, 8 floats each:
-         [lo.xyz, hi.xyz, meta(= first*8+count or 0), skip]
-  tris   (ceil(T/8), 128) f32 — 8 tris/row, 16 slots each:
-         [v0.xyz, e1.xyz, e2.xyz, pad...]
-Counts are exact in f32 (< 2^24).  Whole scene lives in VMEM, so this
-path is gated to scenes that fit (~100k tris); larger scenes fall back
-to the XLA traversal.
+  nodes (ceil(N/16), 128) f32 — 16 nodes/row, 8 floats each:
+        [lo.xyz, hi.xyz, meta(= first*8+count or 0), skip]
+        node fields are extracted with masked reductions (lane-mask dot).
+  tris  (ceil(T4/8), 128) f32 — 8 tris/row, 16 slots each; leaf starts
+        are re-aligned to multiples of 4 so a leaf's triangles sit at a
+        static lane offset (0 or 64) within one row.
+Counts are exact in f32 (< 2^24).  The whole scene lives in VMEM, so
+this path is gated to scenes that fit; larger scenes fall back to the
+XLA traversal.
 """
 from __future__ import annotations
 
@@ -36,53 +39,65 @@ INF = 3.0e38
 MAX_LEAF = 4
 
 
-def pack_scene(bvh_min, bvh_max, bvh_meta, bvh_skip, tri_v0, tri_e1, tri_e2):
-    """Host-side packing into the kernel's VMEM layout (numpy in, jnp out)."""
+def pack_scene(bvh_min, bvh_max, bvh_meta, bvh_skip,
+               tri_v0, tri_e1, tri_e2):
+    """Host-side packing into the kernel's VMEM layout.
+
+    Leaf triangle ranges are copied into a 4-aligned triangle array so
+    the kernel can extract them with static lane offsets.  Returns
+    (nodes, tris, num_nodes, tri_remap) — tri_remap maps aligned ids
+    back to original triangle ids.
+    """
     n = bvh_min.shape[0]
-    rows = -(-n // NODES_PER_ROW)
-    nodes = np.zeros((rows * NODES_PER_ROW, 8), np.float32)
+    meta = bvh_meta.astype(np.int64)
+    leaf = meta[:, 1] > 0
+
+    # --- re-align leaf triangles ---
+    num_leaves = int(leaf.sum())
+    aligned_first = np.zeros(n, np.int64)
+    aligned_first[leaf] = np.arange(num_leaves) * MAX_LEAF
+    t4 = max(num_leaves * MAX_LEAF, 1)
+    remap = np.zeros(t4, np.int64)
+    av0 = np.zeros((t4, 3), np.float32)
+    ae1 = np.zeros((t4, 3), np.float32)
+    ae2 = np.zeros((t4, 3), np.float32)
+    li = np.nonzero(leaf)[0]
+    for k in range(MAX_LEAF):
+        sel = meta[li, 1] > k
+        src = meta[li[sel], 0] + k
+        dst = aligned_first[li[sel]] + k
+        av0[dst] = tri_v0[src]
+        ae1[dst] = tri_e1[src]
+        ae2[dst] = tri_e2[src]
+        remap[dst] = src
+
+    nodes = np.zeros((-(-n // NODES_PER_ROW) * NODES_PER_ROW, 8), np.float32)
     nodes[:n, 0:3] = bvh_min
     nodes[:n, 3:6] = bvh_max
-    meta = bvh_meta.astype(np.int64)
-    nodes[:n, 6] = (meta[:, 0] * 8 + meta[:, 1]).astype(np.float32)
+    packed_meta = np.where(leaf, aligned_first * 8 + meta[:, 1], 0)
+    nodes[:n, 6] = packed_meta.astype(np.float32)
     nodes[:n, 7] = bvh_skip.astype(np.float32)
-    # out-of-range rows: skip to the end, never hit
     nodes[n:, 0:3] = 1.0
     nodes[n:, 3:6] = -1.0
     nodes[n:, 7] = n
-    nodes = nodes.reshape(rows, NODES_PER_ROW * 8)
+    nodes = nodes.reshape(-1, NODES_PER_ROW * 8)
 
-    t = tri_v0.shape[0]
-    trows = -(-max(t, 1) // TRIS_PER_ROW)
+    trows = -(-t4 // TRIS_PER_ROW)
     tris = np.zeros((trows * TRIS_PER_ROW, 16), np.float32)
-    if t:
-        tris[:t, 0:3] = tri_v0
-        tris[:t, 3:6] = tri_e1
-        tris[:t, 6:9] = tri_e2
+    tris[:t4, 0:3] = av0
+    tris[:t4, 3:6] = ae1
+    tris[:t4, 6:9] = ae2
     tris = tris.reshape(trows, TRIS_PER_ROW * 16)
-    return jnp.asarray(nodes), jnp.asarray(tris), n
+    return (jnp.asarray(nodes), jnp.asarray(tris), n,
+            jnp.asarray(remap, jnp.int32))
 
 
-def _node_scalar(nodes_ref, node, k):
-    """Scalar load of float k of node `node` from the packed node table."""
-    row = node // NODES_PER_ROW
-    col = (node % NODES_PER_ROW) * 8 + k
-    return nodes_ref[row, col]
-
-
-def _tri_scalar(tris_ref, tri, k):
-    row = tri // TRIS_PER_ROW
-    col = (tri % TRIS_PER_ROW) * 16 + k
-    return tris_ref[row, col]
-
-
-def _trace_kernel(num_nodes_ref, any_hit_ref,
+def _trace_kernel(num_nodes_ref,
                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                   tmin_ref, tmax_ref,
                   nodes_ref, tris_ref,
                   t_ref, tri_ref, u_ref, v_ref):
     num_nodes = num_nodes_ref[0]
-    any_hit = any_hit_ref[0]
 
     ox = ox_ref[:]
     oy = oy_ref[:]
@@ -100,49 +115,64 @@ def _trace_kernel(num_nodes_ref, any_hit_ref,
     iy = safe_inv(dy)
     iz = safe_inv(dz)
 
-    def tri_test(tri_id, t_best, tri_best, u_best, v_best, active):
-        v0x = _tri_scalar(tris_ref, tri_id, 0)
-        v0y = _tri_scalar(tris_ref, tri_id, 1)
-        v0z = _tri_scalar(tris_ref, tri_id, 2)
-        e1x = _tri_scalar(tris_ref, tri_id, 3)
-        e1y = _tri_scalar(tris_ref, tri_id, 4)
-        e1z = _tri_scalar(tris_ref, tri_id, 5)
-        e2x = _tri_scalar(tris_ref, tri_id, 6)
-        e2y = _tri_scalar(tris_ref, tri_id, 7)
-        e2z = _tri_scalar(tris_ref, tri_id, 8)
-        # Moller-Trumbore, scalars broadcast over the block
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        inv_det = jnp.where(jnp.abs(det) > 1e-16, 1.0 / det, 0.0)
-        tx = ox - v0x
-        ty = oy - v0y
-        tz = oz - v0z
-        u = (tx * px + ty * py + tz * pz) * inv_det
-        qx = ty * e1z - tz * e1y
-        qy = tz * e1x - tx * e1z
-        qz = tx * e1y - ty * e1x
-        v = (dx * qx + dy * qy + dz * qz) * inv_det
-        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-        hit = ((jnp.abs(det) > 1e-16) & (u >= 0.0) & (v >= 0.0)
-               & (u + v <= 1.0) & (t > t_min) & (t < t_best) & active)
-        t_best = jnp.where(hit, t, t_best)
-        tri_best = jnp.where(hit, tri_id, tri_best)
-        u_best = jnp.where(hit, u, u_best)
-        v_best = jnp.where(hit, v, v_best)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def extract(rowvec, base_lane, k):
+        """Scalar = rowvec at lane base_lane + k (dynamic) via mask-reduce."""
+        return jnp.sum(jnp.where(lane == base_lane + k, rowvec, 0.0))
+
+    def tri_quad_test(tvals, t_best, tri_best, u_best, v_best,
+                      tri_base, count, active):
+        """Test the 4 triangles stored in tvals (64 floats as (1,64) slice
+        laid out [tri0(16) tri1(16) tri2(16) tri3(16)])."""
+        for k in range(MAX_LEAF):
+            off = k * 16
+            v0x = tvals[0, off + 0]
+            v0y = tvals[0, off + 1]
+            v0z = tvals[0, off + 2]
+            e1x = tvals[0, off + 3]
+            e1y = tvals[0, off + 4]
+            e1z = tvals[0, off + 5]
+            e2x = tvals[0, off + 6]
+            e2y = tvals[0, off + 7]
+            e2z = tvals[0, off + 8]
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = jnp.where(jnp.abs(det) > 1e-16, 1.0 / det, 0.0)
+            tx = ox - v0x
+            ty = oy - v0y
+            tz = oz - v0z
+            uu = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            vv = (dx * qx + dy * qy + dz * qz) * inv_det
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            hit = ((jnp.abs(det) > 1e-16) & (uu >= 0.0) & (vv >= 0.0)
+                   & (uu + vv <= 1.0) & (tt > t_min) & (tt < t_best)
+                   & active & (k < count))
+            t_best = jnp.where(hit, tt, t_best)
+            tri_best = jnp.where(hit, tri_base + k, tri_best)
+            u_best = jnp.where(hit, uu, u_best)
+            v_best = jnp.where(hit, vv, v_best)
         return t_best, tri_best, u_best, v_best
 
     def body(state):
         node, t_best, tri_best, u_best, v_best = state
-        lox = _node_scalar(nodes_ref, node, 0)
-        loy = _node_scalar(nodes_ref, node, 1)
-        loz = _node_scalar(nodes_ref, node, 2)
-        hix = _node_scalar(nodes_ref, node, 3)
-        hiy = _node_scalar(nodes_ref, node, 4)
-        hiz = _node_scalar(nodes_ref, node, 5)
-        meta = _node_scalar(nodes_ref, node, 6)
-        skip = _node_scalar(nodes_ref, node, 7).astype(jnp.int32)
+        row = node // NODES_PER_ROW
+        base = (node % NODES_PER_ROW) * 8
+        rowvec = nodes_ref[pl.ds(row, 1), :]
+
+        lox = extract(rowvec, base, 0)
+        loy = extract(rowvec, base, 1)
+        loz = extract(rowvec, base, 2)
+        hix = extract(rowvec, base, 3)
+        hiy = extract(rowvec, base, 4)
+        hiz = extract(rowvec, base, 5)
+        meta = extract(rowvec, base, 6).astype(jnp.int32)
+        skip = extract(rowvec, base, 7).astype(jnp.int32)
 
         t0x = (lox - ox) * ix
         t1x = (hix - ox) * ix
@@ -158,21 +188,29 @@ def _trace_kernel(num_nodes_ref, any_hit_ref,
                          jnp.minimum(jnp.maximum(t0z, t1z), t_best))
         box_hit = tn <= tf * 1.00000024
 
-        meta_i = meta.astype(jnp.int32)
-        count = meta_i % 8
-        first = meta_i // 8
+        count = meta % 8
+        first = meta // 8
         is_leaf = count > 0
-
         hit_any = jnp.max(jnp.where(box_hit, 1, 0)) > 0
 
         def do_leaf(carry):
             t_b, tri_b, u_b, v_b = carry
-            for k in range(MAX_LEAF):
-                do = is_leaf & (k < count)
-                tid = first + jnp.where(k < count, k, 0)
-                res = tri_test(tid, t_b, tri_b, u_b, v_b, box_hit & do)
-                t_b, tri_b, u_b, v_b = res
-            return t_b, tri_b, u_b, v_b
+            trow = first // TRIS_PER_ROW
+            in_hi = (first % TRIS_PER_ROW) >= 4
+            trowvec = tris_ref[pl.ds(trow, 1), :]
+
+            def lo_half(c):
+                return tri_quad_test(trowvec[:, 0:64], *c,
+                                     tri_base=first, count=count,
+                                     active=box_hit)
+
+            def hi_half(c):
+                return tri_quad_test(trowvec[:, 64:128], *c,
+                                     tri_base=first, count=count,
+                                     active=box_hit)
+
+            return jax.lax.cond(in_hi, hi_half, lo_half,
+                                (t_b, tri_b, u_b, v_b))
 
         t_best, tri_best, u_best, v_best = jax.lax.cond(
             hit_any & is_leaf, do_leaf,
@@ -180,8 +218,6 @@ def _trace_kernel(num_nodes_ref, any_hit_ref,
 
         descend = hit_any & jnp.logical_not(is_leaf)
         node = jnp.where(descend, node + 1, skip)
-        if False:
-            pass
         return node, t_best, tri_best, u_best, v_best
 
     def cond(state):
@@ -201,10 +237,10 @@ def _trace_kernel(num_nodes_ref, any_hit_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_bvh_intersect(nodes, tris, num_nodes, o, d, t_min, t_max,
-                         interpret=False):
+def pallas_bvh_intersect(nodes, tris, num_nodes, tri_remap, o, d,
+                         t_min, t_max, interpret=False):
     """Closest-hit traversal; o/d (R,3) with R a multiple of BLOCK.
-    Returns (t, tri, u, v) with tri == -1 on miss."""
+    Returns (t, tri, u, v) with tri == -1 on miss (tri in ORIGINAL ids)."""
     R = o.shape[0]
     G = R // BLOCK
 
@@ -213,8 +249,8 @@ def pallas_bvh_intersect(nodes, tris, num_nodes, o, d, t_min, t_max,
 
     ox, oy, oz = comp(o[:, 0]), comp(o[:, 1]), comp(o[:, 2])
     dx, dy, dz = comp(d[:, 0]), comp(d[:, 1]), comp(d[:, 2])
-    tmin = comp(jnp.broadcast_to(t_min, (R,)))
-    tmax = comp(jnp.broadcast_to(t_max, (R,)))
+    tmin = comp(jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,)))
+    tmax = comp(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,)))
 
     blk = pl.BlockSpec((None, 8, 128), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -230,13 +266,20 @@ def pallas_bvh_intersect(nodes, tris, num_nodes, o, d, t_min, t_max,
     t, tri, u, v = pl.pallas_call(
         _trace_kernel,
         grid=(G,),
-        in_specs=[smem1, smem1,
+        in_specs=[smem1,
                   blk, blk, blk, blk, blk, blk, blk, blk,
                   full_n, full_n],
         out_specs=[blk, blk, blk, blk],
         out_shape=out_shape,
         interpret=interpret,
-    )(jnp.asarray([num_nodes], jnp.int32), jnp.asarray([0], jnp.int32),
+    )(jnp.asarray([num_nodes], jnp.int32),
       ox, oy, oz, dx, dy, dz, tmin, tmax, nodes, tris)
 
-    return (t.reshape(R), tri.reshape(R), u.reshape(R), v.reshape(R))
+    t = t.reshape(R)
+    tri = tri.reshape(R)
+    u = u.reshape(R)
+    v = v.reshape(R)
+    # aligned ids -> original triangle ids
+    tri = jnp.where(tri >= 0, tri_remap[jnp.clip(tri, 0, tri_remap.shape[0] - 1)],
+                    -1)
+    return t, tri, u, v
