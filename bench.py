@@ -42,6 +42,8 @@ def main():
     desc = load_scene(scene_path)
     desc.bsdfs[:] = simplified_bsdfs(desc.bsdfs)
     flat, settings = flatten_scene(desc)
+    from tungsten_tpu.ops import intersect as isect
+    isect.enable_pallas_if_suitable(flat)
     settings = replace(settings, width=256, height=256,
                        seed=0xBA5EBA11, max_bounces=64)
 

@@ -69,6 +69,26 @@ def ray_sphere(o, d, center, radius, t_min, t_max):
 
 MAX_LEAF = 4  # must match bvh.build_bvh max_leaf_size
 
+# When True, closest-hit triangle traversal runs through the Pallas
+# coherent-traversal kernel (ops/pallas_trace.py) instead of the
+# XLA-gather loop.  Enabled by the render entry points on TPU backends
+# for scenes whose packed tables fit in VMEM.
+USE_PALLAS = False
+
+
+def enable_pallas_if_suitable(scene) -> bool:
+    """Turn the Pallas traversal on when running on a TPU backend and the
+    packed scene fits comfortably in VMEM (~12 MB budget)."""
+    global USE_PALLAS
+    import jax
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    size = (scene.pk_nodes.size + scene.pk_tris.size) * 4
+    USE_PALLAS = platform != "cpu" and size < 12 * 1024 * 1024
+    return USE_PALLAS
+
 
 def bvh_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
     """Closest-hit (or any-hit) traversal of the scene BVH + spheres.
@@ -110,6 +130,28 @@ def bvh_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
         hit = best_sph >= 0
         return dict(t=best_t, tri=jnp.full((R,), -1, jnp.int32), sph=best_sph,
                     u=jnp.zeros((R,)), v=jnp.zeros((R,)), hit=hit)
+
+    if USE_PALLAS and not any_hit:
+        from tungsten_tpu.ops.pallas_trace import (
+            BLOCK, pallas_bvh_intersect)
+        pad = (-R) % BLOCK
+        if pad:
+            o_p = jnp.concatenate([o, jnp.zeros((pad, 3))], axis=0)
+            d_p = jnp.concatenate(
+                [d, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                     (pad, 3))], axis=0)
+            tmin_p = jnp.concatenate([t_min, jnp.zeros((pad,))])
+            tmax_p = jnp.concatenate([best_t, jnp.zeros((pad,))])
+        else:
+            o_p, d_p, tmin_p, tmax_p = o, d, t_min, best_t
+        t, tri, u, v = pallas_bvh_intersect(
+            scene.pk_nodes, scene.pk_tris, scene.pk_num_nodes,
+            scene.pk_remap, o_p, d_p, tmin_p, tmax_p)
+        t, tri, u, v = t[:R], tri[:R], u[:R], v[:R]
+        got_tri = tri >= 0
+        sph = jnp.where(got_tri, -1, best_sph)
+        return dict(t=jnp.where(got_tri, t, best_t), tri=tri, sph=sph,
+                    u=u, v=v, hit=got_tri | (sph >= 0))
 
     # Several traversal steps are unrolled per while_loop iteration: this
     # backend has high fixed cost per loop iteration, so trading a few
@@ -175,5 +217,7 @@ def bvh_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
 
 def occluded(scene, o, d, t_min, t_max):
     """Binary occlusion along segments (t_min, t_max)."""
-    res = bvh_intersect(scene, o, d, t_min, t_max, any_hit=True)
+    # the Pallas path only implements closest-hit; a closest-hit query
+    # answers occlusion just as well (and faster than the gather loop)
+    res = bvh_intersect(scene, o, d, t_min, t_max, any_hit=not USE_PALLAS)
     return res["hit"]

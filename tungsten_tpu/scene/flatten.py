@@ -56,6 +56,11 @@ class FlatScene:
     bvh_max: Any
     bvh_meta: Any       # (N,2) i32
     bvh_skip: Any       # (N,) i32
+    # --- packed layout for the Pallas coherent-traversal kernel ---
+    pk_nodes: Any       # (ceil(N/16), 128)
+    pk_tris: Any        # (ceil(T4/8), 128)
+    pk_remap: Any       # (T4,) i32 aligned->original tri ids
+    pk_num_nodes: Any   # () i32
     # --- analytic spheres ---
     sph_center: Any     # (S,3)
     sph_radius: Any     # (S,)
@@ -593,6 +598,11 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
 
     tex_type, tex_const, tex_params, tex_bitmap_id, bitmaps = textures.finalize()
 
+    from tungsten_tpu.ops.pallas_trace import pack_scene as _pack
+    pk_nodes, pk_tris, _, pk_remap = _pack(
+        bvh.bounds_min, bvh.bounds_max, bvh.meta, bvh.skip,
+        tri_v0, tri_e1, tri_e2)
+
     def dev(x, dtype=None):
         return jnp.asarray(x, dtype=dtype)
 
@@ -603,6 +613,8 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         tri_prim=dev(tri_prim),
         bvh_min=dev(bvh.bounds_min), bvh_max=dev(bvh.bounds_max),
         bvh_meta=dev(bvh.meta), bvh_skip=dev(bvh.skip),
+        pk_nodes=pk_nodes, pk_tris=pk_tris, pk_remap=pk_remap,
+        pk_num_nodes=dev(np.int32(bvh.meta.shape[0])),
         sph_center=dev(np.asarray(spheres_c, np.float32).reshape(-1, 3)),
         sph_radius=dev(np.asarray(spheres_r, np.float32)),
         sph_prim=dev(np.asarray(spheres_p, np.int32)),
