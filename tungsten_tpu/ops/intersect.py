@@ -134,20 +134,47 @@ def bvh_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
     if USE_PALLAS and not any_hit:
         from tungsten_tpu.ops.pallas_trace import (
             BLOCK, pallas_bvh_intersect)
+        # Sort rays by direction octant + origin morton code so each
+        # 1024-ray kernel block is spatially coherent (the block shares
+        # one traversal cursor; incoherent blocks visit the union of all
+        # their rays' subtrees).
+        lo = scene.bvh_min[0]
+        hi = scene.bvh_max[0]
+        q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0)
+        q = (q * 255).astype(jnp.uint32)  # 8 bits/axis
+
+        def spread(x):  # interleave 8 bits -> 24-bit morton component
+            x = (x | (x << 8)) & jnp.uint32(0x00F00F)
+            x = (x | (x << 4)) & jnp.uint32(0x0C30C3)
+            x = (x | (x << 2)) & jnp.uint32(0x249249)
+            return x
+
+        morton = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | \
+            (spread(q[:, 2]) << 2)
+        octant = ((d[:, 0] > 0).astype(jnp.uint32)
+                  | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
+                  | ((d[:, 2] > 0).astype(jnp.uint32) << 2))
+        # dead rays (t_max <= 0) sort to the back so live blocks stay dense
+        dead = (best_t <= 0.0).astype(jnp.uint32)
+        key = (dead << 31) | (octant << 24) | morton
+        order = jnp.argsort(key)
+        inv = jnp.argsort(order)
+
+        o_s, d_s = o[order], d[order]
+        tmin_s = jnp.broadcast_to(t_min, (R,))[order]
+        tmax_s = best_t[order]
         pad = (-R) % BLOCK
         if pad:
-            o_p = jnp.concatenate([o, jnp.zeros((pad, 3))], axis=0)
-            d_p = jnp.concatenate(
-                [d, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
-                                     (pad, 3))], axis=0)
-            tmin_p = jnp.concatenate([t_min, jnp.zeros((pad,))])
-            tmax_p = jnp.concatenate([best_t, jnp.zeros((pad,))])
-        else:
-            o_p, d_p, tmin_p, tmax_p = o, d, t_min, best_t
+            o_s = jnp.concatenate([o_s, jnp.zeros((pad, 3))], axis=0)
+            d_s = jnp.concatenate(
+                [d_s, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                       (pad, 3))], axis=0)
+            tmin_s = jnp.concatenate([tmin_s, jnp.zeros((pad,))])
+            tmax_s = jnp.concatenate([tmax_s, jnp.zeros((pad,))])
         t, tri, u, v = pallas_bvh_intersect(
             scene.pk_nodes, scene.pk_tris, scene.pk_num_nodes,
-            scene.pk_remap, o_p, d_p, tmin_p, tmax_p)
-        t, tri, u, v = t[:R], tri[:R], u[:R], v[:R]
+            scene.pk_remap, o_s, d_s, tmin_s, tmax_s)
+        t, tri, u, v = t[inv], tri[inv], u[inv], v[inv]
         got_tri = tri >= 0
         sph = jnp.where(got_tri, -1, best_sph)
         return dict(t=jnp.where(got_tri, t, best_t), tri=tri, sph=sph,

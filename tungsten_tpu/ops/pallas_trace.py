@@ -236,6 +236,160 @@ def _trace_kernel(num_nodes_ref,
     v_ref[:] = v_best
 
 
+
+
+def _trace_kernel_rows(num_nodes_ref,
+                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                       tmin_ref, tmax_ref,
+                       nodes_ref, tris_ref,
+                       t_ref, tri_ref, u_ref, v_ref):
+    """Row-chunk variant: one (1,128) node-row load per outer iteration;
+    the 16 nodes inside are processed with STATIC lane extracts, each
+    gated by a scalar cond on the shared cursor (skip pointers only move
+    forward through the DFS, so a row is consumed left-to-right)."""
+    num_nodes = num_nodes_ref[0]
+
+    ox = ox_ref[:]
+    oy = oy_ref[:]
+    oz = oz_ref[:]
+    dx = dx_ref[:]
+    dy = dy_ref[:]
+    dz = dz_ref[:]
+    t_min = tmin_ref[:]
+
+    def safe_inv(x):
+        return 1.0 / jnp.where(jnp.abs(x) < 1e-20,
+                               jnp.where(x >= 0, 1e-20, -1e-20), x)
+
+    ix = safe_inv(dx)
+    iy = safe_inv(dy)
+    iz = safe_inv(dz)
+
+    def tri_quad_test(tvals, t_best, tri_best, u_best, v_best,
+                      tri_base, count, active):
+        for k in range(MAX_LEAF):
+            off = k * 16
+            v0x = tvals[0, off + 0]
+            v0y = tvals[0, off + 1]
+            v0z = tvals[0, off + 2]
+            e1x = tvals[0, off + 3]
+            e1y = tvals[0, off + 4]
+            e1z = tvals[0, off + 5]
+            e2x = tvals[0, off + 6]
+            e2y = tvals[0, off + 7]
+            e2z = tvals[0, off + 8]
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = jnp.where(jnp.abs(det) > 1e-16, 1.0 / det, 0.0)
+            tx = ox - v0x
+            ty = oy - v0y
+            tz = oz - v0z
+            uu = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            vv = (dx * qx + dy * qy + dz * qz) * inv_det
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            hit = ((jnp.abs(det) > 1e-16) & (uu >= 0.0) & (vv >= 0.0)
+                   & (uu + vv <= 1.0) & (tt > t_min) & (tt < t_best)
+                   & active & (k < count))
+            t_best = jnp.where(hit, tt, t_best)
+            tri_best = jnp.where(hit, tri_base + k, tri_best)
+            u_best = jnp.where(hit, uu, u_best)
+            v_best = jnp.where(hit, vv, v_best)
+        return t_best, tri_best, u_best, v_best
+
+    def body(state):
+        cursor, t_best, tri_best, u_best, v_best = state
+        row = cursor // NODES_PER_ROW
+        rowvec = nodes_ref[pl.ds(row, 1), :]
+        row_base = row * NODES_PER_ROW
+
+        carry = (cursor, t_best, tri_best, u_best, v_best)
+        for k in range(NODES_PER_ROW):
+            b = k * 8
+
+            def visit(c, b=b, k=k):
+                cur, t_b, tri_b, u_b, v_b = c
+                lox = rowvec[0, b + 0]
+                loy = rowvec[0, b + 1]
+                loz = rowvec[0, b + 2]
+                hix = rowvec[0, b + 3]
+                hiy = rowvec[0, b + 4]
+                hiz = rowvec[0, b + 5]
+                meta = rowvec[0, b + 6].astype(jnp.int32)
+                skip = rowvec[0, b + 7].astype(jnp.int32)
+
+                t0x = (lox - ox) * ix
+                t1x = (hix - ox) * ix
+                t0y = (loy - oy) * iy
+                t1y = (hiy - oy) * iy
+                t0z = (loz - oz) * iz
+                t1z = (hiz - oz) * iz
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                             jnp.minimum(t0y, t1y)),
+                                 jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                             jnp.maximum(t0y, t1y)),
+                                 jnp.minimum(jnp.maximum(t0z, t1z), t_b))
+                box_hit = tn <= tf * 1.00000024
+
+                count = meta % 8
+                first = meta // 8
+                is_leaf = count > 0
+                hit_any = jnp.max(jnp.where(box_hit, 1, 0)) > 0
+
+                def do_leaf(cc):
+                    tb, trb, ub, vb = cc
+                    trow = first // TRIS_PER_ROW
+                    in_hi = (first % TRIS_PER_ROW) >= 4
+                    trowvec = tris_ref[pl.ds(trow, 1), :]
+
+                    def lo_half(c2):
+                        return tri_quad_test(trowvec[:, 0:64], *c2,
+                                             tri_base=first, count=count,
+                                             active=box_hit)
+
+                    def hi_half(c2):
+                        return tri_quad_test(trowvec[:, 64:128], *c2,
+                                             tri_base=first, count=count,
+                                             active=box_hit)
+
+                    return jax.lax.cond(in_hi, hi_half, lo_half, cc)
+
+                t_b, tri_b, u_b, v_b = jax.lax.cond(
+                    hit_any & is_leaf, do_leaf, lambda cc: cc,
+                    (t_b, tri_b, u_b, v_b))
+
+                descend = hit_any & jnp.logical_not(is_leaf)
+                cur = jnp.where(descend, cur + 1, skip)
+                return cur, t_b, tri_b, u_b, v_b
+
+            carry = jax.lax.cond(carry[0] == row_base + k, visit,
+                                 lambda c: c, carry)
+        return carry
+
+    def cond(state):
+        return state[0] < num_nodes
+
+    t0 = tmax_ref[:]
+    init = (jnp.int32(0), t0,
+            jnp.full(t0.shape, -1, jnp.int32),
+            jnp.zeros(t0.shape, jnp.float32),
+            jnp.zeros(t0.shape, jnp.float32))
+    _, t_best, tri_best, u_best, v_best = jax.lax.while_loop(cond, body, init)
+
+    t_ref[:] = t_best
+    tri_ref[:] = tri_best
+    u_ref[:] = u_best
+    v_ref[:] = v_best
+
+
+KERNEL_VARIANT = "rows"  # "rows" | "nodes"
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_bvh_intersect(nodes, tris, num_nodes, tri_remap, o, d,
                          t_min, t_max, interpret=False):
@@ -263,8 +417,9 @@ def pallas_bvh_intersect(nodes, tris, num_nodes, tri_remap, o, d,
         jax.ShapeDtypeStruct((G, 8, 128), jnp.float32),
         jax.ShapeDtypeStruct((G, 8, 128), jnp.float32),
     ]
+    kern = _trace_kernel_rows if KERNEL_VARIANT == "rows" else _trace_kernel
     t, tri, u, v = pl.pallas_call(
-        _trace_kernel,
+        kern,
         grid=(G,),
         in_specs=[smem1,
                   blk, blk, blk, blk, blk, blk, blk, blk,

