@@ -21,13 +21,22 @@ from tungsten_tpu.integrators.path_tracer import trace_wave
 from tungsten_tpu.scene.flatten import FlatScene, RenderSettings, load_flat_scene
 
 
-# Wavefront chunk size: the TPU backend in this environment faults on
-# very large wavefronts (>~8k rays through the traversal while_loop), so
-# the pass maps trace_wave over fixed-size chunks sequentially.
-WAVEFRONT_CHUNK = 4096
+# Wavefront chunk size: the TPU backend in this environment kills
+# long-running device programs, so each device call traces one bounded
+# chunk of rays for one sample index; the spp/chunk loops run host-side.
+WAVEFRONT_CHUNK = 8192
 
 
-@functools.partial(jax.jit, static_argnames=("settings", "spp_chunk"))
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _trace_chunk(scene: FlatScene, settings: RenderSettings, pixel,
+                 sample_idx, seed):
+    rad, r = trace_wave(scene, settings, pixel,
+                        jnp.full(pixel.shape, sample_idx, jnp.uint32),
+                        jnp.uint32(seed), with_stats=True)
+    # NaN guard (ref PathTracer returns diagnostic colors on NaN)
+    return jnp.where(jnp.isfinite(rad), rad, 0.0), r
+
+
 def render_pass(scene: FlatScene, settings: RenderSettings, sample_start,
                 seed, spp_chunk: int = 1):
     """Render spp_chunk samples per pixel; returns ((H, W, 3) sum, rays)."""
@@ -35,25 +44,22 @@ def render_pass(scene: FlatScene, settings: RenderSettings, sample_start,
     n = w * h
     C = min(WAVEFRONT_CHUNK, n)
     pad = (-n) % C
-    pixel = jnp.arange(n + pad, dtype=jnp.uint32).reshape(-1, C)
+    pixels = np.arange(n + pad, dtype=np.uint32).reshape(-1, C)
 
-    def body(i, carry):
-        acc, rays = carry
-
-        def chunk(pix):
-            rad, r = trace_wave(scene, settings, pix,
-                                jnp.full(pix.shape, sample_start + i,
-                                         jnp.uint32),
-                                jnp.uint32(seed), with_stats=True)
-            # NaN guard (ref PathTracer returns diagnostic colors on NaN)
-            return jnp.where(jnp.isfinite(rad), rad, 0.0), r
-
-        rad, r = jax.lax.map(chunk, pixel)
-        return acc + rad.reshape(-1, 3)[:n], rays + jnp.sum(r)
-
-    acc, rays = jax.lax.fori_loop(
-        0, spp_chunk, body, (jnp.zeros((n, 3)), jnp.int32(0)))
-    return acc.reshape(h, w, 3), rays
+    acc = jnp.zeros((n + pad, 3))
+    rays = 0
+    outs = []
+    for i in range(spp_chunk):
+        for ci in range(pixels.shape[0]):
+            rad, r = _trace_chunk(scene, settings,
+                                  jnp.asarray(pixels[ci]),
+                                  np.uint32(int(sample_start) + i),
+                                  np.uint32(seed))
+            outs.append((ci, rad, r))
+    for ci, rad, r in outs:
+        acc = acc.at[ci * C:(ci + 1) * C].add(rad)
+        rays = rays + r
+    return acc[:n].reshape(h, w, 3), rays
 
 
 def render(scene: FlatScene, settings: RenderSettings, spp: int | None = None,
