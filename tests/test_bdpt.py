@@ -37,3 +37,27 @@ def test_bdpt_matches_pt(me):
     bd = _bdpt_image(scene, s, 192, me + 1, me)
     rel = np.abs(bd.mean((0, 1)) - pt.mean((0, 1))) / pt.mean((0, 1))
     assert rel.max() < 0.05, (bd.mean((0, 1)), pt.mean((0, 1)))
+
+
+def test_light_tracer_matches_pt():
+    """The adjoint particle tracer (splat-only) estimates the same
+    transport as the forward PT (ref light_tracer integrator)."""
+    scene, settings = load_flat_scene(SCENE)
+    me = 3
+    s_pt = replace(settings, width=32, height=18, max_bounces=me)
+    s_lt = replace(s_pt, integrator_type="light_tracer",
+                   bdpt_vertices=me + 1)
+    pt = render(scene, s_pt, spp=256, spp_chunk=128)
+    lt = render(scene, s_lt, spp=512, spp_chunk=128)
+    rel = np.abs(lt.mean((0, 1)) - pt.mean((0, 1))) / pt.mean((0, 1))
+    assert rel.max() < 0.08, (lt.mean((0, 1)), pt.mean((0, 1)))
+
+
+def test_bdpt_through_driver():
+    """render() dispatches bdpt by integrator_type and merges splats."""
+    scene, settings = load_flat_scene(SCENE)
+    s = replace(settings, width=16, height=9, max_bounces=2,
+                integrator_type="bidirectional_path_tracer",
+                bdpt_vertices=3)
+    img = render(scene, s, spp=8, spp_chunk=8)
+    assert np.isfinite(img).all() and img.mean() > 0

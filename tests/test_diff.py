@@ -24,6 +24,10 @@ def cornell():
     return scene, settings
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(1, 2))
 def _loss(scene, settings, n_pixels):
     pixel = jnp.arange(n_pixels, dtype=jnp.uint32)
     rad = trace_wave_diff(scene, settings, pixel,

@@ -106,3 +106,13 @@ def test_server_endpoints():
         assert b"hello" in log
     finally:
         httpd.shutdown()
+
+
+def test_exr_roundtrip(tmp_path):
+    """Pure-python EXR codec (ZIPS float32): write/read bit-exact."""
+    import numpy as np
+    from tungsten_tpu.io.image import load_hdr, save_hdr
+    img = (np.random.RandomState(7).rand(21, 34, 3) * 8).astype(np.float32)
+    p = str(tmp_path / "x.exr")
+    save_hdr(p, img)
+    np.testing.assert_array_equal(load_hdr(p), img)

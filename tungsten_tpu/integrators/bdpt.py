@@ -550,10 +550,14 @@ def _connect(scene, settings, cam, lig, root, s, t, R):
     return contrib, w, ok
 
 
-def _connect_lens(scene, settings, cam, lig, root, s, R, cam_pos):
+def _connect_lens(scene, settings, cam, lig, root, s, R, cam_pos,
+                  mis=True):
     """t=1: connect light vertex s-1 to the pinhole lens; returns
     (pixel, value, ok) for splatting.  The camera root is forced
-    connectable in its own strategy (ref misWeight's override)."""
+    connectable in its own strategy (ref misWeight's override).
+    mis=False gives the plain light-tracing estimator (every lens
+    connection at weight 1 — ref LightTracer.cpp:12-88, which has no
+    competing strategies)."""
     if s == 1:
         pl = root["q"]
         nl_ = root["n"]
@@ -603,6 +607,9 @@ def _connect_lens(scene, settings, cam, lig, root, s, R, cam_pos):
     occ = occluded(scene, pl + dw * EPSILON, dw, 0.0, dist * (1.0 - 1e-3))
     ok = ok & ~occ
 
+    if not mis:
+        return pix, val, ok
+
     # MIS: emitter side + a single connectable camera root entry
     pdf_conn_to_light = _area_pdf(pdf_dir, -dw, dist, nl_)
     e_f, e_r, e_c = _build_emitter_side(scene, cam, lig, root, s, R,
@@ -615,3 +622,32 @@ def _connect_lens(scene, settings, cam, lig, root, s, R, cam_pos):
     cn = jnp.stack(e_c + c_c, axis=1)
     w = _mis_weight(pf, pr, cn, s, 1)
     return pix, val * w[..., None], ok
+
+
+def trace_light(scene, settings, pixel, sample_idx, seed, max_vertices=8,
+                max_edges=None):
+    """Adjoint particle (light) tracer: one emitter subpath per entry,
+    every vertex connected to the lens and splatted — the reference's
+    light_tracer integrator (LightTracer.cpp:12-88, LightTraceIntegrator
+    .cpp:82-95), i.e. BDPT's t=1 family at MIS weight 1.
+    Returns (splat_pixels (R*S,), splat_values (R*S,3))."""
+    R = pixel.shape[0]
+    NV = max_vertices
+    ME = max_edges if max_edges is not None else 2 * NV
+    cam_pos = scene.cam_mat[:3, 3]
+
+    root = _sample_light_root(scene, settings, R, seed, pixel, sample_idx)
+    lig = _trace_subpath(scene, settings, root["q"] + root["d0"] * EPSILON,
+                         root["d0"], root["alpha_walk"], True,
+                         seed, pixel, sample_idx,
+                         LIGHT_WALK_DIM_OFFSET + 16, NV,
+                         root["pdf0_solid"], root["n"])
+    splat_pix, splat_val = [], []
+    for s in range(1, NV + 1):
+        if s > ME:
+            continue
+        pixv, val, ok = _connect_lens(scene, settings, None, lig, root, s,
+                                      R, cam_pos, mis=False)
+        splat_pix.append(jnp.where(ok, pixv, 0))
+        splat_val.append(jnp.where(ok[..., None], val, 0.0))
+    return jnp.concatenate(splat_pix), jnp.concatenate(splat_val)

@@ -36,6 +36,7 @@ from tungsten_tpu.bsdf.eval import (
     bsdf_eval, bsdf_forward, bsdf_pdf, bsdf_sample)
 from tungsten_tpu.cameras.camera import generate_rays
 from tungsten_tpu.integrators import lights as L
+from tungsten_tpu.media import grid as GR
 from tungsten_tpu.media import phase as PH
 from tungsten_tpu.media import transmittance as TR
 from tungsten_tpu.ops.intersect import bvh_intersect, occluded
@@ -61,16 +62,25 @@ def _has_forward_types(settings):
 
 # ---------------------------------------------------------------- media
 
-def _medium_tr(scene, med, seg_len, start_surf, end_surf):
+def _medium_tr(scene, settings, med, o, d, seg_len, start_surf, end_surf):
     """Transmittance of `seg_len` through medium index `med` (-1 = vacuum).
-    Infinite segments through a medium transmit 0 (ref
-    HomogeneousMedium::transmittance)."""
+    Heterogeneous media integrate the density along the segment (ref
+    VoxelMedium/ExponentialMedium::transmittance); infinite segments
+    through a homogeneous medium transmit 0 (HomogeneousMedium)."""
     m = jnp.clip(med, 0, scene.med_sigma_a.shape[0] - 1)
     sigma_t = scene.med_sigma_a[m] + scene.med_sigma_s[m]
-    tau = sigma_t * seg_len[..., None]
+    if any(k != GR.MED_HOMOGENEOUS for k in settings.med_kinds):
+        ut = GR.unit_tau(scene, settings, m, o, d, seg_len)
+    else:
+        ut = jnp.minimum(seg_len, INF)
+    tau = sigma_t * ut[..., None]
     tr = TR.eval_tr(scene.med_trans_type[m], tau, scene.med_trans_params[m],
                     start_surf, end_surf)
-    tr = jnp.where((seg_len >= INF)[..., None], 0.0, tr)
+    # ut is INF only where the density never falls off along an
+    # infinite segment; exp(-inf) underflows to 0 already, but guard
+    # NaNs from 0*inf in the law params
+    tr = jnp.where(jnp.isfinite(tr), tr, 0.0)
+    tr = jnp.where(((seg_len >= INF) & (ut >= INF))[..., None], 0.0, tr)
     return jnp.where((med >= 0)[..., None], tr, 1.0)
 
 
@@ -166,8 +176,8 @@ def _shadow_transmittance(scene, settings, o, d, dist, medium,
         tr = s["tr"]
         if settings.has_media:
             end_surf = did_hit | jnp.ones_like(did_hit)  # light end = surface
-            seg_tr = _medium_tr(scene, s["med"], seg, s["start_surf"],
-                                end_surf)
+            seg_tr = _medium_tr(scene, settings, s["med"], s["o"], d, seg,
+                                s["start_surf"], end_surf)
             tr = tr * jnp.where(s["active"][..., None], seg_tr, 1.0)
 
         # surface crossing: must be a forward-lobe surface
@@ -495,31 +505,62 @@ def _make_bounce_body(scene, settings, pixel, sample_idx, seed,
             sigma_tc = jnp.take_along_axis(sigma_t, comp[..., None],
                                            axis=-1)[..., 0]
             t_law = TR.sample_distance(tt, tp, s["med_first"], u_d, u_e)
-            t_m = t_law / jnp.maximum(sigma_tc, 1e-20)
             max_t = jnp.where(s["hit"], s["t"], INF)
-            exited = (t_m >= max_t) | absorb_only
+            het = any(k != GR.MED_HOMOGENEOUS for k in settings.med_kinds)
+            if het:
+                # heterogeneous: invert the unit optical depth
+                # (ref VoxelMedium/ExponentialMedium::sampleDistance)
+                tau_c = t_law / jnp.maximum(sigma_tc, 1e-20)
+                t_m, rho, tau_tot = GR.inverse_unit_tau(
+                    scene, settings, mi, s["o"], s["d"], max_t, tau_c)
+                exited = (t_m >= max_t) | absorb_only
+                ut_used = jnp.where(exited, tau_tot, tau_c)
+                rho = jnp.where(exited, 1.0, rho)[..., None]
+            else:
+                t_m = t_law / jnp.maximum(sigma_tc, 1e-20)
+                exited = (t_m >= max_t) | absorb_only
+                ut_used = jnp.minimum(jnp.where(absorb_only, max_t, t_m),
+                                      max_t)
+                rho = 1.0
             t_s = jnp.minimum(jnp.where(absorb_only, max_t, t_m), max_t)
-            tau = sigma_t * t_s[..., None]
+            tau = sigma_t * ut_used[..., None]
             sbar = TR.sigma_bar(tt, tp)
             w_exit = TR.eval_tr(tt, tau, tp, s["med_first"],
                                 jnp.ones_like(exited))
             p_exit = jnp.mean(
                 TR.surface_probability(tt, tau, tp, s["med_first"]), axis=-1)
-            w_scat = TR.eval_tr(tt, tau, tp, s["med_first"],
-                                jnp.zeros_like(exited)) * sigma_s * \
-                sbar[..., None]
+            tr_med = TR.eval_tr(tt, tau, tp, s["med_first"],
+                                jnp.zeros_like(exited))
+            w_scat = tr_med * rho * sigma_s * sbar[..., None]
             p_scat = jnp.mean(
-                sigma_t * TR.medium_pdf(tt, tau, tp, s["med_first"]), axis=-1)
+                rho * sigma_t * TR.medium_pdf(tt, tau, tp, s["med_first"]),
+                axis=-1)
             w = jnp.where(exited[..., None], w_exit, w_scat) / \
                 jnp.maximum(jnp.where(exited, p_exit, p_scat), 1e-20)[..., None]
             # absorption-only media skip the MC division (pdf 1, ref :76-82)
             w = jnp.where(absorb_only[..., None],
                           TR.eval_tr(tt, tau, tp, s["med_first"],
                                      jnp.ones_like(exited)), w)
+            # volumetric emission at the scatter point (ref
+            # PathTracer.cpp:56, VoxelMedium.cpp:142: grid emission *
+            # Tr / pdf, credited before the weight multiplies in)
+            if het and len(scene.grid_density) > 0:
+                p_scatter = s["o"] + s["d"] * t_s[..., None]
+                e_med = GR.emission(scene, settings, mi, p_scatter) * \
+                    tr_med / jnp.maximum(p_scat, 1e-20)[..., None]
+                emission = emission + jnp.where(
+                    (in_med & ~exited)[..., None],
+                    throughput * e_med, 0.0)
             throughput = jnp.where(in_med[..., None], throughput * w,
                                    throughput)
-            # absorption-only + no surface = the ray dies in the fog
+            # absorption-only + no surface: a homogeneous fog extends to
+            # infinity (weight 0, ref HomogeneousMedium early-out); a
+            # bounded/falling-off heterogeneous medium still lets the
+            # attenuated ray escape to the environment
             died_in_fog = in_med & absorb_only & ~s["hit"]
+            if het:
+                died_in_fog = died_in_fog & \
+                    (scene.med_kind[mi] == GR.MED_HOMOGENEOUS)
             # medium max-bounce cap (ref Medium::_maxBounce)
             over_bounce = in_med & (s["med_bounce"] >
                                     scene.med_max_bounce[mi])

@@ -1,0 +1,240 @@
+"""Heterogeneous media: dense voxel grids + analytic exponential falloff.
+
+TPU-native counterpart of ref src/core/media/VoxelMedium.cpp and
+ExponentialMedium.cpp plus the Grid abstraction (src/core/grids/Grid.hpp,
+VdbGrid.hpp:16-44).  Design decisions vs the reference:
+
+  * Grids live on device as dense (nx,ny,nz) float32 arrays with an
+    affine world->index transform per grid; the reference's sparse VDB
+    topology becomes a dense padded brick (SURVEY §2.7 "VDB -> dense/
+    padded brick grid arrays on device").  Lookups are trilinear gathers
+    (8 taps) — branchless, VPU-friendly.
+  * Optical depth (ref VdbGrid exact_linear integration,
+    VdbGrid.hpp:16-44) is a fixed-count midpoint raymarch over the
+    ray∩grid segment: static trip count keeps the wavefront jittable
+    (no data-dependent loop bounds), slight quadrature bias vs the
+    exact per-cell linear integral is documented and tested against
+    analytic grids.
+  * Distance sampling inverts the unit optical depth by the same march
+    (masked running accumulation + linear interpolation inside the
+    crossing step) — the batched equivalent of
+    VdbGrid::inverseOpticalDepth.
+  * The exponential medium's closed forms (ExponentialMedium.cpp:
+    densityIntegral / inverseOpticalDepth, lines 85-104) stay analytic.
+
+Medium kinds (FlatScene.med_kind):
+  0 = homogeneous   (density 1 everywhere; handled on the fast path)
+  1 = exponential   (analytic, med_exp_params)
+  2 = voxel         (dense grid, med_grid indexes FlatScene.grid_*)
+
+med_exp_params layout (M,8): [falloff_scale, unit_point xyz,
+falloff_direction xyz (unit), pad].
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+MED_HOMOGENEOUS = 0
+MED_EXPONENTIAL = 1
+MED_VOXEL = 2
+
+INF = jnp.float32(3.0e38)
+
+
+# ------------------------------------------------------------- trilinear
+
+def trilinear(grid, p):
+    """Trilinear sample of a dense grid at index-space points.
+    grid: (nx,ny,nz) or (nx,ny,nz,C); p: (R,3) index coords. Points
+    outside [0, n-1] clamp (the flatten step zero-pads one border voxel
+    so clamping reads zero density outside the active region)."""
+    n = jnp.asarray(grid.shape[:3], jnp.float32)
+    p = jnp.clip(p, 0.0, n - 1.0 - 1e-4)
+    i0 = jnp.floor(p).astype(jnp.int32)
+    f = p - i0
+    i1 = jnp.minimum(i0 + 1, jnp.asarray(grid.shape[:3], jnp.int32) - 1)
+
+    def tap(ix, iy, iz):
+        return grid[ix, iy, iz]
+
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    if grid.ndim == 4:
+        fx, fy, fz = fx[..., None], fy[..., None], fz[..., None]
+    c00 = tap(i0[..., 0], i0[..., 1], i0[..., 2]) * (1 - fx) + \
+        tap(i1[..., 0], i0[..., 1], i0[..., 2]) * fx
+    c10 = tap(i0[..., 0], i1[..., 1], i0[..., 2]) * (1 - fx) + \
+        tap(i1[..., 0], i1[..., 1], i0[..., 2]) * fx
+    c01 = tap(i0[..., 0], i0[..., 1], i1[..., 2]) * (1 - fx) + \
+        tap(i1[..., 0], i0[..., 1], i1[..., 2]) * fx
+    c11 = tap(i0[..., 0], i1[..., 1], i1[..., 2]) * (1 - fx) + \
+        tap(i1[..., 0], i1[..., 1], i1[..., 2]) * fx
+    c0 = c00 * (1 - fy) + c10 * fy
+    c1 = c01 * (1 - fy) + c11 * fy
+    return c0 * (1 - fz) + c1 * fz
+
+
+def _to_grid(scene, g, p):
+    """World point (R,3) -> index coords of grid g (static index)."""
+    m = scene.grid_w2g[g]
+    return p @ m[:, :3].T + m[:, 3]
+
+
+def _grid_segment(scene, g, o, d, t_max):
+    """Clip world-space rays to grid g's bounds. Returns (t0, t1) world
+    parameters with t1<=t_max; empty segments have t1<=t0."""
+    m = scene.grid_w2g[g]
+    og = o @ m[:, :3].T + m[:, 3]
+    dg = d @ m[:, :3].T
+    dims = jnp.asarray(scene.grid_density[g].shape[:3], jnp.float32) - 1.0
+    inv = 1.0 / jnp.where(jnp.abs(dg) < 1e-12,
+                          jnp.where(dg >= 0, 1e-12, -1e-12), dg)
+    ta = (0.0 - og) * inv
+    tb = (dims - og) * inv
+    t0 = jnp.max(jnp.minimum(ta, tb), axis=-1)
+    t1 = jnp.min(jnp.maximum(ta, tb), axis=-1)
+    t0 = jnp.maximum(t0, 0.0)
+    t1 = jnp.minimum(t1, t_max)
+    return t0, t1
+
+
+# -------------------------------------------------- exponential (analytic)
+
+def _exp_xdx(scene, mi, o, d):
+    prm = scene.med_exp_params[mi]
+    fs = prm[..., 0]
+    up = prm[..., 1:4]
+    fd = prm[..., 4:7]
+    x = fs * jnp.sum((o - up) * fd, axis=-1)
+    dx = fs * jnp.sum(d * fd, axis=-1)
+    return x, dx
+
+
+def _exp_density_integral(x, dx, t_max):
+    """ref ExponentialMedium::densityIntegral (lines 85-93)."""
+    ex = jnp.exp(-x)
+    inf_case = ex / jnp.where(jnp.abs(dx) < 1e-12, 1e-12, dx)
+    zero_case = ex * t_max
+    safe_t = jnp.where(t_max >= INF, 0.0, t_max)
+    gen_case = (ex - jnp.exp(-dx * safe_t - x)) / \
+        jnp.where(jnp.abs(dx) < 1e-12, 1e-12, dx)
+    out = jnp.where(jnp.abs(dx) < 1e-12, zero_case, gen_case)
+    return jnp.where(t_max >= INF, jnp.where(dx > 0, inf_case, INF), out)
+
+
+def _exp_inverse(x, dx, tau):
+    """ref ExponentialMedium::inverseOpticalDepth (lines 95-104)."""
+    lin = tau / jnp.maximum(jnp.exp(-x), 1e-30)
+    denom = 1.0 - dx * jnp.exp(x) * tau
+    gen = jnp.where(denom <= 0.0, INF,
+                    -jnp.log(jnp.maximum(denom, 1e-30)) /
+                    jnp.where(jnp.abs(dx) < 1e-12, 1e-12, dx))
+    return jnp.where(jnp.abs(dx) < 1e-12, lin, gen)
+
+
+# --------------------------------------------------------- dispatch layer
+
+def density(scene, settings, mi, p):
+    """Normalized density rho(p) per-ray; mi (R,) clipped medium index."""
+    kind = scene.med_kind[mi]
+    rho = jnp.ones(p.shape[:-1], jnp.float32)
+    if any(k == MED_EXPONENTIAL for k in settings.med_kinds):
+        x, _ = _exp_xdx(scene, mi, p, jnp.zeros_like(p))
+        rho = jnp.where(kind == MED_EXPONENTIAL, jnp.exp(-x), rho)
+    for g in range(len(scene.grid_density)):
+        sel = (kind == MED_VOXEL) & (scene.med_grid[mi] == g)
+        rho_g = trilinear(scene.grid_density[g], _to_grid(scene, g, p))
+        rho = jnp.where(sel, rho_g, rho)
+    return rho
+
+
+def emission(scene, settings, mi, p):
+    """Volumetric emission at p (R,3); zero for non-voxel media."""
+    out = jnp.zeros(p.shape, jnp.float32)
+    kind = scene.med_kind[mi]
+    for g in range(len(scene.grid_density)):
+        em = scene.grid_emission[g]
+        if em.shape[0] == 0:
+            continue
+        sel = (kind == MED_VOXEL) & (scene.med_grid[mi] == g)
+        e_g = trilinear(em, _to_grid(scene, g, p))
+        out = jnp.where(sel[..., None], e_g, out)
+    return out
+
+
+def unit_tau(scene, settings, mi, o, d, t_max):
+    """∫0^t_max rho dt per ray (world measure).  Homogeneous media
+    return t_max itself (rho = 1)."""
+    kind = scene.med_kind[mi]
+    tau = jnp.minimum(t_max, INF)
+    if any(k == MED_EXPONENTIAL for k in settings.med_kinds):
+        x, dx = _exp_xdx(scene, mi, o, d)
+        tau = jnp.where(kind == MED_EXPONENTIAL,
+                        _exp_density_integral(x, dx, t_max), tau)
+    for g in range(len(scene.grid_density)):
+        sel = (kind == MED_VOXEL) & (scene.med_grid[mi] == g)
+        t0, t1 = _grid_segment(scene, g, o, d, jnp.minimum(t_max, INF))
+        seg = jnp.maximum(t1 - t0, 0.0)
+        n = settings.grid_steps
+        dt = seg / n
+        ts = t0[..., None] + (jnp.arange(n, dtype=jnp.float32) + 0.5) * \
+            dt[..., None]
+        pts = o[..., None, :] + d[..., None, :] * ts[..., None]
+        rho = trilinear(scene.grid_density[g],
+                        _to_grid(scene, g, pts.reshape(-1, 3))
+                        ).reshape(ts.shape)
+        tau_g = jnp.sum(rho, axis=-1) * dt
+        tau = jnp.where(sel, tau_g, tau)
+    return tau
+
+
+def inverse_unit_tau(scene, settings, mi, o, d, t_max, tau_c):
+    """Invert ∫ rho dt = tau_c along the ray.  Returns (t, rho_at_t,
+    tau_total) where rays that never reach tau_c within [0, t_max∩grid]
+    get t = INF and tau_total = the full segment's optical depth
+    (batched VdbGrid::inverseOpticalDepth / ExponentialMedium::
+    inverseOpticalDepth semantics)."""
+    kind = scene.med_kind[mi]
+    # homogeneous: t = tau_c directly
+    t_out = tau_c
+    rho_out = jnp.ones_like(tau_c)
+    tau_tot = jnp.minimum(t_max, INF)
+
+    if any(k == MED_EXPONENTIAL for k in settings.med_kinds):
+        x, dx = _exp_xdx(scene, mi, o, d)
+        t_e = _exp_inverse(x, dx, tau_c)
+        rho_e = jnp.exp(-(x + dx * jnp.minimum(t_e, t_max)))
+        tot_e = _exp_density_integral(x, dx, t_max)
+        is_e = kind == MED_EXPONENTIAL
+        t_out = jnp.where(is_e, t_e, t_out)
+        rho_out = jnp.where(is_e, rho_e, rho_out)
+        tau_tot = jnp.where(is_e, tot_e, tau_tot)
+
+    for g in range(len(scene.grid_density)):
+        sel = (kind == MED_VOXEL) & (scene.med_grid[mi] == g)
+        t0, t1 = _grid_segment(scene, g, o, d, jnp.minimum(t_max, INF))
+        seg = jnp.maximum(t1 - t0, 0.0)
+        n = settings.grid_steps
+        dt = seg / n
+
+        def step(i, carry):
+            tau_acc, t_hit, rho_hit, found = carry
+            tm = t0 + (i + 0.5) * dt
+            p = o + d * tm[..., None]
+            rho = trilinear(scene.grid_density[g], _to_grid(scene, g, p))
+            new_tau = tau_acc + rho * dt
+            crosses = (~found) & (new_tau >= tau_c)
+            # linear interpolation within the step
+            frac = (tau_c - tau_acc) / jnp.maximum(rho * dt, 1e-30)
+            t_c = t0 + i * dt + jnp.clip(frac, 0.0, 1.0) * dt
+            t_hit = jnp.where(crosses, t_c, t_hit)
+            rho_hit = jnp.where(crosses, rho, rho_hit)
+            return new_tau, t_hit, rho_hit, found | crosses
+
+        init = (jnp.zeros_like(tau_c), jnp.full_like(tau_c, INF),
+                jnp.zeros_like(tau_c), jnp.zeros(tau_c.shape, bool))
+        tau_g, t_g, rho_g, found = jax.lax.fori_loop(0, n, step, init)
+        t_out = jnp.where(sel, t_g, t_out)
+        rho_out = jnp.where(sel, rho_g, rho_out)
+        tau_tot = jnp.where(sel, tau_g, tau_tot)
+    return t_out, rho_out, tau_tot

@@ -37,6 +37,45 @@ def _trace_chunk(scene: FlatScene, settings: RenderSettings, pixel,
     return jnp.where(jnp.isfinite(rad), rad, 0.0), r
 
 
+@functools.partial(jax.jit, static_argnames=("settings", "n_total"))
+def _trace_chunk_splat(scene: FlatScene, settings: RenderSettings, pixel,
+                       sample_idx, seed, n_total):
+    """One chunk of a splat-capable integrator (bdpt / light_tracer):
+    returns (per-pixel radiance (R,3), full-frame splat sum (n_total,3),
+    rays).  Splats scatter-add on device — the functional counterpart of
+    the reference's AtomicFramebuffer CAS loop
+    (src/core/cameras/AtomicFramebuffer.hpp:26-89)."""
+    from tungsten_tpu.integrators.bdpt import trace_bdpt, trace_light
+
+    R = pixel.shape[0]
+    sample = jnp.full((R,), sample_idx, jnp.uint32)
+    if settings.integrator_type == "light_tracer":
+        rad = jnp.zeros((R, 3))
+        spix, sval = trace_light(scene, settings, pixel, sample,
+                                 jnp.uint32(seed),
+                                 max_vertices=settings.bdpt_vertices,
+                                 max_edges=settings.max_bounces)
+        rays = R * settings.bdpt_vertices * 2
+    else:
+        rad, spix, sval = trace_bdpt(scene, settings, pixel, sample,
+                                     jnp.uint32(seed),
+                                     max_vertices=settings.bdpt_vertices,
+                                     max_edges=settings.max_bounces)
+        rays = R * settings.bdpt_vertices * (settings.bdpt_vertices + 2)
+    rad = jnp.where(jnp.isfinite(rad), rad, 0.0)
+    sval = jnp.where(jnp.isfinite(sval), sval, 0.0)
+    # chunk padding: entries with pixel >= n_total are duplicates that
+    # must not emit light paths (their per-pixel radiance rows are
+    # sliced off by the caller, but splats land in-frame)
+    if spix.shape[0] > 0:
+        reps = spix.shape[0] // R
+        valid = jnp.tile(pixel < n_total, reps)
+        sval = jnp.where(valid[..., None], sval, 0.0)
+    splat = jnp.zeros((n_total, 3)).at[
+        jnp.clip(spix, 0, n_total - 1)].add(sval)
+    return rad, splat, jnp.int32(rays)
+
+
 def render_pass(scene: FlatScene, settings: RenderSettings, sample_start,
                 seed, spp_chunk: int = 1):
     """Render spp_chunk samples per pixel; returns ((H, W, 3) sum, rays)."""
@@ -45,19 +84,29 @@ def render_pass(scene: FlatScene, settings: RenderSettings, sample_start,
     C = min(WAVEFRONT_CHUNK, n)
     pad = (-n) % C
     pixels = np.arange(n + pad, dtype=np.uint32).reshape(-1, C)
+    splatting = settings.integrator_type in (
+        "bidirectional_path_tracer", "light_tracer")
 
     acc = jnp.zeros((n + pad, 3))
     rays = 0
     outs = []
     for i in range(spp_chunk):
         for ci in range(pixels.shape[0]):
-            rad, r = _trace_chunk(scene, settings,
-                                  jnp.asarray(pixels[ci]),
-                                  np.uint32(int(sample_start) + i),
-                                  np.uint32(seed))
-            outs.append((ci, rad, r))
-    for ci, rad, r in outs:
+            if splatting:
+                rad, splat, r = _trace_chunk_splat(
+                    scene, settings, jnp.asarray(pixels[ci]),
+                    np.uint32(int(sample_start) + i), np.uint32(seed), n)
+                outs.append((ci, rad, r, splat))
+            else:
+                rad, r = _trace_chunk(scene, settings,
+                                      jnp.asarray(pixels[ci]),
+                                      np.uint32(int(sample_start) + i),
+                                      np.uint32(seed))
+                outs.append((ci, rad, r, None))
+    for ci, rad, r, splat in outs:
         acc = acc.at[ci * C:(ci + 1) * C].add(rad)
+        if splat is not None:
+            acc = acc.at[:n].add(splat)
         rays = rays + r
     return acc[:n].reshape(h, w, 3), rays
 

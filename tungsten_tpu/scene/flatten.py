@@ -101,6 +101,13 @@ class FlatScene:
     med_trans_type: Any  # (M,) i32
     med_trans_params: Any  # (M,4)
     med_max_bounce: Any  # (M,) i32
+    # --- heterogeneous media (ref VoxelMedium/ExponentialMedium) ---
+    med_kind: Any        # (M,) i32: 0 homogeneous / 1 exponential / 2 voxel
+    med_grid: Any        # (M,) i32 grid index for voxel media, else -1
+    med_exp_params: Any  # (M,8): falloff_scale, unit_point(3), falloff_dir(3)
+    grid_density: Any    # tuple of (nx,ny,nz) f32 (zero-padded border)
+    grid_emission: Any   # tuple of (nx,ny,nz,3) f32 ((0,0,0,3) if none)
+    grid_w2g: Any        # (G,3,4) world -> grid-index affine
     prim_int_medium: Any  # (P,) i32, -1 = none
     prim_ext_medium: Any  # (P,) i32
     cam_medium: Any      # () i32
@@ -146,6 +153,10 @@ class RenderSettings:
     has_media: bool = False
     num_caps: int = 0
     has_points: bool = False
+    med_kinds: tuple = ()    # medium kinds present (grid.MED_*)
+    grid_steps: int = 96     # raymarch steps for voxel optical depth
+    integrator_type: str = "path_tracer"
+    bdpt_vertices: int = 8   # per-subpath vertex cap for bdpt/light_tracer
 
 
 _UNIT_QUAD_UV = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
@@ -218,6 +229,68 @@ def _cube_tris(m):
             np.asarray(normals, np.float32), np.asarray(tris, np.int32))
 
 
+def _load_grid(g: dict, resolve_path):
+    """Load a density grid spec -> (density (padded), emission|None, w2g).
+
+    Supported specs:
+      {"type": "dense", "file": "x.npy" | "data": [[[...]]],
+       "emission_file"/"emission_data": ..., "density_scale": s,
+       "emission_scale": s, "scale_emission_by_density": bool,
+       "transform": {...}}  — the transform maps the local unit cube
+       [-0.5, 0.5]^3 onto the world (same convention as primitives).
+      {"type": "vdb", ...}  — requires an OpenVDB reader; not available
+       in this environment (re-export as .npy dense and use "dense").
+
+    The returned density grid is zero-padded by one voxel per side so
+    clamped trilinear lookups read zero outside the active region; w2g
+    maps world points to padded index coordinates.
+    (ref: src/core/grids/VdbGrid.hpp:16-44 — the sparse VDB tree becomes
+    a dense device brick per SURVEY §2.7.)
+    """
+    gtype = g.get("type", "dense")
+    if gtype == "vdb":
+        raise NotImplementedError(
+            "OpenVDB grids: no VDB reader is available in this build "
+            "(pyopenvdb not installed). Re-export the grid as a dense "
+            ".npy volume and reference it as "
+            '{"type": "dense", "file": "grid.npy", ...}.')
+    if gtype != "dense":
+        raise NotImplementedError(f"grid type not supported: {gtype}")
+
+    if "data" in g:
+        dens = np.asarray(g["data"], np.float32)
+    else:
+        dens = np.load(resolve_path(g["file"])).astype(np.float32)
+    if dens.ndim != 3 or min(dens.shape) < 2:
+        raise ValueError("dense grid must be (nx,ny,nz) with n >= 2")
+    dens = dens * float(g.get("density_scale", 1.0))
+
+    emis = None
+    if "emission_data" in g or "emission_file" in g:
+        if "emission_data" in g:
+            emis = np.asarray(g["emission_data"], np.float32)
+        else:
+            emis = np.load(resolve_path(g["emission_file"])).astype(
+                np.float32)
+        if emis.ndim == 3:
+            emis = np.repeat(emis[..., None], 3, axis=-1)
+        emis = emis * float(g.get("emission_scale", 1.0))
+        if g.get("scale_emission_by_density", False):
+            emis = emis * dens[..., None]
+        emis = np.pad(emis, ((1, 1), (1, 1), (1, 1), (0, 0)))
+
+    n = np.asarray(dens.shape, np.float64)
+    dens = np.pad(dens, 1)
+
+    m = xform.parse_transform(g.get("transform"))
+    minv = np.linalg.inv(m)
+    # index = (local + 0.5) * (n - 1) + 1  (padded by one voxel)
+    a = (n - 1)[:, None] * minv[:3, :3]
+    b = (minv[:3, 3] + 0.5) * (n - 1) + 1.0
+    w2g = np.concatenate([a, b[:, None]], axis=1).astype(np.float32)
+    return dens, emis, w2g
+
+
 def _build_env_distribution(img: np.ndarray):
     """Luminance*sin(theta) weights with 3-wide max dilation in u and v,
     per-row + marginal CDFs — matches BitmapTexture::makeSamplable
@@ -264,14 +337,47 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
             return [float(v)] * 3
         return [float(x) for x in v]
 
+    from tungsten_tpu.media.grid import (
+        MED_EXPONENTIAL, MED_HOMOGENEOUS, MED_VOXEL)
+    MED_KINDS = {"homogeneous": MED_HOMOGENEOUS,
+                 "exponential": MED_EXPONENTIAL,
+                 "voxel": MED_VOXEL}
+
     med_sigma_a, med_sigma_s = [], []
     med_phase, med_g = [], []
     med_trans_type, med_trans_params, med_max_bounce = [], [], []
+    med_kind, med_grid_idx, med_exp_params = [], [], []
+    grid_density, grid_emission, grid_w2g = [], [], []
     for m in desc.media:
-        if m.get("type", "homogeneous") != "homogeneous":
+        mtype = m.get("type", "homogeneous")
+        if mtype not in MED_KINDS:
             raise NotImplementedError(
-                f"medium type not yet supported: {m.get('type')}")
-        density = float(m.get("density", 1.0))
+                f"medium type not yet supported: {mtype}")
+        kind = MED_KINDS[mtype]
+        med_kind.append(kind)
+        # homogeneous/exponential scale material cross-sections by the
+        # scalar density (ref HomogeneousMedium/ExponentialMedium
+        # prepareForRender); voxel grids carry density spatially.
+        density = float(m.get("density", 1.0)) if kind != MED_VOXEL else 1.0
+        ep = [0.0] * 8
+        if kind == MED_EXPONENTIAL:
+            ep[0] = float(m.get("falloff_scale", 1.0))
+            ep[1:4] = vec3(m.get("unit_point", 0.0))
+            fd = np.asarray(vec3(m.get("falloff_direction", [0, 1, 0])),
+                            np.float64)
+            fd = fd / max(np.linalg.norm(fd), 1e-20)
+            ep[4:7] = [float(x) for x in fd]
+        med_exp_params.append(ep)
+        if kind == MED_VOXEL:
+            dens, emis, w2g = _load_grid(m["grid"], desc.resolve_path)
+            med_grid_idx.append(len(grid_density))
+            grid_density.append(dens)
+            grid_emission.append(
+                emis if emis is not None
+                else np.zeros((0, 0, 0, 3), np.float32))
+            grid_w2g.append(w2g)
+        else:
+            med_grid_idx.append(-1)
         med_sigma_a.append([density * x for x in vec3(m.get("sigma_a"))])
         med_sigma_s.append([density * x for x in vec3(m.get("sigma_s"))])
         ph = m.get("phase_function", {"type": "isotropic"})
@@ -594,6 +700,8 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         has_media=num_media > 0,
         num_caps=len(caps),
         has_points=len(points) > 0,
+        med_kinds=tuple(sorted(set(med_kind))),
+        integrator_type=integ.get("type", "path_tracer"),
     )
 
     tex_type, tex_const, tex_params, tex_bitmap_id, bitmaps = textures.finalize()
@@ -642,6 +750,13 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         med_trans_params=dev(np.asarray(med_trans_params,
                                         np.float32).reshape(-1, 4)),
         med_max_bounce=dev(np.asarray(med_max_bounce, np.int32)),
+        med_kind=dev(np.asarray(med_kind, np.int32)),
+        med_grid=dev(np.asarray(med_grid_idx, np.int32)),
+        med_exp_params=dev(np.asarray(med_exp_params,
+                                      np.float32).reshape(-1, 8)),
+        grid_density=tuple(dev(gd) for gd in grid_density),
+        grid_emission=tuple(dev(ge) for ge in grid_emission),
+        grid_w2g=dev(np.asarray(grid_w2g, np.float32).reshape(-1, 3, 4)),
         prim_int_medium=dev(np.asarray(prim_int_med, np.int32)),
         prim_ext_medium=dev(np.asarray(prim_ext_med, np.int32)),
         cam_medium=dev(np.int32(cam.get("medium_index")
