@@ -61,3 +61,37 @@ def test_bdpt_through_driver():
                 bdpt_vertices=3)
     img = render(scene, s, spp=8, spp_chunk=8)
     assert np.isfinite(img).all() and img.mean() > 0
+
+
+VOLCAUSTIC = ("/root/reference/data/example-scenes/volumetric-caustic/"
+              "scene.json")
+
+
+@pytest.mark.parametrize("me", [2, 3])
+def test_bdpt_media_matches_pt(me):
+    """Medium path vertices: the BDPT estimator with medium vertices,
+    edge medium pdfs in MIS, forward-wall collapse and generalized-shadow
+    connections agrees with the forward volumetric PT on the
+    volumetric-caustic fixture (homogeneous isotropic medium + dielectric
+    sphere + forward front wall)."""
+    scene, settings = load_flat_scene(VOLCAUSTIC)
+    s = replace(settings, width=24, height=14, max_bounces=me)
+    pt = render(scene, s, spp=256, spp_chunk=64)
+    bd = _bdpt_image_scene(scene, s, 64, me + 1, me)
+    rel = np.abs(bd.mean((0, 1)) - pt.mean((0, 1))) / pt.mean((0, 1))
+    assert rel.max() < 0.06, (bd.mean((0, 1)), pt.mean((0, 1)))
+
+
+def _bdpt_image_scene(scene, s, spp, nv, me, seed=7):
+    n = s.width * s.height
+    pixel = jnp.arange(n, dtype=jnp.uint32)
+    f = jax.jit(lambda p, si: trace_bdpt(scene, s, p, si, jnp.uint32(seed),
+                                         max_vertices=nv, max_edges=me))
+    acc = np.zeros((n, 3))
+    splat = np.zeros((n, 3))
+    for k in range(spp):
+        rad, spix, sval = f(pixel, jnp.full(n, k, jnp.uint32))
+        acc += np.where(np.isfinite(rad), np.asarray(rad), 0)
+        np.add.at(splat, np.asarray(spix),
+                  np.where(np.isfinite(sval), np.asarray(sval), 0))
+    return ((acc + splat) / spp).reshape(s.height, s.width, 3)

@@ -55,6 +55,8 @@ def render_scene(path, args):
         sjson = json.load(f)
     rjson = sjson.get("renderer", {})
     out_dir = args.output_directory or os.path.dirname(path)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
     output_file = args.output_file or rjson.get("output_file",
                                                 "TungstenRender.png")
     hdr_output = args.hdr_output_file or rjson.get("hdr_output_file")

@@ -1,5 +1,6 @@
 """Bidirectional path tracer: wavefront SoA subpaths + all (s,t)
-connection strategies with balance-heuristic MIS.
+connection strategies with balance-heuristic MIS, including media
+(medium path vertices) and forward-surface collapse.
 
 TPU-native re-design of ref src/core/integrators/bidirectional_path_tracer/
 (LightPath.hpp/cpp, PathVertex.cpp): camera and emitter subpaths are
@@ -8,14 +9,29 @@ every (s,t) strategy is evaluated as a masked wavefront computation with
 one visibility traversal per strategy; t=1 lens connections scatter-add
 into a splat buffer, exactly the AtomicFramebuffer pattern.
 
-MIS parity: the balance heuristic computed from forward/backward
-area-measure pdf ratio products, with Dirac (specular) vertices excluded
-from the connectable set — the ratio recursion mirrors
-LightPath::misWeight (LightPath.cpp:96-180).
+MIS parity (mirrors LightPath::misWeight + toAreaMeasure,
+LightPath.cpp:32-180):
+  * vertex pdf_fwd/pdf_rev are stored in AREA measure and already include
+    the medium distance pdfs of their edge (toAreaMeasure step 2:
+    `vertices[i].pdfForward() *= edges[i-1].pdfForward`) and the cosine
+    at the vertex -- cosineFactor is |Ng.d| for surfaces and 1 for medium
+    vertices (PathVertex.cpp cosineFactor).
+  * forward-lobe surfaces (transparency, `forward`, thinsheet) are
+    collapsed out of the path online: the crossing's discrete probability
+    and the medium pdfs of the crossed sub-segments fold into the
+    surviving edge, and the sub-segment lengths add (toAreaMeasure
+    step 1).  The collapse here happens during the walk instead of in a
+    post-pass, so the stored vertex arrays stay dense.
+  * connections use generalized shadow rays that also accumulate
+    forward/backward medium pdf products for the connecting edge
+    (TraceBase::generalizedShadowRayAndPdfs, TraceBase.cpp:62-142).
+  * Dirac (specular) vertices are excluded from the connectable set;
+    medium vertices are connectable (no Dirac phase functions).
 
-Round-1 scope: surfaces only (no media vertices), pinhole camera, area
-lights.  The estimator is validated by equivalence with the forward path
-tracer (both estimate the same transport).
+Media scope: homogeneous media (the volumetric-caustic fixture);
+heterogeneous grids are treated by their homogeneous sigma values.
+Round-1 scope otherwise: pinhole camera, area lights, no envmap in the
+BDPT estimator.
 """
 from __future__ import annotations
 
@@ -23,10 +39,14 @@ import jax
 import jax.numpy as jnp
 
 from tungsten_tpu.bsdf.eval import (
-    FLAG_SPECULAR, FLAG_VALID, ShadePoint, bsdf_eval, bsdf_pdf, bsdf_sample)
+    FLAG_SPECULAR, FLAG_VALID, ShadePoint, bsdf_eval, bsdf_forward,
+    bsdf_pdf, bsdf_sample)
 from tungsten_tpu.cameras.camera import generate_rays
 from tungsten_tpu.integrators.path_tracer import (
-    EPSILON, INF, _expand_hit, _hit_prim)
+    EPSILON, INF, _expand_hit, _has_forward_types, _hit_prim, _hit_uv_bsdf,
+    _select_medium)
+from tungsten_tpu.media import phase as PH
+from tungsten_tpu.media import transmittance as TR
 from tungsten_tpu.ops.intersect import bvh_intersect, occluded
 from tungsten_tpu.utils import rng
 from tungsten_tpu.utils import vecmath as vm
@@ -35,6 +55,8 @@ from tungsten_tpu.utils import vecmath as vm
 # camera subpath uses the standard camera dims + per-bounce blocks;
 # light subpath uses an offset block so the two walks are decorrelated.
 LIGHT_WALK_DIM_OFFSET = 4096
+FWD_HOP_BUDGET = 4   # extra walk iterations for collapsed forward hops
+MAX_CONN_HOPS = 6    # forward-surface crossings a connection ray may pass
 
 
 def _area_pdf(pdf_solid, d, dist, n_at):
@@ -43,20 +65,232 @@ def _area_pdf(pdf_solid, d, dist, n_at):
     return pdf_solid * cos_next / jnp.maximum(dist * dist, 1e-20)
 
 
-def _trace_subpath(scene, settings, o0, d0, alpha0, adjoint, seed, pixel,
-                   sample_idx, dim_base, nv, pdf0_solid, n0):
-    """Random walk storing per-vertex SoA arrays.
+def _area_pdf_m(pdf_solid, edge_pdf, d, dist, n_at, is_med_at):
+    """Area-measure pdf at a vertex including the edge's medium pdf;
+    medium vertices have cosineFactor 1 (ref PathVertex::cosineFactor)."""
+    cos_next = jnp.abs(jnp.sum(d * n_at, axis=-1))
+    cos_next = jnp.where(is_med_at, 1.0, cos_next)
+    return pdf_solid * edge_pdf * cos_next / jnp.maximum(dist * dist, 1e-20)
 
-    Returns dict of (R, nv, ...) arrays: p, ns, ng, wi (unit, toward the
-    previous vertex), alpha (throughput up to and including this vertex's
-    cosine/f terms, i.e. Veach alpha), pdf_fwd (area), pdf_rev (area, pdf
-    of this vertex from its successor; filled one step delayed), bsdf,
-    uv, spec, valid, prim.
+
+# ------------------------------------------------------------------ media
+
+def _medium_segment(scene, settings, med, med_first, o, d, max_t,
+                    start_surf, u_c, u_d, u_e):
+    """Distance-sample one walk segment through medium index `med`
+    (-1 = vacuum), homogeneous treatment (ref HomogeneousMedium::
+    sampleDistance + Medium::transmittanceAndPdfs).
+
+    Returns dict(t (R,), scattered (R,), w (R,3) medium weight,
+    pf (R,) channel-avg forward distance pdf, pb (R,) backward pdf of the
+    reverse ray -- Medium::pdf(reverse, startOnSurface=exited,
+    endOnSurface=start_surf))."""
+    R = o.shape[0]
+    if not settings.has_media:
+        return dict(t=max_t, scattered=jnp.zeros((R,), bool),
+                    w=jnp.ones((R, 3)), pf=jnp.ones((R,)),
+                    pb=jnp.ones((R,)))
+    in_med = med >= 0
+    mi = jnp.clip(med, 0, scene.med_sigma_a.shape[0] - 1)
+    sigma_s = scene.med_sigma_s[mi]
+    sigma_t = scene.med_sigma_a[mi] + sigma_s
+    absorb_only = jnp.max(sigma_s, axis=-1) == 0.0
+    tt = scene.med_trans_type[mi]
+    tp = scene.med_trans_params[mi]
+
+    comp = jnp.minimum((u_c * 3).astype(jnp.int32), 2)
+    sigma_tc = jnp.take_along_axis(sigma_t, comp[..., None], axis=-1)[..., 0]
+    t_law = TR.sample_distance(tt, tp, med_first, u_d, u_e)
+    t_m = t_law / jnp.maximum(sigma_tc, 1e-20)
+    exited = (t_m >= max_t) | absorb_only
+    t_used = jnp.where(exited, max_t, t_m)
+    tau = sigma_t * jnp.where(jnp.isfinite(t_used), t_used, 3e38)[..., None]
+
+    ones = jnp.ones((R,), bool)
+    zeros = jnp.zeros((R,), bool)
+    sbar = TR.sigma_bar(tt, tp)
+    w_exit = TR.eval_tr(tt, tau, tp, med_first, ones)
+    p_exit = jnp.mean(TR.surface_probability(tt, tau, tp, med_first), axis=-1)
+    tr_med = TR.eval_tr(tt, tau, tp, med_first, zeros)
+    w_scat = tr_med * sigma_s * sbar[..., None]
+    p_scat = jnp.mean(sigma_t * TR.medium_pdf(tt, tau, tp, med_first),
+                      axis=-1)
+    w = jnp.where(exited[..., None], w_exit, w_scat) / jnp.maximum(
+        jnp.where(exited, p_exit, p_scat), 1e-20)[..., None]
+    w = jnp.where(absorb_only[..., None], w_exit, w)
+    pf = jnp.where(exited, p_exit, p_scat)
+    pf = jnp.where(absorb_only, 1.0, pf)
+    # backward: reverse ray starts at the sampled endpoint
+    pb = jnp.where(start_surf,
+                   jnp.mean(TR.surface_probability(tt, tau, tp, exited),
+                            axis=-1),
+                   jnp.mean(sigma_t * TR.medium_pdf(tt, tau, tp, exited),
+                            axis=-1))
+    pb = jnp.where(absorb_only, 1.0, pb)
+    w = jnp.where(jnp.isfinite(w), w, 0.0)
+
+    return dict(
+        t=jnp.where(in_med, t_used, max_t),
+        scattered=in_med & ~exited,
+        w=jnp.where(in_med[..., None], w, 1.0),
+        pf=jnp.where(in_med, pf, 1.0),
+        pb=jnp.where(in_med, pb, 1.0),
+    )
+
+
+def _medium_pdf_dir(scene, settings, med, seg_len, start_surf, end_surf):
+    """Channel-averaged medium distance pdf of a full segment in ONE
+    direction (ref HomogeneousMedium::pdf): surfaceProbability when the
+    segment ends on a surface, sigma_t*mediumPdf when it ends at a medium
+    vertex.  start_surf drives the non-exponential laws."""
+    mi = jnp.clip(med, 0, scene.med_sigma_a.shape[0] - 1)
+    sigma_s = scene.med_sigma_s[mi]
+    sigma_t = scene.med_sigma_a[mi] + sigma_s
+    absorb_only = jnp.max(sigma_s, axis=-1) == 0.0
+    tt = scene.med_trans_type[mi]
+    tp = scene.med_trans_params[mi]
+    tau = sigma_t * jnp.where(jnp.isfinite(seg_len), seg_len, 3e38)[..., None]
+    p_surf = jnp.mean(TR.surface_probability(tt, tau, tp, start_surf),
+                      axis=-1)
+    p_med = jnp.mean(sigma_t * TR.medium_pdf(tt, tau, tp, start_surf),
+                     axis=-1)
+    p = jnp.where(end_surf, p_surf, p_med)
+    p = jnp.where(absorb_only, 1.0, p)
+    return jnp.where(med >= 0, p, 1.0)
+
+
+def _medium_tr_seg(scene, settings, med, seg_len, start_surf, end_surf):
+    """Transmittance of a homogeneous segment (R,3)."""
+    mi = jnp.clip(med, 0, scene.med_sigma_a.shape[0] - 1)
+    sigma_t = scene.med_sigma_a[mi] + scene.med_sigma_s[mi]
+    tau = sigma_t * jnp.where(jnp.isfinite(seg_len), seg_len, 3e38)[..., None]
+    tr = TR.eval_tr(scene.med_trans_type[mi], tau, scene.med_trans_params[mi],
+                    start_surf, end_surf)
+    tr = jnp.where(jnp.isfinite(tr), tr, 0.0)
+    return jnp.where((med >= 0)[..., None], tr, 1.0)
+
+
+def _connection_walk(scene, settings, o, d, dist, med, start_surf, end_surf,
+                     endcap_prim=None):
+    """Generalized shadow ray with medium pdf accumulation for a
+    connection edge (ref TraceBase::generalizedShadowRayAndPdfs):
+    walks forward-lobe surfaces, multiplying their transparency into the
+    transmittance and their discrete probability into BOTH pdf products;
+    each medium sub-segment multiplies its forward/backward distance pdf.
+    Returns (tr (R,3), pf (R,) pdf along d, pb (R,) pdf along -d)."""
+    R = o.shape[0]
+    simple = not settings.has_media and not _has_forward_types(settings)
+    far0 = jnp.where(dist >= INF, INF, dist * (1.0 - 1e-3))
+    if simple:
+        if endcap_prim is None:
+            occ = occluded(scene, o, d, 0.0, far0)
+        else:
+            res = bvh_intersect(scene, o, d, 0.0, far0)
+            occ = res["hit"] & (_hit_prim(scene, res) != endcap_prim)
+        ones = jnp.ones((R,))
+        return jnp.where(occ[..., None], 0.0, 1.0), ones, ones
+
+    state = dict(o=o, remaining=far0, med=med, tr=jnp.ones((R, 3)),
+                 pf=jnp.ones((R,)), pb=jnp.ones((R,)),
+                 start_surf=start_surf, active=jnp.ones((R,), bool),
+                 hops=jnp.int32(0))
+
+    def cond(s):
+        return (s["hops"] < MAX_CONN_HOPS) & jnp.any(s["active"])
+
+    def body(s):
+        res = bvh_intersect(scene, s["o"], d, EPSILON,
+                            jnp.where(s["active"], s["remaining"], 0.0))
+        did_hit = res["hit"] & s["active"]
+        if endcap_prim is not None:
+            reached_cap = did_hit & (_hit_prim(scene, res) == endcap_prim)
+            did_hit = did_hit & ~reached_cap
+        seg = jnp.where(res["hit"] & s["active"], res["t"], s["remaining"])
+
+        tr, pf, pb = s["tr"], s["pf"], s["pb"]
+        if settings.has_media:
+            seg_end_surf = did_hit | end_surf
+            seg_tr = _medium_tr_seg(scene, settings, s["med"], seg,
+                                    s["start_surf"], seg_end_surf)
+            seg_pf = _medium_pdf_dir(scene, settings, s["med"], seg,
+                                     s["start_surf"], seg_end_surf)
+            seg_pb = _medium_pdf_dir(scene, settings, s["med"], seg,
+                                     seg_end_surf, s["start_surf"])
+            tr = tr * jnp.where(s["active"][..., None], seg_tr, 1.0)
+            pf = pf * jnp.where(s["active"], seg_pf, 1.0)
+            pb = pb * jnp.where(s["active"], seg_pb, 1.0)
+
+        # surface crossing: must be a forward-lobe surface
+        uv, bsdf_idx, prim = _hit_uv_bsdf(scene, res)
+        if _has_forward_types(settings):
+            sp = ShadePoint(scene, bsdf_idx, uv)
+            tri = jnp.clip(res["tri"], 0, scene.tri_v0.shape[0] - 1)
+            ng = jnp.cross(scene.tri_e1[tri], scene.tri_e2[tri])
+            ng = ng / jnp.maximum(
+                jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
+            cosd = jnp.abs(jnp.sum(d * ng, axis=-1))
+            wi_proxy = jnp.stack(
+                [jnp.sqrt(jnp.maximum(1 - cosd ** 2, 0.0)),
+                 jnp.zeros_like(cosd), cosd], axis=-1)
+            transp = bsdf_forward(sp, wi_proxy, settings.present_bsdf_types)
+        else:
+            transp = jnp.zeros((R, 3))
+        t_scalar = jnp.mean(transp, axis=-1)
+        passes = jnp.max(transp, axis=-1) > 0.0
+        blocked = did_hit & ~passes
+        tr = jnp.where(blocked[..., None], 0.0, tr)
+        cross = did_hit & passes
+        tr = tr * jnp.where(cross[..., None], transp, 1.0)
+        pf = pf * jnp.where(cross, t_scalar, 1.0)
+        pb = pb * jnp.where(cross, t_scalar, 1.0)
+
+        if settings.has_media:
+            tri = jnp.clip(res["tri"], 0, scene.tri_v0.shape[0] - 1)
+            ng2 = jnp.cross(scene.tri_e1[tri], scene.tri_e2[tri])
+            backside = jnp.sum(d * ng2, axis=-1) > 0.0
+            new_med = _select_medium(scene, prim, s["med"], ~backside)
+            med2 = jnp.where(cross, new_med, s["med"])
+        else:
+            med2 = s["med"]
+
+        o2 = jnp.where(did_hit[..., None], s["o"] + d * res["t"][..., None],
+                       s["o"])
+        remaining = jnp.where(did_hit, s["remaining"] - res["t"],
+                              s["remaining"])
+        active = s["active"] & cross & (remaining > EPSILON)
+        return dict(o=o2, remaining=remaining, med=med2, tr=tr, pf=pf, pb=pb,
+                    start_surf=jnp.where(did_hit, True, s["start_surf"]),
+                    active=active, hops=s["hops"] + 1)
+
+    final = jax.lax.while_loop(cond, body, state)
+    tr = jnp.where(final["active"][..., None], 0.0, final["tr"])
+    return tr, final["pf"], final["pb"]
+
+# --------------------------------------------------------------- subpaths
+
+def _trace_subpath(scene, settings, o0, d0, alpha0, adjoint, seed, pixel,
+                   sample_idx, dim_base, nv, pdf0_solid, n0, med0=None):
+    """Random walk storing per-vertex SoA arrays (ref LightPath::tracePath
+    + PathVertex::sampleNextVertex).
+
+    Returns dict of (R, nv) arrays: p, ns, ng, wi (unit, toward the
+    previous vertex), alpha (Veach alpha: throughput up to arrival at the
+    vertex), pdf_fwd (AREA measure, incl. edge medium pdfs + cosine),
+    pdf_rev (same, of this vertex from its successor; filled one step
+    delayed), bsdf, uv, spec, valid, prim, is_med, med_at (medium the
+    vertex sits in), edge_pb (backward medium*forward pdf product of the
+    incoming edge), dist_prev (total collapsed edge length), orig
+    (edge count from the root, counting collapsed forward crossings);
+    plus root_rev (R,): area pdf of the ROOT being re-sampled from walk
+    vertex 0 (the natural reverse pdf, ref prev->_pdfBackward at i=0).
+
     o0/d0: first ray; alpha0 (R,3); pdf0_solid: solid-angle pdf of d0
-    from the root; n0: root normal (for area conversion), or None for a
-    Dirac root direction... the caller converts.
+    from the root; n0: root geometric normal (for area conversions);
+    med0: medium the root emits into (None = static no-media path).
     """
     R = o0.shape[0]
+    has_fwd = _has_forward_types(settings)
+    niter = nv + (FWD_HOP_BUDGET if has_fwd else 0)
 
     def zeros(shape, dtype=jnp.float32):
         return jnp.zeros((R, nv) + shape, dtype)
@@ -67,80 +301,193 @@ def _trace_subpath(scene, settings, o0, d0, alpha0, adjoint, seed, pixel,
         bsdf=zeros((), jnp.int32), uv=zeros((2,)),
         spec=zeros((), bool), valid=zeros((), bool),
         prim=zeros((), jnp.int32), dist_prev=zeros(()),
+        is_med=zeros((), bool), med_at=zeros((), jnp.int32) - 1,
+        edge_pb=zeros(()), orig=zeros((), jnp.int32),
+        root_rev=jnp.zeros((R,)),
     )
+    if med0 is None:
+        med0 = jnp.full((R,), -1, jnp.int32)
+    slot = jnp.arange(nv, dtype=jnp.int32)[None, :]
+
+    def set_v(arr, vi_mask, vi, val):
+        """One-hot write of val (R,[c]) at per-ray slot vi where vi_mask."""
+        oh = (slot == vi[:, None]) & vi_mask[:, None]
+        if arr.ndim == 3:
+            return jnp.where(oh[..., None], val[:, None, :], arr)
+        return jnp.where(oh, val[:, None], arr)
 
     def body(i, carry):
-        out, o, d, alpha, pdf_solid, prev_n, alive = carry
-        res = bvh_intersect(scene, o, d, 0.0, INF)
-        hit = res["hit"] & alive
-        info = _expand_hit(scene, o, d, res)
+        (out, o, d, alpha, pdf_solid, med, med_first, start_surf,
+         vi, ei, pend_r, pend_pf, pend_pb, prev_n, prev_is_med,
+         alive) = carry
+        dims = dim_base + i * rng.DIMS_PER_BOUNCE
 
-        # two-sided shading flip (match the PT path)
+        res = bvh_intersect(scene, o, d, 0.0,
+                            jnp.where(alive, INF, 0.0))
+        hit = res["hit"] & alive
+        max_t = jnp.where(hit, res["t"], INF)
+
+        if settings.has_media:
+            u_c, u_d, u_e = rng.random_3d(seed, pixel, sample_idx,
+                                          dims + rng.BounceDims.MEDIUM)
+            ms = _medium_segment(scene, settings, med, med_first, o, d,
+                                 max_t, start_surf, u_c, u_d, u_e)
+        else:
+            ms = _medium_segment(scene, settings, med, med_first, o, d,
+                                 max_t, start_surf, None, None, None)
+        vol_ev = alive & ms["scattered"]
+        surf_ev = hit & ~ms["scattered"]
+        alpha_arr = alpha * ms["w"]
+
+        info = _expand_hit(scene, o, d, res)
         backside = jnp.sum(info["ng"] * d, axis=-1) > 0.0
         ns = jnp.where(backside[..., None] & settings.two_sided_shading,
                        -info["ns"], info["ns"])
-
-        dist = res["t"]
-        pdf_fwd = _area_pdf(pdf_solid, d, dist, info["ng"])
-
-        for k, v in [("p", info["p"]), ("ns", ns), ("ng", info["ng"]),
-                     ("wi", -d), ("alpha", alpha),
-                     ("uv", info["uv"])]:
-            out[k] = out[k].at[:, i].set(jnp.where(
-                hit[..., None] if v.ndim == 2 else hit, v, out[k][:, i]))
-        out["pdf_fwd"] = out["pdf_fwd"].at[:, i].set(
-            jnp.where(hit, pdf_fwd, 0.0))
-        out["bsdf"] = out["bsdf"].at[:, i].set(
-            jnp.where(hit, info["bsdf"], 0))
-        out["prim"] = out["prim"].at[:, i].set(jnp.where(hit, info["prim"], -1))
-        out["valid"] = out["valid"].at[:, i].set(hit)
-        out["dist_prev"] = out["dist_prev"].at[:, i].set(
-            jnp.where(hit, dist, 0.0))
-
-        # sample continuation
         tan, bit = vm.ortho_frame(ns)
         wi_local = vm.to_local(tan, bit, ns, -d)
         sp = ShadePoint(scene, info["bsdf"], info["uv"])
-        dims = dim_base + i * rng.DIMS_PER_BOUNCE
-        ul = rng.random_1d(seed, pixel, sample_idx, dims + rng.BounceDims.BSDF_LOBE)
+
+        # ---- forward-surface collapse (toAreaMeasure step 1, online) ----
+        if has_fwd:
+            transp = bsdf_forward(sp, wi_local, settings.present_bsdf_types)
+            t_scalar = jnp.mean(transp, axis=-1)
+            u_fwd = rng.random_1d(seed, pixel, sample_idx,
+                                  dims + rng.BounceDims.FORWARD)
+            take_fwd = surf_ev & (jnp.max(transp, axis=-1) > 0) & \
+                (u_fwd < t_scalar)
+            fwd_w = transp / jnp.maximum(t_scalar, 1e-20)[..., None]
+        else:
+            take_fwd = jnp.zeros((R,), bool)
+            t_scalar = jnp.zeros((R,))
+            fwd_w = None
+        record_surf = surf_ev & ~take_fwd
+        record = (record_surf | vol_ev) & (vi < nv)
+
+        r_tot = pend_r + ms["t"]
+        pf_tot = pend_pf * ms["pf"]
+        pb_tot = pend_pb * ms["pb"]
+
+        # ---- record the vertex ----
+        med_point = o + d * ms["t"][..., None]
+        vp = vm.where3(vol_ev, med_point, info["p"])
+        cos_v = jnp.where(vol_ev, 1.0,
+                          jnp.abs(jnp.sum(info["ng"] * d, axis=-1)))
+        pdf_fwd = pdf_solid * pf_tot * cos_v / jnp.maximum(
+            r_tot * r_tot, 1e-20)
+        out2 = dict(out)
+        for k, v in [("p", vp), ("ns", ns), ("ng", info["ng"]),
+                     ("wi", -d), ("alpha", alpha_arr), ("uv", info["uv"])]:
+            out2[k] = set_v(out2[k], record, vi, v)
+        out2["pdf_fwd"] = set_v(out2["pdf_fwd"], record, vi,
+                                jnp.where(jnp.isfinite(pdf_fwd), pdf_fwd, 0.))
+        out2["bsdf"] = set_v(out2["bsdf"], record, vi, info["bsdf"])
+        out2["prim"] = set_v(out2["prim"], record, vi,
+                             jnp.where(vol_ev, -1, info["prim"]))
+        out2["valid"] = set_v(out2["valid"], record, vi,
+                              jnp.ones((R,), bool))
+        out2["dist_prev"] = set_v(out2["dist_prev"], record, vi, r_tot)
+        out2["is_med"] = set_v(out2["is_med"], record, vi, vol_ev)
+        out2["med_at"] = set_v(out2["med_at"], record, vi, med)
+        out2["edge_pb"] = set_v(out2["edge_pb"], record, vi, pb_tot)
+        out2["orig"] = set_v(out2["orig"], record, vi, ei + 1)
+
+        # ---- continuation sampling at the recorded vertex ----
+        ul = rng.random_1d(seed, pixel, sample_idx,
+                           dims + rng.BounceDims.BSDF_LOBE)
         u1, u2 = rng.random_2d(seed, pixel, sample_idx,
                                dims + rng.BounceDims.BSDF_SAMPLE)
         ul2 = rng.random_1d(seed, pixel, sample_idx,
                             dims + rng.BounceDims.BSDF_LOBE2)
-        wo, wt, pdf, flags = bsdf_sample(sp, wi_local, ul, u1, u2,
-                                         settings.present_bsdf_types,
-                                         u_lobe2=ul2)
+        wo, wt, pdf_new, flags = bsdf_sample(
+            sp, wi_local, ul, u1, u2, settings.present_bsdf_types,
+            u_lobe2=ul2)
         spec = (flags & FLAG_SPECULAR) != 0
         ok = ((flags & FLAG_VALID) != 0) & (jnp.max(wt, axis=-1) > 0)
-        out["spec"] = out["spec"].at[:, i].set(hit & spec)
-
         new_d = vm.to_global(tan, bit, ns, wo)
-        new_alpha = alpha * wt
+        rev_solid = bsdf_pdf(sp, wo, wi_local, settings.present_bsdf_types)
+        rev_solid = jnp.where(spec, pdf_new, rev_solid)
+        if settings.has_media:
+            mi = jnp.clip(med, 0, scene.med_phase.shape[0] - 1)
+            pt_, pg_ = scene.med_phase[mi], scene.med_g[mi]
+            pw, ppdf = PH.phase_sample(pt_, pg_, d, u1, u2)
+            new_d = vm.where3(vol_ev, pw, new_d)
+            pdf_new = jnp.where(vol_ev, ppdf, pdf_new)
+            wt = jnp.where(vol_ev[..., None], 1.0, wt)
+            ok = jnp.where(vol_ev, ppdf > 0, ok)
+            # ref MediumVertex: prev->_pdfBackward = phase->pdf(-wo, -d)
+            rev_solid = jnp.where(vol_ev, PH.phase_pdf(pt_, pg_, -pw, -d),
+                                  rev_solid)
+            spec = spec & ~vol_ev
+        out2["spec"] = set_v(out2["spec"], record, vi, spec)
 
-        # reverse pdf of the PREVIOUS vertex: pdf of sampling wi from wo
-        pdf_rev_solid = bsdf_pdf(sp, wo, wi_local, settings.present_bsdf_types)
-        pdf_rev_solid = jnp.where(spec, pdf, pdf_rev_solid)
-        prev_pdf_rev = _area_pdf(pdf_rev_solid, -d, dist, prev_n)
-        if True:
-            upd = jnp.where(hit & (i > 0), prev_pdf_rev, 0.0)
-            out["pdf_rev"] = out["pdf_rev"].at[:, jnp.maximum(i - 1, 0)].set(
-                jnp.where(hit & (i > 0), prev_pdf_rev,
-                          out["pdf_rev"][:, jnp.maximum(i - 1, 0)]))
+        # reverse pdf of the PREVIOUS vertex (area, incl. edge pdf_bwd)
+        cos_prev = jnp.where(prev_is_med, 1.0,
+                             jnp.abs(jnp.sum(prev_n * d, axis=-1)))
+        prev_rev = rev_solid * pb_tot * cos_prev / jnp.maximum(
+            r_tot * r_tot, 1e-20)
+        prev_rev = jnp.where(jnp.isfinite(prev_rev), prev_rev, 0.0)
+        out2["pdf_rev"] = set_v(out2["pdf_rev"], record & (vi > 0),
+                                jnp.maximum(vi - 1, 0), prev_rev)
+        out2["root_rev"] = jnp.where(record & (vi == 0), prev_rev,
+                                     out2["root_rev"])
 
-        # russian roulette kept OFF inside subpaths (bounded nv instead)
-        alive = hit & ok
-        o2 = info["p"] + new_d * EPSILON
-        return out, o2, new_d, new_alpha, pdf, info["ng"], alive
+        # ---- next state ----
+        new_alpha = alpha_arr * wt
+        o_rec = vp + new_d * EPSILON
+        if has_fwd:
+            o2 = vm.where3(take_fwd, info["p"] + d * EPSILON, o_rec)
+            d2 = vm.where3(take_fwd, d, new_d)
+            alpha2 = jnp.where(take_fwd[..., None], alpha_arr * fwd_w,
+                               jnp.where(record[..., None], new_alpha, alpha))
+        else:
+            o2, d2 = o_rec, new_d
+            alpha2 = jnp.where(record[..., None], new_alpha, alpha)
+        pdf_solid2 = jnp.where(record, pdf_new, pdf_solid)
+        pend_r2 = jnp.where(take_fwd, r_tot, 0.0)
+        pend_pf2 = jnp.where(take_fwd, pf_tot * t_scalar, 1.0)
+        pend_pb2 = jnp.where(take_fwd, pb_tot * t_scalar, 1.0)
 
-    carry = (out, o0, d0, alpha0, pdf0_solid, n0, jnp.ones((R,), bool))
-    out, *_ = jax.lax.fori_loop(0, nv, body, carry)
-    return out
+        if settings.has_media:
+            geo_back_f = jnp.sum(d * info["ng"], axis=-1) < 0.0
+            geo_back_s = jnp.sum(new_d * info["ng"], axis=-1) < 0.0
+            med_f = _select_medium(scene, info["prim"], med, geo_back_f)
+            med_s = _select_medium(scene, info["prim"], med, geo_back_s)
+            med2 = jnp.where(take_fwd, med_f,
+                             jnp.where(record_surf, med_s, med))
+            med_first2 = jnp.where(vol_ev, False,
+                                   jnp.where(record_surf | take_fwd, True,
+                                             med_first))
+        else:
+            med2, med_first2 = med, med_first
+        start_surf2 = jnp.where(vol_ev, False, jnp.ones((R,), bool))
 
+        vi2 = vi + record.astype(jnp.int32)
+        ei2 = ei + (record | take_fwd).astype(jnp.int32)
+        alive2 = ((record & ok) | take_fwd) & (ei2 < niter + 1)
+        alive2 = alive2 & ((vi2 < nv) | take_fwd)
+        prev_n2 = vm.where3(record, info["ng"], prev_n)
+        prev_is_med2 = jnp.where(record, vol_ev, prev_is_med)
+
+        return (out2, o2, d2, alpha2, pdf_solid2, med2, med_first2,
+                start_surf2, vi2, ei2, pend_r2, pend_pf2, pend_pb2,
+                prev_n2, prev_is_med2, alive2)
+
+    carry = (out, o0, d0, alpha0, pdf0_solid, med0,
+             jnp.ones((R,), bool), jnp.ones((R,), bool),
+             jnp.zeros((R,), jnp.int32), jnp.zeros((R,), jnp.int32),
+             jnp.zeros((R,)), jnp.ones((R,)), jnp.ones((R,)),
+             n0, jnp.zeros((R,), bool), jnp.ones((R,), bool))
+    carry = jax.lax.fori_loop(0, niter, body, carry)
+    return carry[0]
+
+# ----------------------------------------------------------------- roots
 
 def _sample_light_root(scene, settings, R, seed, pixel, sample_idx):
     """Pick a light uniformly + a point and cosine direction on it.
     Returns root dict: q, n, Le, alpha0 (for the walk), pdf_a (area pdf
-    incl. light pick), d0, pdf0_solid, alpha_vertex0 (R,3)."""
+    incl. light pick), d0, pdf0_solid, alpha_vertex0 (R,3), med (the
+    medium the emitter radiates into -- ref PathVertex::sampleRootVertex
+    sets state.medium = emitter->extMedium())."""
     nl = settings.num_lights
     base = LIGHT_WALK_DIM_OFFSET
     u_sel = rng.random_1d(seed, pixel, sample_idx, base + 0)
@@ -180,15 +527,19 @@ def _sample_light_root(scene, settings, R, seed, pixel, sample_idx):
         [jnp.cos(phi) * r, jnp.sin(phi) * r, z], axis=-1))
     pdf0_solid = jnp.maximum(z, 1e-9) * vm.INV_PI
 
+    prim = scene.light_prim[li]
+    med = scene.prim_ext_medium[jnp.clip(
+        prim, 0, scene.prim_ext_medium.shape[0] - 1)]
+
     # Veach: alpha^L_1 = Le / pdf_a ; the walk's alpha after leaving the
     # light divides by dir pdf and multiplies cos: alpha0_walk =
     # alpha1 * cos / pdf0_solid = (Le/pdf_a) * pi (for cosine sampling)
     alpha_v0 = Le / pdf_a[..., None]
     alpha_walk = alpha_v0 * (z / pdf0_solid)[..., None]
-    return dict(q=q, n=n, Le=Le, li=li, prim=scene.light_prim[li],
+    return dict(q=q, n=n, Le=Le, li=li, prim=prim,
                 pdf_a=pdf_a, d0=d0, pdf0_solid=pdf0_solid,
                 alpha_v0=alpha_v0, alpha_walk=alpha_walk,
-                pick_pdf=pick_pdf, area=area)
+                pick_pdf=pick_pdf, area=area, med=med)
 
 
 def _camera_dir_pdf(scene, settings, d_world):
@@ -218,11 +569,16 @@ def _camera_pixel(scene, settings, d_world):
     return pix, ok
 
 
-def _eval_bsdf_at(scene, settings, verts, idx, wi_world, wo_world):
-    """f(cos-folded) and pdfs at stored vertex idx: wi = toward previous,
-    wo = the new connection direction.  Returns (f, pdf_fwd_solid,
-    pdf_rev_solid)."""
+# ------------------------------------------------------------ vertex eval
+
+def _vertex_eval(scene, settings, verts, idx, wo_world):
+    """Scatter eval at stored vertex `idx` (static slot) toward the new
+    connection direction wo_world.  Returns (f, pdf_fwd_solid,
+    pdf_rev_solid).  Surfaces: BSDF with |cos(wo)| folded in (Tungsten
+    eval convention); medium vertices: phase value, no cosine
+    (ref PathVertex::eval / evalPdfs)."""
     ns = verts["ns"][:, idx]
+    wi_world = verts["wi"][:, idx]
     tan, bit = vm.ortho_frame(ns)
     wi_l = vm.to_local(tan, bit, ns, wi_world)
     wo_l = vm.to_local(tan, bit, ns, wo_world)
@@ -230,7 +586,31 @@ def _eval_bsdf_at(scene, settings, verts, idx, wi_world, wo_world):
     f = bsdf_eval(sp, wi_l, wo_l, settings.present_bsdf_types)
     pdf_f = bsdf_pdf(sp, wi_l, wo_l, settings.present_bsdf_types)
     pdf_r = bsdf_pdf(sp, wo_l, wi_l, settings.present_bsdf_types)
+    if settings.has_media:
+        is_med = verts["is_med"][:, idx]
+        mi = jnp.clip(verts["med_at"][:, idx], 0,
+                      scene.med_phase.shape[0] - 1)
+        pt_, pg_ = scene.med_phase[mi], scene.med_g[mi]
+        # stored wi points toward the previous vertex; ray travel = -wi
+        pv_f = PH.phase_eval(pt_, pg_, -wi_world, wo_world)
+        pv_r = PH.phase_eval(pt_, pg_, -wo_world, wi_world)
+        f = jnp.where(is_med[..., None], pv_f[..., None], f)
+        pdf_f = jnp.where(is_med, pv_f, pdf_f)
+        pdf_r = jnp.where(is_med, pv_r, pdf_r)
     return f, pdf_f, pdf_r
+
+
+def _vertex_conn_medium(scene, settings, verts, idx, d_out):
+    """Medium on the connection segment leaving stored vertex idx along
+    d_out (ref PathVertex::selectMedium)."""
+    if not settings.has_media:
+        return None
+    med = verts["med_at"][:, idx]
+    prim = jnp.clip(verts["prim"][:, idx], 0,
+                    scene.prim_int_medium.shape[0] - 1)
+    geo_back = jnp.sum(d_out * verts["ng"][:, idx], axis=-1) < 0.0
+    surf_med = _select_medium(scene, prim, med, geo_back)
+    return jnp.where(verts["is_med"][:, idx], med, surf_med)
 
 
 def _mis_weight(pdf_fwd, pdf_rev, connectable, s, t):
@@ -261,128 +641,6 @@ def _mis_weight(pdf_fwd, pdf_rev, connectable, s, t):
     return 1.0 / jnp.maximum(weight, 1e-20)
 
 
-def trace_bdpt(scene, settings, pixel, sample_idx, seed, max_vertices=8,
-               max_edges=None):
-    """One BDPT sample per entry.  Returns (radiance (R,3) for the pixel's
-    own estimator, splat_pixels (R*NS,), splat_values (R*NS,3)).
-    max_edges caps total path segments (= the PT max_bounces semantics);
-    strategies with s + t - 1 > max_edges are skipped."""
-    R = pixel.shape[0]
-    NV = max_vertices
-    ME = max_edges if max_edges is not None else 2 * NV
-
-    # ---- camera subpath ----
-    o, d = generate_rays(scene, settings, pixel, sample_idx, seed)
-    cam_pos = scene.cam_mat[:3, 3]
-    pdf_cam_dir = _camera_dir_pdf(scene, settings, d)
-    cam = _trace_subpath(scene, settings, o, d, jnp.ones((R, 3)), False,
-                         seed, pixel, sample_idx, rng.DIMS_CAMERA, NV,
-                         pdf_cam_dir, jnp.broadcast_to(
-                             scene.cam_mat[:3, 2], (R, 3)))
-
-    # ---- light subpath ----
-    root = _sample_light_root(scene, settings, R, seed, pixel, sample_idx)
-    lig = _trace_subpath(scene, settings, root["q"] + root["d0"] * EPSILON,
-                         root["d0"], root["alpha_walk"], True,
-                         seed, pixel, sample_idx,
-                         LIGHT_WALK_DIM_OFFSET + 16, NV,
-                         root["pdf0_solid"], root["n"])
-
-    radiance = jnp.zeros((R, 3))
-    splat_pix = []
-    splat_val = []
-
-    light_prim = root["prim"]
-    Le = root["Le"]
-    pdf_light_a = root["pdf_a"]
-
-    # ================= s = 0: camera path hits a light =================
-    for t in range(1, NV + 1):
-        if t - 1 > ME:
-            continue
-        ci = t - 1  # camera vertex array index of the path's end
-        v_ok = cam["valid"][:, ci]
-        prim = cam["prim"][:, ci]
-        etex = scene.prim_emission_tex[jnp.clip(prim, 0, scene.prim_emission_tex.shape[0] - 1)]
-        emissive = v_ok & (etex >= 0)
-        li = jnp.clip(scene.prim_light[jnp.clip(prim, 0, scene.prim_light.shape[0] - 1)], 0,
-                      scene.light_emission.shape[0] - 1)
-        e_hit = scene.light_emission[li]
-        front = jnp.sum(cam["ng"][:, ci] * cam["wi"][:, ci], axis=-1) > 0.0
-        contrib = cam["alpha"][:, ci] * e_hit
-        if t == 1:
-            # direct light hit from the camera; the (1,1) lens-splat
-            # strategy samples the same 1-edge paths, so balance against
-            # its density (light-area pdf vs camera pdf) unless the
-            # reconstruction filter is Dirac
-            nl0 = settings.num_lights
-            area0 = scene.light_area[li]
-            pdfA0 = (1.0 / nl0) / jnp.maximum(area0, 1e-20)
-            if settings.filter != "dirac":
-                w1 = 1.0 / (1.0 + pdfA0 /
-                            jnp.maximum(cam["pdf_fwd"][:, 0], 1e-20))
-            else:
-                w1 = jnp.ones((R,))
-            radiance = radiance + jnp.where(
-                (emissive & front)[..., None], contrib * w1[..., None], 0.0)
-            continue
-        # MIS arrays for s=0: combined path = camera reversed, n = t
-        # pdf_fwd[j] (emitter-side direction) j=0..t-1: j=0: light area pdf;
-        # j=1: light dir pdf at hit toward camera vertex t-2; j>=2: camera
-        # pdf_rev. pdf_rev[j] = camera pdf_fwd reversed.
-        nl = settings.num_lights
-        area = scene.light_area[li]
-        pdfA_here = (1.0 / nl) / jnp.maximum(area, 1e-20)
-        dprev = cam["dist_prev"][:, ci]
-        cos_here = jnp.abs(jnp.sum(cam["ng"][:, ci] * cam["wi"][:, ci], axis=-1))
-        # emission direction pdf (cosine) from the light toward v[t-2]:
-        cos_em = cos_here
-        pdf_em_solid = cos_em * vm.INV_PI
-        n_prev = cam["ng"][:, ci - 1] if ci >= 1 else jnp.broadcast_to(
-            scene.cam_mat[:3, 2], (R, 3))
-        pdf_em_area = _area_pdf(pdf_em_solid, -cam["wi"][:, ci], dprev, n_prev)
-
-        pdf_fwd = [pdfA_here, pdf_em_area]
-        pdf_rev = [cam["pdf_fwd"][:, ci], cam["pdf_fwd"][:, ci - 1]]
-        conn = [jnp.ones_like(emissive),
-                ~cam["spec"][:, ci - 1] if ci >= 1 else jnp.ones_like(emissive)]
-        for j in range(2, t):
-            cj = t - 1 - j  # camera vertex index
-            pdf_fwd.append(cam["pdf_rev"][:, cj])
-            pdf_rev.append(cam["pdf_fwd"][:, cj])
-            conn.append(~cam["spec"][:, cj] if cj >= 1
-                        else jnp.ones_like(emissive))
-        pf = jnp.stack(pdf_fwd, axis=1)
-        pr = jnp.stack(pdf_rev, axis=1)
-        cn = jnp.stack(conn, axis=1)
-        w = _mis_weight_s0(pf, pr, cn, t,
-                           root_connectable=settings.filter != "dirac")
-        radiance = radiance + jnp.where(
-            (emissive & front)[..., None], contrib * w[..., None], 0.0)
-
-    # ================= s >= 1, t >= 2: connections =================
-    for s in range(1, NV + 1):
-        for t in range(2, NV + 1):
-            if s + t - 1 > ME:
-                continue
-            contrib, w, ok = _connect(scene, settings, cam, lig, root, s, t, R)
-            radiance = radiance + jnp.where(ok[..., None],
-                                            contrib * w[..., None], 0.0)
-
-    # ================= t = 1: light path to the lens (splat) ===========
-    for s in range(1, NV + 1):
-        if s > ME:
-            continue
-        pixv, val, ok = _connect_lens(scene, settings, cam, lig, root, s, R,
-                                      cam_pos)
-        splat_pix.append(jnp.where(ok, pixv, 0))
-        splat_val.append(jnp.where(ok[..., None], val, 0.0))
-
-    splat_pix = jnp.concatenate(splat_pix) if splat_pix else jnp.zeros((0,), jnp.int32)
-    splat_val = jnp.concatenate(splat_val) if splat_val else jnp.zeros((0, 3))
-    return radiance, splat_pix, splat_val
-
-
 def _mis_weight_s0(pdf_fwd, pdf_rev, connectable, t, root_connectable=True):
     """MIS for the s=0 strategy: the current strategy is the full camera
     path; alternatives extend the light side, up to the t'=1 splat
@@ -398,14 +656,26 @@ def _mis_weight_s0(pdf_fwd, pdf_rev, connectable, t, root_connectable=True):
         weight = weight + jnp.where(ok, pi, 0.0)
     return 1.0 / jnp.maximum(weight, 1e-20)
 
+# ----------------------------------------------------- MIS array builders
+
+def _prev_cos_n(cam_or_lig, root, k, R):
+    """(n, is_med) of the vertex PRECEDING walk slot k (the root when
+    k == 0)."""
+    if k == 0:
+        if root is None:  # camera root: lens plane normal unused (ones)
+            return jnp.zeros((R, 3)), jnp.zeros((R,), bool)
+        return root["n"], jnp.zeros((R,), bool)
+    return cam_or_lig["ng"][:, k - 1], cam_or_lig["is_med"][:, k - 1]
+
 
 def _build_emitter_side(scene, cam, lig, root, s, R, pdf_conn_to_light,
                         pdf_light_rev_solid):
     """Combined-array entries for the emitter side (indices 0..s-1).
     pdf_conn_to_light: area pdf of the connecting light vertex being
-    sampled from the camera side.  pdf_light_rev_solid: solid-angle pdf at
-    the connecting light vertex toward its predecessor given the new
-    incoming (connection) direction, or None when s == 1."""
+    sampled from the camera side (incl. connection-edge medium pdf).
+    pdf_light_rev_solid: solid-angle pdf at the connecting light vertex
+    toward its predecessor given the new incoming (connection) direction,
+    or None when s == 1."""
     pdf_fwd, pdf_rev, conn = [], [], []
     if s == 1:
         pdf_fwd.append(root["pdf_a"] * jnp.ones((R,)))
@@ -416,21 +686,25 @@ def _build_emitter_side(scene, cam, lig, root, s, R, pdf_conn_to_light,
     pdf_fwd.append(root["pdf_a"] * jnp.ones((R,)))
     if s == 2:
         # reverse pdf of the root from the connecting vertex, with the new
-        # incoming direction (ref PathVertex::evalPdfs -> pdfBackward[s-2])
-        prev_rev = _area_pdf(pdf_light_rev_solid, lig["wi"][:, 0],
-                             lig["dist_prev"][:, 0], root["n"])
+        # incoming direction (ref PathVertex::evalPdfs -> *backward =
+        # prevEdge->pdfBackward * pdf(dNext, dPrev) * cos/rSq)
+        prev_rev = _area_pdf_m(pdf_light_rev_solid, lig["edge_pb"][:, 0],
+                               lig["wi"][:, 0], lig["dist_prev"][:, 0],
+                               root["n"], jnp.zeros((R,), bool))
         pdf_rev.append(prev_rev)
     else:
-        pdf_rev.append(lig["pdf_rev"][:, 0])
+        pdf_rev.append(lig["root_rev"])
     conn.append(jnp.ones((R,), bool))
     # middle vertices: combined index j = 1..s-2, walk index j-1
     for j in range(1, s - 1):
         wj = j - 1
         pdf_fwd.append(lig["pdf_fwd"][:, wj])
         if j == s - 2:
-            n_target = lig["ng"][:, s - 3] if s >= 3 and s - 3 >= 0 else root["n"]
-            prev_rev = _area_pdf(pdf_light_rev_solid, lig["wi"][:, s - 2],
-                                 lig["dist_prev"][:, s - 2], n_target)
+            n_t, m_t = _prev_cos_n(lig, root, s - 2, R)
+            prev_rev = _area_pdf_m(pdf_light_rev_solid,
+                                   lig["edge_pb"][:, s - 2],
+                                   lig["wi"][:, s - 2],
+                                   lig["dist_prev"][:, s - 2], n_t, m_t)
             pdf_rev.append(prev_rev)
         else:
             pdf_rev.append(lig["pdf_rev"][:, wj])
@@ -461,9 +735,10 @@ def _build_camera_side(scene, cam, t, R, pdf_light_to_cam, pdf_cam_rev_solid,
     # its predecessor: reverse pdf recomputed with the connection direction
     if t >= 2:
         if ci >= 1:
-            n_prev = cam["ng"][:, ci - 1]
-            prev_rev = _area_pdf(pdf_cam_rev_solid, cam["wi"][:, ci],
-                                 cam["dist_prev"][:, ci], n_prev)
+            n_p, m_p = _prev_cos_n(cam, None, ci, R)
+            prev_rev = _area_pdf_m(pdf_cam_rev_solid, cam["edge_pb"][:, ci],
+                                   cam["wi"][:, ci], cam["dist_prev"][:, ci],
+                                   n_p, m_p)
             pdf_fwd.append(prev_rev)
             pdf_rev.append(cam["pdf_fwd"][:, ci - 1])
             conn.append(~cam["spec"][:, ci - 1])
@@ -487,57 +762,81 @@ def _build_camera_side(scene, cam, t, R, pdf_light_to_cam, pdf_cam_rev_solid,
     return pdf_fwd, pdf_rev, conn
 
 
+# ------------------------------------------------------------ connections
+
 def _connect(scene, settings, cam, lig, root, s, t, R):
     """Connect light vertex s-1 with camera vertex t-1 (array indices
-    s-2 / t-2 into the stored walks; s==1 means the light root point)."""
+    s-2 / t-2 into the stored walks; s==1 means the light root point).
+    Ref LightPath::bdptConnect."""
     ci = t - 2
     cam_ok = cam["valid"][:, ci] & ~cam["spec"][:, ci]
     pc = cam["p"][:, ci]
+    is_med_c = cam["is_med"][:, ci] if settings.has_media else \
+        jnp.zeros((R,), bool)
 
     if s == 1:
         pl = root["q"]
         nl_ = root["n"]
         alpha_l = root["alpha_v0"]
         lig_ok = jnp.ones((R,), bool)
+        is_med_l = jnp.zeros((R,), bool)
+        orig_l = jnp.zeros((R,), jnp.int32)
     else:
         si = s - 2
         lig_ok = lig["valid"][:, si] & ~lig["spec"][:, si]
         pl = lig["p"][:, si]
-        nl_ = lig["ns"][:, si]
+        nl_ = lig["ng"][:, si]
         alpha_l = lig["alpha"][:, si]
+        is_med_l = lig["is_med"][:, si] if settings.has_media else \
+            jnp.zeros((R,), bool)
+        orig_l = lig["orig"][:, si]
 
     dvec = pl - pc
     r2 = jnp.sum(dvec * dvec, axis=-1)
     dist = jnp.sqrt(jnp.maximum(r2, 1e-20))
     dw = dvec / dist[..., None]  # camera vertex -> light vertex
 
-    # camera-side f (cos at the camera vertex folded in)
-    f_c, pdf_c_f, pdf_c_r = _eval_bsdf_at(
-        scene, settings, cam, ci, cam["wi"][:, ci], dw)
+    # camera-side f (cos at the camera vertex folded in for surfaces)
+    f_c, pdf_c_f, pdf_c_r = _vertex_eval(scene, settings, cam, ci, dw)
     cos_l = jnp.sum(-dw * nl_, axis=-1)
 
     if s == 1:
-        f_l = jnp.ones((R, 3))
+        # emitter directional eval: cosine lobe (radiance in alpha_v0)
+        f_l = jnp.maximum(cos_l, 0.0)[..., None] * jnp.ones((R, 3))
         pdf_l_f = jnp.maximum(cos_l, 0.0) * vm.INV_PI  # emission dir pdf
         pdf_l_r = jnp.zeros((R,))
         ok_l = cos_l > 0
     else:
         si = s - 2
-        f_l, pdf_l_f, pdf_l_r = _eval_bsdf_at(
-            scene, settings, lig, si, lig["wi"][:, si], -dw)
-        f_l = f_l / jnp.maximum(jnp.abs(cos_l), 1e-6)[..., None]
+        f_l, pdf_l_f, pdf_l_r = _vertex_eval(scene, settings, lig, si, -dw)
         ok_l = jnp.ones((R,), bool)
 
-    G = jnp.abs(cos_l) / jnp.maximum(r2, 1e-20)
-    contrib = cam["alpha"][:, ci] * f_c * G[..., None] * f_l * alpha_l
+    contrib = cam["alpha"][:, ci] * f_c * f_l * alpha_l / \
+        jnp.maximum(r2, 1e-20)[..., None]
 
-    ok = cam_ok & lig_ok & ok_l & (jnp.max(contrib, axis=-1) > 0)
-    occ = occluded(scene, pc + dw * EPSILON, dw, 0.0, dist * (1.0 - 1e-3))
-    ok = ok & ~occ
+    # degenerate-geometry guard (ref: cosineFactor < 1e-5 rejects)
+    cos_c = jnp.abs(jnp.sum(dw * cam["ng"][:, ci], axis=-1))
+    geo_ok = (is_med_c | (cos_c > 1e-5)) & (is_med_l | (jnp.abs(cos_l) > 1e-5))
+    ok = cam_ok & lig_ok & ok_l & geo_ok & (jnp.max(contrib, axis=-1) > 0)
+
+    # bounce budget in ORIGINAL vertex indices (counts collapsed forwards)
+    bounce = orig_l + cam["orig"][:, ci]
+    ok = ok & (bounce < settings.max_bounces)
+
+    # visibility + connection-edge medium pdfs (walk from the camera side)
+    med_conn = _vertex_conn_medium(scene, settings, cam, ci, dw)
+    if med_conn is None:
+        med_conn = jnp.full((R,), -1, jnp.int32)
+    tr, pf_cl, pb_cl = _connection_walk(
+        scene, settings, pc + dw * EPSILON, dw, dist, med_conn,
+        start_surf=~is_med_c, end_surf=~is_med_l)
+    contrib = contrib * tr
+    ok = ok & (jnp.max(tr, axis=-1) > 0)
 
     # ---- MIS combined arrays ----
-    pdf_conn_to_light = _area_pdf(pdf_c_f, dw, dist, nl_)
-    pdf_light_to_cam = _area_pdf(pdf_l_f, -dw, dist, cam["ng"][:, ci])
+    pdf_conn_to_light = _area_pdf_m(pdf_c_f, pf_cl, dw, dist, nl_, is_med_l)
+    pdf_light_to_cam = _area_pdf_m(pdf_l_f, pb_cl, -dw, dist,
+                                   cam["ng"][:, ci], is_med_c)
     e_f, e_r, e_c = _build_emitter_side(scene, cam, lig, root, s, R,
                                         pdf_conn_to_light, pdf_l_r)
     c_f, c_r, c_c = _build_camera_side(
@@ -557,20 +856,27 @@ def _connect_lens(scene, settings, cam, lig, root, s, R, cam_pos,
     connectable in its own strategy (ref misWeight's override).
     mis=False gives the plain light-tracing estimator (every lens
     connection at weight 1 — ref LightTracer.cpp:12-88, which has no
-    competing strategies)."""
+    competing strategies).  Ref LightPath::bdptCameraConnect."""
     if s == 1:
         pl = root["q"]
         nl_ = root["n"]
         alpha_l = root["alpha_v0"]
         lig_ok = jnp.ones((R,), bool)
         spec_l = jnp.zeros((R,), bool)
+        is_med_l = jnp.zeros((R,), bool)
+        orig_l = jnp.zeros((R,), jnp.int32)
+        med_l = root.get("med", None)
     else:
         si = s - 2
         lig_ok = lig["valid"][:, si]
         spec_l = lig["spec"][:, si]
         pl = lig["p"][:, si]
-        nl_ = lig["ns"][:, si]
+        nl_ = lig["ng"][:, si]
         alpha_l = lig["alpha"][:, si]
+        is_med_l = lig["is_med"][:, si] if settings.has_media else \
+            jnp.zeros((R,), bool)
+        orig_l = lig["orig"][:, si]
+        med_l = None
 
     dvec = jnp.broadcast_to(cam_pos, (R, 3)) - pl
     r2 = jnp.sum(dvec * dvec, axis=-1)
@@ -582,36 +888,46 @@ def _connect_lens(scene, settings, cam, lig, root, s, R, cam_pos,
     cos_l = jnp.sum(dw * nl_, axis=-1)
 
     if s == 1:
-        f_l = jnp.ones((R, 3))
+        f_l = jnp.maximum(cos_l, 0.0)[..., None] * jnp.ones((R, 3))
         pdf_l_f = jnp.maximum(cos_l, 0.0) * vm.INV_PI
         pdf_l_r = jnp.zeros((R,))
         ok_l = cos_l > 0
     else:
         si = s - 2
-        f_l, pdf_l_f, pdf_l_r = _eval_bsdf_at(
-            scene, settings, lig, si, lig["wi"][:, si], dw)
-        f_l = f_l / jnp.maximum(jnp.abs(cos_l), 1e-6)[..., None]
+        f_l, pdf_l_f, pdf_l_r = _vertex_eval(scene, settings, lig, si, dw)
         ok_l = jnp.ones((R,), bool)
 
-    G = jnp.abs(cos_l) / jnp.maximum(r2, 1e-20)
     # pinhole importance: a pixel's estimator averages radiance over its
     # footprint with density pdf_dir over solid angle; splatting
-    # alpha * f * G * pdf_dir / |cos(axis)| reproduces the pixel estimate
-    # (validated against the forward tracer).
+    # alpha * f * pdf_dir / (rSq |cos(axis)|) reproduces the pixel
+    # estimate (validated against the forward tracer).
     cos_axis = jnp.abs(jnp.sum(
         dw * jnp.broadcast_to(scene.cam_mat[:3, 2], (R, 3)), axis=-1))
-    val = alpha_l * f_l * G[..., None] * pdf_dir[..., None] / \
-        jnp.maximum(cos_axis, 1e-9)[..., None]
+    val = alpha_l * f_l * (pdf_dir / (jnp.maximum(r2, 1e-20) *
+                                      jnp.maximum(cos_axis, 1e-9)))[..., None]
 
     ok = lig_ok & ~spec_l & ok_l & in_frame & (jnp.max(val, axis=-1) > 0)
-    occ = occluded(scene, pl + dw * EPSILON, dw, 0.0, dist * (1.0 - 1e-3))
-    ok = ok & ~occ
+    ok = ok & (orig_l < settings.max_bounces)
+
+    # visibility walk from the light vertex toward the lens
+    if settings.has_media:
+        if s == 1:
+            med_conn = med_l
+        else:
+            med_conn = _vertex_conn_medium(scene, settings, lig, s - 2, dw)
+    else:
+        med_conn = jnp.full((R,), -1, jnp.int32)
+    tr, pf_lc, pb_lc = _connection_walk(
+        scene, settings, pl + dw * EPSILON, dw, dist, med_conn,
+        start_surf=~is_med_l, end_surf=jnp.ones((R,), bool))
+    val = val * tr
+    ok = ok & (jnp.max(tr, axis=-1) > 0)
 
     if not mis:
         return pix, val, ok
 
     # MIS: emitter side + a single connectable camera root entry
-    pdf_conn_to_light = _area_pdf(pdf_dir, -dw, dist, nl_)
+    pdf_conn_to_light = _area_pdf_m(pdf_dir, pb_lc, -dw, dist, nl_, is_med_l)
     e_f, e_r, e_c = _build_emitter_side(scene, cam, lig, root, s, R,
                                         pdf_conn_to_light, pdf_l_r)
     c_f = [jnp.ones((R,))]
@@ -622,6 +938,143 @@ def _connect_lens(scene, settings, cam, lig, root, s, R, cam_pos,
     cn = jnp.stack(e_c + c_c, axis=1)
     w = _mis_weight(pf, pr, cn, s, 1)
     return pix, val * w[..., None], ok
+
+# -------------------------------------------------------------- strategies
+
+def trace_bdpt(scene, settings, pixel, sample_idx, seed, max_vertices=8,
+               max_edges=None):
+    """One BDPT sample per entry.  Returns (radiance (R,3) for the pixel's
+    own estimator, splat_pixels (R*NS,), splat_values (R*NS,3)).
+    max_edges caps total path segments (= the PT max_bounces semantics);
+    strategies with s + t - 1 > max_edges are statically skipped, and
+    each connection additionally applies the per-ray ORIGINAL-index
+    bounce budget (collapsed forward crossings count, ref
+    bdptConnect's `bounce >= maxBounce`)."""
+    R = pixel.shape[0]
+    NV = max_vertices
+    ME = max_edges if max_edges is not None else 2 * NV
+
+    # ---- camera subpath ----
+    o, d = generate_rays(scene, settings, pixel, sample_idx, seed)
+    cam_pos = scene.cam_mat[:3, 3]
+    pdf_cam_dir = _camera_dir_pdf(scene, settings, d)
+    cam_med0 = jnp.broadcast_to(scene.cam_medium, (R,)).astype(jnp.int32) \
+        if settings.has_media else None
+    cam = _trace_subpath(scene, settings, o, d, jnp.ones((R, 3)), False,
+                         seed, pixel, sample_idx, rng.DIMS_CAMERA, NV,
+                         pdf_cam_dir, jnp.broadcast_to(
+                             scene.cam_mat[:3, 2], (R, 3)),
+                         med0=cam_med0)
+
+    # ---- light subpath ----
+    root = _sample_light_root(scene, settings, R, seed, pixel, sample_idx)
+    lig = _trace_subpath(scene, settings, root["q"] + root["d0"] * EPSILON,
+                         root["d0"], root["alpha_walk"], True,
+                         seed, pixel, sample_idx,
+                         LIGHT_WALK_DIM_OFFSET + 16, NV,
+                         root["pdf0_solid"], root["n"],
+                         med0=root["med"] if settings.has_media else None)
+
+    radiance = jnp.zeros((R, 3))
+    splat_pix = []
+    splat_val = []
+
+    # ================= s = 0: camera path hits a light =================
+    for t in range(1, NV + 1):
+        if t - 1 > ME:
+            continue
+        ci = t - 1  # camera vertex array index of the path's end
+        v_ok = cam["valid"][:, ci]
+        if settings.has_media:
+            v_ok = v_ok & ~cam["is_med"][:, ci]
+            v_ok = v_ok & (cam["orig"][:, ci] <= ME)
+        prim = cam["prim"][:, ci]
+        etex = scene.prim_emission_tex[
+            jnp.clip(prim, 0, scene.prim_emission_tex.shape[0] - 1)]
+        emissive = v_ok & (etex >= 0)
+        li = jnp.clip(scene.prim_light[
+            jnp.clip(prim, 0, scene.prim_light.shape[0] - 1)], 0,
+            scene.light_emission.shape[0] - 1)
+        e_hit = scene.light_emission[li]
+        front = jnp.sum(cam["ng"][:, ci] * cam["wi"][:, ci], axis=-1) > 0.0
+        contrib = cam["alpha"][:, ci] * e_hit
+        if t == 1:
+            # direct light hit from the camera; the (1,1) lens-splat
+            # strategy samples the same 1-edge paths, so balance against
+            # its density (light-area pdf vs camera pdf) unless the
+            # reconstruction filter is Dirac
+            nl0 = settings.num_lights
+            area0 = scene.light_area[li]
+            pdfA0 = (1.0 / nl0) / jnp.maximum(area0, 1e-20)
+            if settings.filter != "dirac":
+                w1 = 1.0 / (1.0 + pdfA0 /
+                            jnp.maximum(cam["pdf_fwd"][:, 0], 1e-20))
+            else:
+                w1 = jnp.ones((R,))
+            radiance = radiance + jnp.where(
+                (emissive & front)[..., None], contrib * w1[..., None], 0.0)
+            continue
+        # MIS arrays for s=0: combined path = camera reversed, n = t
+        # pdf_fwd[j] (emitter-side direction) j=0..t-1: j=0: light area pdf;
+        # j=1: light dir pdf at hit toward camera vertex t-2 (x the edge's
+        # BACKWARD medium pdf, ref bdptWeightedPathEmission); j>=2: camera
+        # pdf_rev. pdf_rev[j] = camera pdf_fwd reversed.
+        nl = settings.num_lights
+        area = scene.light_area[li]
+        pdfA_here = (1.0 / nl) / jnp.maximum(area, 1e-20)
+        dprev = cam["dist_prev"][:, ci]
+        cos_here = jnp.abs(jnp.sum(cam["ng"][:, ci] * cam["wi"][:, ci],
+                                   axis=-1))
+        # emission direction pdf (cosine) from the light toward v[t-2]:
+        pdf_em_solid = cos_here * vm.INV_PI
+        n_prev, m_prev = _prev_cos_n(cam, None, ci, R)
+        if ci == 0:
+            n_prev = jnp.broadcast_to(scene.cam_mat[:3, 2], (R, 3))
+        pdf_em_area = _area_pdf_m(pdf_em_solid, cam["edge_pb"][:, ci],
+                                  -cam["wi"][:, ci], dprev, n_prev, m_prev)
+
+        pdf_fwd = [pdfA_here, pdf_em_area]
+        pdf_rev = [cam["pdf_fwd"][:, ci], cam["pdf_fwd"][:, ci - 1]]
+        conn = [jnp.ones_like(emissive),
+                ~cam["spec"][:, ci - 1] if ci >= 1 else
+                jnp.ones_like(emissive)]
+        for j in range(2, t):
+            cj = t - 1 - j  # camera vertex index
+            pdf_fwd.append(cam["pdf_rev"][:, cj])
+            pdf_rev.append(cam["pdf_fwd"][:, cj])
+            conn.append(~cam["spec"][:, cj] if cj >= 1
+                        else jnp.ones_like(emissive))
+        pf = jnp.stack(pdf_fwd, axis=1)
+        pr = jnp.stack(pdf_rev, axis=1)
+        cn = jnp.stack(conn, axis=1)
+        w = _mis_weight_s0(pf, pr, cn, t,
+                           root_connectable=settings.filter != "dirac")
+        radiance = radiance + jnp.where(
+            (emissive & front)[..., None], contrib * w[..., None], 0.0)
+
+    # ================= s >= 1, t >= 2: connections =================
+    for s in range(1, NV + 1):
+        for t in range(2, NV + 1):
+            if s + t - 1 > ME:
+                continue
+            contrib, w, ok = _connect(scene, settings, cam, lig, root,
+                                      s, t, R)
+            radiance = radiance + jnp.where(ok[..., None],
+                                            contrib * w[..., None], 0.0)
+
+    # ================= t = 1: light path to the lens (splat) ===========
+    for s in range(1, NV + 1):
+        if s > ME:
+            continue
+        pixv, val, ok = _connect_lens(scene, settings, cam, lig, root, s, R,
+                                      cam_pos)
+        splat_pix.append(jnp.where(ok, pixv, 0))
+        splat_val.append(jnp.where(ok[..., None], val, 0.0))
+
+    splat_pix = jnp.concatenate(splat_pix) if splat_pix else \
+        jnp.zeros((0,), jnp.int32)
+    splat_val = jnp.concatenate(splat_val) if splat_val else jnp.zeros((0, 3))
+    return radiance, splat_pix, splat_val
 
 
 def trace_light(scene, settings, pixel, sample_idx, seed, max_vertices=8,
@@ -641,7 +1094,8 @@ def trace_light(scene, settings, pixel, sample_idx, seed, max_vertices=8,
                          root["d0"], root["alpha_walk"], True,
                          seed, pixel, sample_idx,
                          LIGHT_WALK_DIM_OFFSET + 16, NV,
-                         root["pdf0_solid"], root["n"])
+                         root["pdf0_solid"], root["n"],
+                         med0=root["med"] if settings.has_media else None)
     splat_pix, splat_val = [], []
     for s in range(1, NV + 1):
         if s > ME:
