@@ -42,3 +42,28 @@ def test_cornell_box_matches_reference():
 def test_materialtest_matches_reference():
     _compare(f"{DATA}/materialtest/materialtest.json",
              "materialtest_128x72_512spp.pfm", spp=16)
+
+
+@pytest.mark.skipif(not os.path.exists(DATA), reason="reference data absent")
+def test_photon_map_matches_cornell_golden():
+    """Cross-integrator check: the photon-map estimate of cornell-box must
+    agree with the path-traced golden (biased estimator, so tolerances are
+    wider than the PT test; ref has no PM golden of its own)."""
+    from tungsten_tpu.scene.flatten import load_flat_scene
+    from tungsten_tpu.render import render
+
+    scene, settings = load_flat_scene(
+        f"{DATA}/example-scenes/cornell-box/scene.json")
+    settings = replace(settings, width=128, height=72,
+                       integrator_type="photon_map",
+                       photon_count=1 << 18, gather_radius=0.05,
+                       gather_count=20)
+    hdr = np.asarray(render(scene, settings, spp=2, spp_chunk=2))
+    ref = _load_pfm(os.path.join(GOLDEN_DIR, "cornell_128x72_512spp.pfm"))
+    mean_rel = np.abs(hdr.mean((0, 1)) - ref.mean((0, 1))) / ref.mean((0, 1))
+    assert mean_rel.max() < 0.08, f"mean mismatch: {mean_rel}"
+
+    def ds(x):
+        return x.reshape(9, 8, 16, 8, 3).mean(axis=(1, 3))
+    d_rel = np.abs(ds(hdr) - ds(ref)) / (ds(ref) + 5e-2)
+    assert d_rel.mean() < 0.12, f"downsampled mismatch: {d_rel.mean()}"

@@ -1,0 +1,382 @@
+"""Photon mapping + progressive photon mapping, TPU-native.
+
+Re-design of ref src/core/integrators/photon_map/ +
+progressive_photon_map/ (PhotonTracer.cpp, PhotonMapIntegrator.cpp,
+ProgressivePhotonMapIntegrator.cpp):
+
+  * photon pass: a wavefront of light subpaths (PhotonTracer::
+    tracePhotonPath, :422-554) depositing a photon {pos, incoming dir,
+    power * |Ns.d / Ng.d|, bounce} at every non-pure-specular surface
+    hit; photon powers are normalized by the number of EMITTED paths
+    (PhotonMapIntegrator.cpp:134 `scale = 1/totalTraced`).
+  * acceleration: instead of the reference's KdTree kNN, photons are
+    sorted by hash-grid cell id (cell size = gather radius) on device;
+    queries scan the 3x3x3 neighborhood via searchsorted ranges and
+    select the k nearest by top_k -- the kNN-with-max-radius query of
+    KdTree::nearestNeighbours, with a static per-cell candidate cap
+    (densely packed cells beyond the cap are truncated; the k-radius
+    shrink makes this matter less exactly where cells are dense).
+  * camera pass (PhotonTracer::traceSensorPath, :246-420): walk through
+    pure-specular bounces and forward transparency only; at the first
+    other surface, credit emission and estimate radiance as
+    sum_k power_k * f(wi, -dir_k)/|cos(wo_k)| * INV_PI / radiusSq with
+    radiusSq = dist_k if k neighbours found else r^2, guarded by the
+    full-path bounce window (fullPathBounce = bounce + p.bounce - 1 in
+    [min_bounces, max_bounces)).
+  * PPM: per spp-round iteration i, retrace photons (seed offset by
+    iteration) and gather at surfaceRadius = r0 * sqrt(gamma_i),
+    gamma_i = prod_{k=1..i} (k+alpha)/(k+1)
+    (ProgressivePhotonMapIntegrator.cpp:58-72).
+
+Round-1 scope: surface photons only (volume photon maps -- points/
+beams/planes -- are follow-up; the water-caustic fixture has no media).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tungsten_tpu.bsdf import types as bt
+from tungsten_tpu.bsdf.eval import (
+    FLAG_SPECULAR, FLAG_VALID, ShadePoint, bsdf_eval, bsdf_forward,
+    bsdf_sample)
+from tungsten_tpu.cameras.camera import generate_rays
+from tungsten_tpu.integrators.bdpt import _sample_light_root
+from tungsten_tpu.integrators.path_tracer import (
+    EPSILON, INF, _expand_hit, _has_forward_types)
+from tungsten_tpu.integrators import lights as L
+from tungsten_tpu.ops.intersect import bvh_intersect
+from tungsten_tpu.utils import rng
+from tungsten_tpu.utils import vecmath as vm
+
+PHOTON_DIM_OFFSET = 8192   # RNG dim family for photon walks
+CELL_CAP = 48              # candidate photons scanned per grid cell
+GRID_RES = 1024            # max cells per axis (key fits int32)
+
+# BSDF types whose every lobe is specular: the camera walk passes
+# through these (ref requestedLobe = SpecularLobe succeeds) and photons
+# are NOT deposited on them (ref !lobes().isPureSpecular()).
+PURE_SPECULAR_TYPES = (bt.MIRROR, bt.DIELECTRIC, bt.CONDUCTOR)
+
+
+def _is_pure_specular(scene, settings, bsdf_idx):
+    t = scene.bsdf_type[bsdf_idx]
+    out = jnp.zeros(bsdf_idx.shape, bool)
+    for ty in PURE_SPECULAR_TYPES:
+        if ty in settings.present_bsdf_types:
+            out = out | (t == ty)
+    return out
+
+
+# ------------------------------------------------------------ photon pass
+
+@functools.partial(jax.jit, static_argnames=("settings", "n_paths"))
+def trace_photons(scene, settings, n_paths: int, seed, path_offset):
+    """Trace n_paths light subpaths, depositing surface photons.
+    Returns dict of (n_paths * B,) arrays (B = max_bounces - 1 deposit
+    slots): pos (N,3), dir (N,3) incoming, power (N,3) (NOT yet
+    normalized by path count), bounce (N,), valid (N,)."""
+    R = n_paths
+    B = max(settings.max_bounces - 1, 1)
+    pixel = jnp.arange(R, dtype=jnp.uint32) + jnp.uint32(path_offset)
+    sample = jnp.zeros((R,), jnp.uint32)
+
+    root = _sample_light_root(scene, settings, R, seed, pixel, sample)
+    # photon throughput leaving the light: Le * pi * area * numLights
+    # (cosine-sampled emission, ref tracePhotonPath throughput)
+    thr0 = root["alpha_walk"]
+
+    out = dict(
+        pos=jnp.zeros((R, B, 3)), dir=jnp.zeros((R, B, 3)),
+        power=jnp.zeros((R, B, 3)), bounce=jnp.zeros((R, B), jnp.int32),
+        valid=jnp.zeros((R, B), bool),
+    )
+
+    def body(i, carry):
+        out, o, d, thr, alive = carry
+        dims = PHOTON_DIM_OFFSET + 16 + i * rng.DIMS_PER_BOUNCE
+        res = bvh_intersect(scene, o, d, 0.0, jnp.where(alive, INF, 0.0))
+        hit = res["hit"] & alive
+        info = _expand_hit(scene, o, d, res)
+        backside = jnp.sum(info["ng"] * d, axis=-1) > 0.0
+        ns = jnp.where(backside[..., None] & settings.two_sided_shading,
+                       -info["ns"], info["ns"])
+        tan, bit = vm.ortho_frame(ns)
+        wi_local = vm.to_local(tan, bit, ns, -d)
+        sp = ShadePoint(scene, info["bsdf"], info["uv"])
+
+        if _has_forward_types(settings):
+            transp = bsdf_forward(sp, wi_local, settings.present_bsdf_types)
+            t_scalar = jnp.mean(transp, axis=-1)
+            u_fwd = rng.random_1d(seed, pixel, sample,
+                                  dims + rng.BounceDims.FORWARD)
+            take_fwd = hit & (jnp.max(transp, axis=-1) > 0) & \
+                (u_fwd < t_scalar)
+            fwd_w = transp / jnp.maximum(t_scalar, 1e-20)[..., None]
+        else:
+            take_fwd = jnp.zeros((R,), bool)
+            fwd_w = None
+
+        # deposit on non-pure-specular surfaces (shading-normal
+        # asymmetry factor folded into the stored power, ref :546)
+        spec_surf = _is_pure_specular(scene, settings, info["bsdf"])
+        dep = hit & ~spec_surf & ~take_fwd
+        asym = jnp.abs(jnp.sum(ns * d, axis=-1) /
+                       jnp.where(jnp.abs(jnp.sum(info["ng"] * d, axis=-1))
+                                 < 1e-9, 1e-9,
+                                 jnp.sum(info["ng"] * d, axis=-1)))
+        p_pow = thr * jnp.clip(asym, 0.0, 8.0)[..., None]
+        out2 = dict(out)
+        out2["pos"] = out2["pos"].at[:, i].set(
+            jnp.where(dep[..., None], info["p"], out["pos"][:, i]))
+        out2["dir"] = out2["dir"].at[:, i].set(
+            jnp.where(dep[..., None], d, out["dir"][:, i]))
+        out2["power"] = out2["power"].at[:, i].set(
+            jnp.where(dep[..., None], p_pow, out["power"][:, i]))
+        out2["bounce"] = out2["bounce"].at[:, i].set(
+            jnp.where(dep, i + 1, out["bounce"][:, i]))
+        out2["valid"] = out2["valid"].at[:, i].set(dep)
+
+        # continue the walk (full BSDF sampling, ref handleSurface)
+        ul = rng.random_1d(seed, pixel, sample,
+                           dims + rng.BounceDims.BSDF_LOBE)
+        u1, u2 = rng.random_2d(seed, pixel, sample,
+                               dims + rng.BounceDims.BSDF_SAMPLE)
+        ul2 = rng.random_1d(seed, pixel, sample,
+                            dims + rng.BounceDims.BSDF_LOBE2)
+        wo, wt, _, flags = bsdf_sample(sp, wi_local, ul, u1, u2,
+                                       settings.present_bsdf_types,
+                                       u_lobe2=ul2)
+        ok = ((flags & FLAG_VALID) != 0) & (jnp.max(wt, axis=-1) > 0)
+        new_d = vm.to_global(tan, bit, ns, wo)
+        if _has_forward_types(settings):
+            new_d = vm.where3(take_fwd, d, new_d)
+            wt = jnp.where(take_fwd[..., None], fwd_w, wt)
+            ok = jnp.where(take_fwd, jnp.max(fwd_w, axis=-1) > 0, ok)
+        thr2 = jnp.where(hit[..., None], thr * wt, thr)
+        alive2 = hit & ok & (jnp.max(thr2, axis=-1) > 0)
+        o2 = info["p"] + new_d * EPSILON
+        return out2, o2, new_d, thr2, alive2
+
+    carry = (out, root["q"] + root["d0"] * EPSILON, root["d0"], thr0,
+             jnp.ones((R,), bool))
+    out, *_ = jax.lax.fori_loop(0, B, body, carry)
+    return {k: v.reshape((R * B,) + v.shape[2:]) for k, v in out.items()}
+
+
+# ------------------------------------------------------------- hash grid
+
+def build_photon_grid(photons, radius):
+    """Sort photons by hash-grid cell id (cell size = gather radius).
+    Returns a grid dict with sorted photon SoA + sorted keys + origin.
+    The TPU counterpart of the reference's KdTree build: a single
+    device sort instead of a recursive median split."""
+    pos = photons["pos"]
+    valid = photons["valid"]
+    big = jnp.float32(GRID_RES - 3)
+    lo = jnp.min(jnp.where(valid[..., None], pos, jnp.inf), axis=0) - radius
+    lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+    inv = 1.0 / radius
+    cell = jnp.clip(((pos - lo) * inv).astype(jnp.int32), 1, big.astype(
+        jnp.int32))
+    key = (cell[:, 0] * GRID_RES + cell[:, 1]) * GRID_RES + cell[:, 2]
+    key = jnp.where(valid, key, jnp.int32(2**31 - 1))  # invalid to the back
+    order = jnp.argsort(key)
+    return dict(
+        key=key[order],
+        pos=pos[order], dir=photons["dir"][order],
+        power=photons["power"][order], bounce=photons["bounce"][order],
+        valid=valid[order], lo=lo, inv_cell=inv,
+    )
+
+
+def _gather_estimate(scene, settings, grid, radius, p, frame, wi_local,
+                     bsdf_idx, uv, cam_bounce):
+    """Reference-equivalent kNN density estimate at surface points p
+    (R,3).  Collects candidates from the 27 neighbor cells, picks the
+    k = gather_photon_count nearest, radius-clamps, and sums
+    power * f / |cos| * INV_PI / r^2."""
+    R = p.shape[0]
+    K = settings.gather_count
+    tan, bit, ns = frame
+    cell = jnp.clip(((p - grid["lo"]) * grid["inv_cell"]).astype(jnp.int32),
+                    1, GRID_RES - 3)
+    keys = grid["key"]
+    N = keys.shape[0]
+
+    cand_d2 = []
+    cand_ix = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                k = ((cell[:, 0] + dx) * GRID_RES + (cell[:, 1] + dy)) * \
+                    GRID_RES + (cell[:, 2] + dz)
+                start = jnp.searchsorted(keys, k, side="left")
+                end = jnp.searchsorted(keys, k, side="right")
+                end = jnp.minimum(end, start + CELL_CAP)
+                for j in range(CELL_CAP):
+                    ix = jnp.minimum(start + j, N - 1)
+                    ok = (start + j) < end
+                    dv = grid["pos"][ix] - p
+                    d2 = jnp.sum(dv * dv, axis=-1)
+                    d2 = jnp.where(ok & (d2 <= radius * radius), d2, jnp.inf)
+                    cand_d2.append(d2)
+                    cand_ix.append(ix)
+    d2 = jnp.stack(cand_d2, axis=1)      # (R, 27*CAP)
+    ixs = jnp.stack(cand_ix, axis=1)
+
+    # k nearest within the radius (ref KdTree::nearestNeighbours)
+    neg, sel = jax.lax.top_k(-d2, K)
+    sel_d2 = -neg                        # (R, K) ascending? top_k sorts desc
+    sel_ix = jnp.take_along_axis(ixs, sel, axis=1)
+    got = jnp.isfinite(sel_d2)
+    count = jnp.sum(got, axis=1)
+    kth = jnp.max(jnp.where(got, sel_d2, 0.0), axis=1)
+    r2 = jnp.where(count >= K, kth, radius * radius)
+
+    # evaluate f at the gather point toward each selected photon
+    sp = ShadePoint(scene, jnp.repeat(bsdf_idx, K), uv.repeat(K, axis=0))
+    pdirs = grid["dir"][sel_ix.reshape(-1)]          # (R*K, 3)
+    wo_l = vm.to_local(jnp.repeat(tan, K, axis=0), jnp.repeat(bit, K, axis=0),
+                       jnp.repeat(ns, K, axis=0), -pdirs)
+    wi_rep = jnp.repeat(wi_local, K, axis=0)
+    f = bsdf_eval(sp, wi_rep, wo_l, settings.present_bsdf_types)
+    f = f / jnp.maximum(jnp.abs(wo_l[..., 2]), 1e-6)[..., None]
+    f = f.reshape(R, K, 3)
+
+    power = grid["power"][sel_ix.reshape(-1)].reshape(R, K, 3)
+    pb = grid["bounce"][sel_ix.reshape(-1)].reshape(R, K)
+    full_bounce = cam_bounce[:, None] + pb - 1
+    ok = got & (full_bounce >= settings.min_bounces) & \
+        (full_bounce < settings.max_bounces) & \
+        (sel_d2 <= r2[:, None] + 1e-12)
+    est = jnp.sum(jnp.where(ok[..., None], power * f, 0.0), axis=1)
+    return est * (vm.INV_PI / jnp.maximum(r2, 1e-20))[..., None]
+
+
+# ------------------------------------------------------------ camera pass
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def gather_pass(scene, settings, grid, radius, pixel, sample_idx, seed):
+    """Specular-chain camera walk + photon gather (ref traceSensorPath).
+    Returns radiance (R,3)."""
+    R = pixel.shape[0]
+    o, d = generate_rays(scene, settings, pixel, sample_idx, seed)
+
+    state = dict(
+        o=o, d=d, thr=jnp.ones((R, 3)), result=jnp.zeros((R, 3)),
+        alive=jnp.ones((R,), bool), stopped=jnp.zeros((R,), bool),
+        bounce=jnp.zeros((R,), jnp.int32),
+        g_p=jnp.zeros((R, 3)), g_ns=jnp.zeros((R, 3)),
+        g_wi=jnp.zeros((R, 3)), g_bsdf=jnp.zeros((R,), jnp.int32),
+        g_uv=jnp.zeros((R, 2)), g_thr=jnp.zeros((R, 3)),
+        g_bounce=jnp.zeros((R,), jnp.int32),
+    )
+
+    def body(i, s):
+        dims = rng.DIMS_CAMERA + i * rng.DIMS_PER_BOUNCE
+        res = bvh_intersect(scene, s["o"], s["d"], 0.0,
+                            jnp.where(s["alive"], INF, 0.0))
+        hit = res["hit"] & s["alive"]
+        escaped = s["alive"] & ~res["hit"]
+        bounce = s["bounce"] + hit.astype(jnp.int32)
+
+        result = s["result"]
+        if settings.has_env:
+            env_ok = escaped & (i >= settings.min_bounces)
+            result = result + jnp.where(env_ok[..., None],
+                                        s["thr"] * L.env_eval(scene, s["d"]),
+                                        0.0)
+
+        info = _expand_hit(scene, s["o"], s["d"], res)
+        backside = jnp.sum(info["ng"] * s["d"], axis=-1) > 0.0
+        ns = jnp.where(backside[..., None] & settings.two_sided_shading,
+                       -info["ns"], info["ns"])
+        tan, bit = vm.ortho_frame(ns)
+        wi_local = vm.to_local(tan, bit, ns, -s["d"])
+        sp = ShadePoint(scene, info["bsdf"], info["uv"])
+
+        if _has_forward_types(settings):
+            transp = bsdf_forward(sp, wi_local, settings.present_bsdf_types)
+            t_scalar = jnp.mean(transp, axis=-1)
+            u_fwd = rng.random_1d(seed, pixel, sample_idx,
+                                  dims + rng.BounceDims.FORWARD)
+            take_fwd = hit & (jnp.max(transp, axis=-1) > 0) & \
+                (u_fwd < t_scalar)
+            fwd_w = transp / jnp.maximum(t_scalar, 1e-20)[..., None]
+        else:
+            take_fwd = jnp.zeros((R,), bool)
+            fwd_w = None
+
+        spec_surf = _is_pure_specular(scene, settings, info["bsdf"])
+        stop_here = hit & ~spec_surf & ~take_fwd
+
+        # emissive credit at the stop vertex (ref :409-410)
+        etex = scene.prim_emission_tex[info["prim"]]
+        li = jnp.clip(scene.prim_light[info["prim"]], 0,
+                      max(scene.light_emission.shape[0] - 1, 0))
+        e_val = jnp.where(
+            (scene.prim_light[info["prim"]] >= 0)[..., None],
+            scene.light_emission[li],
+            scene.tex_const[jnp.clip(etex, 0,
+                                     scene.tex_const.shape[0] - 1)])
+        front = jnp.sum(info["ng"] * s["d"], axis=-1) < 0.0
+        emit = stop_here & (etex >= 0) & front & (i >= settings.min_bounces)
+        result = result + jnp.where(emit[..., None], s["thr"] * e_val, 0.0)
+
+        # record the gather point once
+        for k, v in [("g_p", info["p"]), ("g_ns", ns), ("g_wi", wi_local),
+                     ("g_uv", info["uv"]), ("g_thr", s["thr"])]:
+            s[k] = jnp.where(stop_here[..., None] if v.ndim == 2
+                             else stop_here, v, s[k])
+        s["g_bsdf"] = jnp.where(stop_here, info["bsdf"], s["g_bsdf"])
+        s["g_bounce"] = jnp.where(stop_here, bounce, s["g_bounce"])
+        stopped = s["stopped"] | stop_here
+
+        # specular / forward continuation
+        ul = rng.random_1d(seed, pixel, sample_idx,
+                           dims + rng.BounceDims.BSDF_LOBE)
+        u1, u2 = rng.random_2d(seed, pixel, sample_idx,
+                               dims + rng.BounceDims.BSDF_SAMPLE)
+        ul2 = rng.random_1d(seed, pixel, sample_idx,
+                            dims + rng.BounceDims.BSDF_LOBE2)
+        wo, wt, _, flags = bsdf_sample(sp, wi_local, ul, u1, u2,
+                                       settings.present_bsdf_types,
+                                       u_lobe2=ul2)
+        ok = ((flags & FLAG_VALID) != 0) & (jnp.max(wt, axis=-1) > 0)
+        new_d = vm.to_global(tan, bit, ns, wo)
+        if _has_forward_types(settings):
+            new_d = vm.where3(take_fwd, s["d"], new_d)
+            wt = jnp.where(take_fwd[..., None], fwd_w, wt)
+            ok = jnp.where(take_fwd, jnp.max(fwd_w, axis=-1) > 0, ok)
+        thr = jnp.where((hit & ~stop_here)[..., None], s["thr"] * wt,
+                        s["thr"])
+        alive = hit & ~stop_here & ok & (jnp.max(thr, axis=-1) > 0)
+
+        s2 = dict(s)
+        s2.update(o=vm.where3(alive, info["p"] + new_d * EPSILON, s["o"]),
+                  d=vm.where3(alive, new_d, s["d"]),
+                  thr=thr, result=result, alive=alive, stopped=stopped,
+                  bounce=bounce)
+        return s2
+
+    s = jax.lax.fori_loop(0, settings.max_bounces, body, state)
+
+    tan, bit = vm.ortho_frame(s["g_ns"])
+    est = _gather_estimate(scene, settings, grid, radius, s["g_p"],
+                           (tan, bit, s["g_ns"]), s["g_wi"], s["g_bsdf"],
+                           s["g_uv"], s["g_bounce"])
+    return s["result"] + jnp.where(s["stopped"][..., None],
+                                   s["g_thr"] * est, 0.0)
+
+
+def ppm_gamma(iteration: int, alpha: float) -> float:
+    """Radius shrink factor: gamma_i = prod_{k=1..i} (k+alpha)/(k+1)
+    (ref ProgressivePhotonMapIntegrator.cpp:58-60)."""
+    g = 1.0
+    for k in range(1, iteration + 1):
+        g *= (k + alpha) / (k + 1.0)
+    return g

@@ -76,9 +76,67 @@ def _trace_chunk_splat(scene: FlatScene, settings: RenderSettings, pixel,
     return rad, splat, jnp.int32(rays)
 
 
+# photon paths traced per device call (photon_map integrators)
+PHOTON_CHUNK = 1 << 16
+
+
+def _render_pass_photon(scene: FlatScene, settings: RenderSettings,
+                        sample_start, seed, spp_chunk: int):
+    """Photon-map / PPM spp rounds (ref PhotonMapIntegrator::renderSegment
+    + ProgressivePhotonMapIntegrator's per-iteration radius shrink):
+    each spp round re-traces the photon map (seed offset by iteration)
+    and runs a gather pass per pixel chunk."""
+    from tungsten_tpu.integrators.photon_map import (
+        build_photon_grid, gather_pass, ppm_gamma, trace_photons)
+
+    w, h = settings.width, settings.height
+    n = w * h
+    C = min(WAVEFRONT_CHUNK, n)
+    pad = (-n) % C
+    pixels = np.arange(n + pad, dtype=np.uint32).reshape(-1, C)
+    progressive = settings.integrator_type == "progressive_photon_map"
+
+    acc = jnp.zeros((n + pad, 3))
+    rays = 0
+    B = max(settings.max_bounces - 1, 1)
+    for i in range(spp_chunk):
+        it = int(sample_start) + i
+        # ---- photon pass (fresh photons each iteration) ----
+        n_paths = max(settings.photon_count // B, PHOTON_CHUNK)
+        chunks = []
+        for off in range(0, n_paths, PHOTON_CHUNK):
+            cnt = min(PHOTON_CHUNK, n_paths - off)
+            ph = trace_photons(scene, settings, cnt,
+                               np.uint32((int(seed) + 0x9E3779B9 * it)
+                                         & 0xFFFFFFFF),
+                               np.uint32(off))
+            chunks.append(ph)
+        photons = {k: jnp.concatenate([c[k] for c in chunks])
+                   for k in chunks[0]}
+        photons["power"] = photons["power"] / n_paths
+        rays += n_paths * B
+
+        gamma = ppm_gamma(it, settings.ppm_alpha) if progressive else 1.0
+        radius = settings.gather_radius * float(np.sqrt(gamma))
+        grid = build_photon_grid(photons, radius)
+
+        # ---- camera gather pass ----
+        for ci in range(pixels.shape[0]):
+            rad = gather_pass(scene, settings, grid, np.float32(radius),
+                              jnp.asarray(pixels[ci]), np.uint32(it),
+                              np.uint32(seed))
+            rad = jnp.where(jnp.isfinite(rad), rad, 0.0)
+            acc = acc.at[ci * C:(ci + 1) * C].add(rad)
+            rays += C * settings.max_bounces
+    return acc[:n].reshape(h, w, 3), rays
+
+
 def render_pass(scene: FlatScene, settings: RenderSettings, sample_start,
                 seed, spp_chunk: int = 1):
     """Render spp_chunk samples per pixel; returns ((H, W, 3) sum, rays)."""
+    if settings.integrator_type in ("photon_map", "progressive_photon_map"):
+        return _render_pass_photon(scene, settings, sample_start, seed,
+                                   spp_chunk)
     w, h = settings.width, settings.height
     n = w * h
     C = min(WAVEFRONT_CHUNK, n)

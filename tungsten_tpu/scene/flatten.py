@@ -157,6 +157,11 @@ class RenderSettings:
     grid_steps: int = 96     # raymarch steps for voxel optical depth
     integrator_type: str = "path_tracer"
     bdpt_vertices: int = 8   # per-subpath vertex cap for bdpt/light_tracer
+    # photon_map / progressive_photon_map (ref PhotonMapSettings.hpp)
+    photon_count: int = 1 << 20
+    gather_radius: float = 0.05
+    gather_count: int = 20   # gather_photon_count (kNN k)
+    ppm_alpha: float = 0.3
 
 
 _UNIT_QUAD_UV = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
@@ -702,6 +707,10 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         has_points=len(points) > 0,
         med_kinds=tuple(sorted(set(med_kind))),
         integrator_type=integ.get("type", "path_tracer"),
+        photon_count=int(integ.get("photon_count", 1 << 20)),
+        gather_radius=float(integ.get("gather_radius", 0.05)),
+        gather_count=int(integ.get("gather_photon_count", 20)),
+        ppm_alpha=float(integ.get("alpha", 0.3)),
     )
 
     tex_type, tex_const, tex_params, tex_bitmap_id, bitmaps = textures.finalize()
