@@ -464,6 +464,7 @@ def _init_state(scene, settings, pixel, sample_idx, seed, detach):
         alive=jnp.ones((R,), bool),
         bounce=jnp.int32(0),
         rays=jnp.int32(R),  # primary rays already traced
+        pixel=pixel, sample=sample_idx,
     )
     if settings.has_media:
         state["medium"] = jnp.full((R,), scene.cam_medium, jnp.int32)
@@ -472,14 +473,17 @@ def _init_state(scene, settings, pixel, sample_idx, seed, detach):
     return state
 
 
-def _make_bounce_body(scene, settings, pixel, sample_idx, seed,
-                      detach: bool = False):
+def _make_bounce_body(scene, settings, seed, detach: bool = False):
     """The per-bounce wavefront step, shared by the while_loop forward
-    path and the bounded-depth differentiable path.  With detach=True all
-    intersection results are stop-gradient'ed (detached sampling —
-    interior derivatives only; geometry/silhouette terms out of scope)."""
+    path, the staged-compaction path, and the bounded-depth
+    differentiable path.  Ray identity (pixel, sample) travels in the
+    state so wavefronts can be compacted between bounces.  With
+    detach=True all intersection results are stop-gradient'ed (detached
+    sampling — interior derivatives only)."""
 
     def body(s):
+        pixel = s["pixel"]
+        sample_idx = s["sample"]
         bounce = s["bounce"]
         dim_base = rng.DIMS_CAMERA + bounce * rng.DIMS_PER_BOUNCE
         alive = s["alive"]
@@ -755,6 +759,7 @@ def _make_bounce_body(scene, settings, pixel, sample_idx, seed,
             alive=alive2,
             bounce=bounce + 1,
             rays=rays,
+            pixel=pixel, sample=sample_idx,
         )
         if settings.has_media:
             out["medium"] = medium
@@ -769,7 +774,7 @@ def trace_wave(scene, settings, pixel, sample_idx, seed, with_stats=False):
     """Trace one radiance sample per entry; pixel/sample_idx (R,) int32.
     Returns radiance (R,3), or (radiance, rays_traced) with stats."""
     state = _init_state(scene, settings, pixel, sample_idx, seed, False)
-    body = _make_bounce_body(scene, settings, pixel, sample_idx, seed)
+    body = _make_bounce_body(scene, settings, seed)
 
     def cond(s):
         return (s["bounce"] < settings.max_bounces) & jnp.any(s["alive"])
@@ -789,8 +794,62 @@ def trace_wave_diff(scene, settings, pixel, sample_idx, seed):
     intersections/sampling decisions, so gradients flow through the
     shading chain (albedo/emission/roughness/ior/textures) only."""
     state = _init_state(scene, settings, pixel, sample_idx, seed, True)
-    body = _make_bounce_body(scene, settings, pixel, sample_idx, seed,
-                             detach=True)
+    body = _make_bounce_body(scene, settings, seed, detach=True)
     final = jax.lax.fori_loop(0, settings.max_bounces,
                               lambda i, s: body(s), state)
     return final["emission"]
+
+
+# ------------------------------------------------ staged wavefront API
+#
+# The reference amortizes dead paths by per-tile work queues
+# (PathTraceIntegrator.cpp tile scheduler); the TPU equivalent is
+# wavefront compaction: run a few bounces at full width, then gather the
+# surviving rays into a narrower wavefront so late bounces don't pay
+# full-width shading.  Host drives the width schedule (render.py).
+
+def init_wave(scene, settings, pixel, sample_idx, seed):
+    """Initial wavefront state (primary rays traced)."""
+    return _init_state(scene, settings, pixel, sample_idx, seed, False)
+
+
+def run_bounces(scene, settings, seed, state, bounce_end):
+    """Advance the wavefront until bounce_end (or extinction)."""
+    body = _make_bounce_body(scene, settings, seed)
+    end = jnp.minimum(jnp.int32(bounce_end), settings.max_bounces)
+
+    def cond(s):
+        return (s["bounce"] < end) & jnp.any(s["alive"])
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def bank_emission(state, n_total):
+    """Scatter every ray's accumulated radiance into an (n_total, 3)
+    framebuffer by pixel id (padded rays with pixel >= n_total are
+    dropped).  NaN guard as in ref PathTracer.cpp:119-122."""
+    pix = jnp.clip(state["pixel"].astype(jnp.int32), 0, n_total - 1)
+    em = state["emission"]
+    em = jnp.where(jnp.isfinite(em), em, 0.0)
+    em = jnp.where((state["pixel"] < n_total)[..., None], em, 0.0)
+    return jnp.zeros((n_total, 3)).at[pix].add(em)
+
+
+def compact_wave(state, new_r: int):
+    """Gather alive rays to the front and slice to new_r rows; zeroes
+    the emission accumulator (bank_emission must be called first)."""
+    r = state["alive"].shape[0]
+    order = jnp.argsort(jnp.where(state["alive"], 0, 1).astype(jnp.int32),
+                        stable=True)
+    idx = order[:new_r]
+
+    def take(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == r:
+            return x[idx]
+        return x
+
+    out = {k: take(v) for k, v in state.items()}
+    out["emission"] = jnp.zeros((new_r, 3))
+    # compacted-away padding must not resurrect
+    out["alive"] = out["alive"] & (jnp.arange(new_r) < jnp.sum(state["alive"]))
+    return out

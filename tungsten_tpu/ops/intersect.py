@@ -69,24 +69,24 @@ def ray_sphere(o, d, center, radius, t_min, t_max):
 
 MAX_LEAF = 4  # must match bvh.build_bvh max_leaf_size
 
-# When True, closest-hit triangle traversal runs through the Pallas
-# coherent-traversal kernel (ops/pallas_trace.py) instead of the
-# XLA-gather loop.  Enabled by the render entry points on TPU backends
-# for scenes whose packed tables fit in VMEM.
+# When True, triangle traversal (closest-hit AND any-hit) runs through
+# the Pallas cluster kernel (ops/cluster_trace.py) instead of the
+# XLA-gather loop.  Enabled automatically at scene-flatten time on TPU
+# backends for scenes whose cluster tables fit in VMEM.
 USE_PALLAS = False
 
 
 def enable_pallas_if_suitable(scene) -> bool:
-    """Turn the Pallas traversal on when running on a TPU backend and the
-    packed scene fits comfortably in VMEM (~12 MB budget)."""
+    """Turn the Pallas cluster traversal on when running on a TPU backend
+    and the cluster tables fit comfortably in VMEM (~12 MB budget)."""
     global USE_PALLAS
     import jax
     try:
         platform = jax.devices()[0].platform
     except Exception:
         platform = "cpu"
-    size = (scene.pk_nodes.size + scene.pk_tris.size) * 4
-    USE_PALLAS = platform != "cpu" and size < 12 * 1024 * 1024
+    size = scene.ck_attr.size * 4
+    USE_PALLAS = platform != "cpu" and size < 13 * 1024 * 1024
     return USE_PALLAS
 
 
@@ -131,13 +131,12 @@ def bvh_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
         return dict(t=best_t, tri=jnp.full((R,), -1, jnp.int32), sph=best_sph,
                     u=jnp.zeros((R,)), v=jnp.zeros((R,)), hit=hit)
 
-    if USE_PALLAS and not any_hit:
-        from tungsten_tpu.ops.pallas_trace import (
-            BLOCK, pallas_bvh_intersect)
-        # Sort rays by direction octant + origin morton code so each
-        # 1024-ray kernel block is spatially coherent (the block shares
-        # one traversal cursor; incoherent blocks visit the union of all
-        # their rays' subtrees).
+    if USE_PALLAS:
+        from tungsten_tpu.ops.cluster_trace import BLOCK, cluster_intersect
+        # Sort rays by (dead, direction octant, origin morton) so each
+        # 128-ray warp shares origin region and direction octant — the
+        # drain's per-warp cluster union shrinks accordingly.  XLA's TPU
+        # sort is cheap (~30us for 64k keys).
         lo = scene.bvh_min[0]
         hi = scene.bvh_max[0]
         q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0)
@@ -154,16 +153,23 @@ def bvh_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
         octant = ((d[:, 0] > 0).astype(jnp.uint32)
                   | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
                   | ((d[:, 2] > 0).astype(jnp.uint32) << 2))
-        # dead rays (t_max <= 0) sort to the back so live blocks stay dense
         dead = (best_t <= 0.0).astype(jnp.uint32)
-        key = (dead << 31) | (octant << 24) | morton
-        order = jnp.argsort(key)
-        inv = jnp.argsort(order)
+        sort_key = (dead << 31) | (octant << 24) | morton
+        # one multi-operand sort moves all ray payloads with the key —
+        # cheaper than argsort + 8 permutation gathers on TPU
+        ridx = jnp.arange(R, dtype=jnp.int32)
+        (_, ox_s, oy_s, oz_s, dx_s, dy_s, dz_s, tmin_v, tmax_v,
+         order) = jax.lax.sort(
+            [sort_key, o[:, 0], o[:, 1], o[:, 2],
+             d[:, 0], d[:, 1], d[:, 2], t_min, best_t, ridx],
+            num_keys=1, is_stable=False)
+        o_srt = jnp.stack([ox_s, oy_s, oz_s], axis=-1)
+        d_srt = jnp.stack([dx_s, dy_s, dz_s], axis=-1)
 
-        o_s, d_s = o[order], d[order]
-        tmin_s = jnp.broadcast_to(t_min, (R,))[order]
-        tmax_s = best_t[order]
         pad = (-R) % BLOCK
+        o_s, d_s = o_srt, d_srt
+        tmin_s = tmin_v
+        tmax_s = tmax_v
         if pad:
             o_s = jnp.concatenate([o_s, jnp.zeros((pad, 3))], axis=0)
             d_s = jnp.concatenate(
@@ -171,12 +177,21 @@ def bvh_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
                                        (pad, 3))], axis=0)
             tmin_s = jnp.concatenate([tmin_s, jnp.zeros((pad,))])
             tmax_s = jnp.concatenate([tmax_s, jnp.zeros((pad,))])
-        t, tri, u, v = pallas_bvh_intersect(
-            scene.pk_nodes, scene.pk_tris, scene.pk_num_nodes,
-            scene.pk_remap, o_s, d_s, tmin_s, tmax_s)
-        t, tri, u, v = t[inv], tri[inv], u[inv], v[inv]
+        t, tri, u, v = cluster_intersect(
+            scene.ck_boxes, scene.ck_attr, scene.ck_remap,
+            o_s, d_s, tmin_s, tmax_s, ncp=scene.ck_boxes.shape[1],
+            any_hit=any_hit)
+        # un-permute by sorting results back on the original ray index
+        _, t, tri, u, v = jax.lax.sort(
+            [order, t[:R], tri[:R], u[:R], v[:R]], num_keys=1,
+            is_stable=False)
         got_tri = tri >= 0
         sph = jnp.where(got_tri, -1, best_sph)
+        if any_hit:
+            # occlusion: a triangle hit anywhere on the segment counts;
+            # t from the kernel is a sentinel, keep best_t for callers
+            return dict(t=best_t, tri=tri, sph=sph, u=u, v=v,
+                        hit=got_tri | (sph >= 0))
         return dict(t=jnp.where(got_tri, t, best_t), tri=tri, sph=sph,
                     u=u, v=v, hit=got_tri | (sph >= 0))
 
@@ -244,7 +259,5 @@ def bvh_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
 
 def occluded(scene, o, d, t_min, t_max):
     """Binary occlusion along segments (t_min, t_max)."""
-    # the Pallas path only implements closest-hit; a closest-hit query
-    # answers occlusion just as well (and faster than the gather loop)
-    res = bvh_intersect(scene, o, d, t_min, t_max, any_hit=not USE_PALLAS)
+    res = bvh_intersect(scene, o, d, t_min, t_max, any_hit=True)
     return res["hit"]

@@ -24,7 +24,7 @@ from tungsten_tpu.scene.flatten import FlatScene, RenderSettings, load_flat_scen
 # Wavefront chunk size: the TPU backend in this environment kills
 # long-running device programs, so each device call traces one bounded
 # chunk of rays for one sample index; the spp/chunk loops run host-side.
-WAVEFRONT_CHUNK = 8192
+WAVEFRONT_CHUNK = 65536
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))
@@ -35,6 +35,71 @@ def _trace_chunk(scene: FlatScene, settings: RenderSettings, pixel,
                         jnp.uint32(seed), with_stats=True)
     # NaN guard (ref PathTracer returns diagnostic colors on NaN)
     return jnp.where(jnp.isfinite(rad), rad, 0.0), r
+
+
+# ------------------------- staged wavefront with compaction ------------
+# Late bounces have few survivors; running them at full wavefront width
+# wastes both traversal and shading.  Host-side width schedule: after
+# every BOUNCE_SEGMENT bounces, if the alive count fits in width/4, bank
+# dead rays' radiance into the framebuffer and compact.
+
+BOUNCE_SEGMENT = 4
+MIN_WAVE = 4096
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _jit_init(scene, settings, pixel, sample_idx, seed):
+    from tungsten_tpu.integrators.path_tracer import init_wave
+    return init_wave(scene, settings, pixel,
+                     jnp.full(pixel.shape, sample_idx, jnp.uint32),
+                     jnp.uint32(seed))
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _jit_run(scene, settings, seed, state, bounce_end):
+    from tungsten_tpu.integrators.path_tracer import run_bounces
+    return run_bounces(scene, settings, jnp.uint32(seed), state, bounce_end)
+
+
+@functools.partial(jax.jit, static_argnames=("n_total",))
+def _jit_bank(state, n_total: int):
+    from tungsten_tpu.integrators.path_tracer import bank_emission
+    return bank_emission(state, n_total)
+
+
+@functools.partial(jax.jit, static_argnames=("new_r",))
+def _jit_compact(state, new_r: int):
+    from tungsten_tpu.integrators.path_tracer import compact_wave
+    return compact_wave(state, new_r)
+
+
+def _trace_chunk_staged(scene, settings, pixel, sample_idx, seed, n_total):
+    """One pixel chunk, one sample: staged bounce loop with host-driven
+    wavefront compaction.  Returns ((n_total, 3) radiance sum, rays)."""
+    state = _jit_init(scene, settings, pixel, sample_idx, seed)
+    fb = None
+    width = pixel.shape[0]
+    bounce = 0
+    while True:
+        state = _jit_run(scene, settings, seed, state,
+                         min(bounce + BOUNCE_SEGMENT, settings.max_bounces))
+        bounce += BOUNCE_SEGMENT
+        if bounce >= settings.max_bounces:
+            break
+        alive = int(jnp.sum(state["alive"]))
+        if alive == 0:
+            break
+        w = width
+        while w // 4 >= max(alive, MIN_WAVE):
+            w //= 4
+        if w < width:
+            part = _jit_bank(state, n_total)
+            fb = part if fb is None else fb + part
+            state = _jit_compact(state, w)
+            width = w
+    part = _jit_bank(state, n_total)
+    fb = part if fb is None else fb + part
+    return fb, int(state["rays"])
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "n_total"))
@@ -134,6 +199,10 @@ def _render_pass_photon(scene: FlatScene, settings: RenderSettings,
 def render_pass(scene: FlatScene, settings: RenderSettings, sample_start,
                 seed, spp_chunk: int = 1):
     """Render spp_chunk samples per pixel; returns ((H, W, 3) sum, rays)."""
+    # spp/seed are runtime inputs, not program shape: normalize them in
+    # the static settings so jit/compile-cache keys don't fragment per
+    # CLI override (compiles are minutes via the remote service here)
+    settings = replace(settings, spp=0, seed=0)
     if settings.integrator_type in ("photon_map", "progressive_photon_map"):
         return _render_pass_photon(scene, settings, sample_start, seed,
                                    spp_chunk)
@@ -147,20 +216,24 @@ def render_pass(scene: FlatScene, settings: RenderSettings, sample_start,
 
     acc = jnp.zeros((n + pad, 3))
     rays = 0
+    if not splatting:
+        # path tracer: staged wavefronts with host-driven compaction
+        fb = jnp.zeros((n, 3))
+        for i in range(spp_chunk):
+            for ci in range(pixels.shape[0]):
+                part, r = _trace_chunk_staged(
+                    scene, settings, jnp.asarray(pixels[ci]),
+                    np.uint32(int(sample_start) + i), np.uint32(seed), n)
+                fb = fb + part
+                rays += r
+        return fb.reshape(h, w, 3), rays
     outs = []
     for i in range(spp_chunk):
         for ci in range(pixels.shape[0]):
-            if splatting:
-                rad, splat, r = _trace_chunk_splat(
-                    scene, settings, jnp.asarray(pixels[ci]),
-                    np.uint32(int(sample_start) + i), np.uint32(seed), n)
-                outs.append((ci, rad, r, splat))
-            else:
-                rad, r = _trace_chunk(scene, settings,
-                                      jnp.asarray(pixels[ci]),
-                                      np.uint32(int(sample_start) + i),
-                                      np.uint32(seed))
-                outs.append((ci, rad, r, None))
+            rad, splat, r = _trace_chunk_splat(
+                scene, settings, jnp.asarray(pixels[ci]),
+                np.uint32(int(sample_start) + i), np.uint32(seed), n)
+            outs.append((ci, rad, r, splat))
     for ci, rad, r, splat in outs:
         acc = acc.at[ci * C:(ci + 1) * C].add(rad)
         if splat is not None:

@@ -56,11 +56,10 @@ class FlatScene:
     bvh_max: Any
     bvh_meta: Any       # (N,2) i32
     bvh_skip: Any       # (N,) i32
-    # --- packed layout for the Pallas coherent-traversal kernel ---
-    pk_nodes: Any       # (ceil(N/16), 128)
-    pk_tris: Any        # (ceil(T4/8), 128)
-    pk_remap: Any       # (T4,) i32 aligned->original tri ids
-    pk_num_nodes: Any   # () i32
+    # --- cluster tables for the Pallas traversal kernel (ops/cluster_trace) ---
+    ck_boxes: Any       # (8, NCp) attr-major cluster AABBs
+    ck_attr: Any        # (NCp*16, 128) cluster triangle SoA blocks
+    ck_remap: Any       # (NCp*128,) i32 (cluster*128+lane) -> tri id
     # --- analytic spheres ---
     sph_center: Any     # (S,3)
     sph_radius: Any     # (S,)
@@ -715,10 +714,8 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
 
     tex_type, tex_const, tex_params, tex_bitmap_id, bitmaps = textures.finalize()
 
-    from tungsten_tpu.ops.pallas_trace import pack_scene as _pack
-    pk_nodes, pk_tris, _, pk_remap = _pack(
-        bvh.bounds_min, bvh.bounds_max, bvh.meta, bvh.skip,
-        tri_v0, tri_e1, tri_e2)
+    from tungsten_tpu.ops.cluster_trace import build_clusters
+    ck_boxes, ck_attr, ck_remap = build_clusters(tri_v0, tri_e1, tri_e2)
 
     def dev(x, dtype=None):
         return jnp.asarray(x, dtype=dtype)
@@ -730,8 +727,7 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         tri_prim=dev(tri_prim),
         bvh_min=dev(bvh.bounds_min), bvh_max=dev(bvh.bounds_max),
         bvh_meta=dev(bvh.meta), bvh_skip=dev(bvh.skip),
-        pk_nodes=pk_nodes, pk_tris=pk_tris, pk_remap=pk_remap,
-        pk_num_nodes=dev(np.int32(bvh.meta.shape[0])),
+        ck_boxes=dev(ck_boxes), ck_attr=dev(ck_attr), ck_remap=dev(ck_remap),
         sph_center=dev(np.asarray(spheres_c, np.float32).reshape(-1, 3)),
         sph_radius=dev(np.asarray(spheres_r, np.float32)),
         sph_prim=dev(np.asarray(spheres_p, np.int32)),
@@ -780,6 +776,9 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         cam_plane_dist=dev(np.float32(plane_dist)),
         cam_ratio=dev(np.float32(ratio)),
     )
+    # auto-select the Pallas cluster traversal on TPU backends
+    from tungsten_tpu.ops import intersect as _isect
+    _isect.enable_pallas_if_suitable(flat)
     return flat, settings
 
 
