@@ -803,6 +803,16 @@ _REGISTRY = {
     bt.FORWARD: (_zero_eval, _null_sample, _zero_pdf),
 }
 
+# fiber BCSDFs (hair/rough_wire/lambertian_fiber) live in bsdf/fiber.py
+from tungsten_tpu.bsdf import fiber as _fiber  # noqa: E402
+
+_REGISTRY[bt.HAIR] = (_fiber.hair_eval, _fiber.hair_sample, _fiber.hair_pdf)
+_REGISTRY[bt.ROUGH_WIRE] = (_fiber.rough_wire_eval, _fiber.rough_wire_sample,
+                            _fiber.rough_wire_pdf)
+_REGISTRY[bt.LAMBERTIAN_FIBER] = (
+    _fiber.lambertian_fiber_eval, _fiber.lambertian_fiber_sample,
+    _fiber.lambertian_fiber_pdf)
+
 # BSDFs whose continuation sample is a Dirac lobe only — NEE's
 # AllButSpecular sample must fail on them entirely.
 PURE_SPECULAR = frozenset(

@@ -147,10 +147,13 @@ COMPLEX_IOR = {
 }
 
 
-def parse_bsdf_row(b: dict, textures) -> tuple[int, int, np.ndarray, np.ndarray]:
+def parse_bsdf_row(b: dict, textures, fiber_tables: list | None = None
+                   ) -> tuple[int, int, np.ndarray, np.ndarray]:
     """One scene-JSON bsdf dict -> (type, albedo_tex, params, aux).
 
-    `textures` is a TextureTableBuilder; texture-valued fields register there.
+    `textures` is a TextureTableBuilder; texture-valued fields register
+    there.  `fiber_tables` collects precomputed hair azimuthal tables
+    (one dict per hair BSDF); aux[CHILD0] holds the table index.
     """
     t = NAME_TO_TYPE.get(b.get("type", "lambert"), ERROR)
     params = np.zeros(NUM_PARAMS, np.float32)
@@ -168,7 +171,7 @@ def parse_bsdf_row(b: dict, textures) -> tuple[int, int, np.ndarray, np.ndarray]
     else:
         params[P.ROUGHNESS] = float(rough)
 
-    if t in (CONDUCTOR, ROUGH_CONDUCTOR):
+    if t in (CONDUCTOR, ROUGH_CONDUCTOR, ROUGH_WIRE):
         if "material" in b:
             eta, k = COMPLEX_IOR[b["material"]]
         else:
@@ -180,6 +183,19 @@ def parse_bsdf_row(b: dict, textures) -> tuple[int, int, np.ndarray, np.ndarray]
                 k = (k,) * 3
         params[P.ETA_R:P.ETA_B + 1] = eta
         params[P.K_R:P.K_B + 1] = k
+
+    if t == HAIR:
+        from tungsten_tpu.bsdf import fiber
+        lobe_params, beta_r = fiber.hair_lobe_params(b)
+        params[P.EXTRA0:P.EXTRA3 + 1] = lobe_params
+        if fiber_tables is not None:
+            aux[AUX.CHILD0] = len(fiber_tables)
+            fiber_tables.append(dict(
+                fiber.precompute_hair_azimuthal(fiber.hair_sigma_a(b),
+                                                beta_r),
+                params=lobe_params))
+        else:
+            aux[AUX.CHILD0] = 0
 
     sigma_a = b.get("sigma_a", 0.0)
     if isinstance(sigma_a, (int, float)):

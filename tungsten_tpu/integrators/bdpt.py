@@ -44,7 +44,7 @@ from tungsten_tpu.bsdf.eval import (
 from tungsten_tpu.cameras.camera import generate_rays
 from tungsten_tpu.integrators.path_tracer import (
     EPSILON, INF, _expand_hit, _has_forward_types, _hit_prim, _hit_uv_bsdf,
-    _select_medium)
+    _select_medium, shading_frame)
 from tungsten_tpu.media import phase as PH
 from tungsten_tpu.media import transmittance as TR
 from tungsten_tpu.ops.intersect import bvh_intersect, occluded
@@ -343,7 +343,7 @@ def _trace_subpath(scene, settings, o0, d0, alpha0, adjoint, seed, pixel,
         backside = jnp.sum(info["ng"] * d, axis=-1) > 0.0
         ns = jnp.where(backside[..., None] & settings.two_sided_shading,
                        -info["ns"], info["ns"])
-        tan, bit = vm.ortho_frame(ns)
+        tan, bit = shading_frame(settings, info, ns)
         wi_local = vm.to_local(tan, bit, ns, -d)
         sp = ShadePoint(scene, info["bsdf"], info["uv"])
 

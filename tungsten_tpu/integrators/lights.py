@@ -101,6 +101,14 @@ def area_light_sample(scene, light_idx, p, u_tri, u1, u2):
 
     Returns dict(d, dist, pdf, emission, valid).
     """
+    if scene.tri_v0.shape[0] == 0:
+        # no triangles -> no area lights in the scene (caps/env/points
+        # are handled by their own samplers in _nee)
+        R = p.shape[0]
+        z = jnp.zeros((R,))
+        return dict(d=jnp.zeros((R, 3)).at[:, 2].set(1.0), dist=z,
+                    pdf=z, emission=jnp.zeros((R, 3)),
+                    valid=jnp.zeros((R,), bool))
     cdf = scene.light_cdf[light_idx]            # (R, M+1)
     k = jnp.clip(jax_searchsorted_rows(cdf, u_tri) - 1, 0,
                  scene.light_tris.shape[1] - 1)

@@ -86,29 +86,59 @@ def _medium_tr(scene, settings, med, o, d, seg_len, start_surf, end_surf):
 
 def _hit_prim(scene, res):
     """Primitive id of a hit (-1 on miss)."""
-    prim = jnp.where(
-        res["tri"] >= 0,
-        scene.tri_prim[jnp.clip(res["tri"], 0, scene.tri_v0.shape[0] - 1)],
-        -1)
+    if scene.tri_v0.shape[0] > 0:
+        prim = jnp.where(
+            res["tri"] >= 0,
+            scene.tri_prim[jnp.clip(res["tri"], 0,
+                                    scene.tri_v0.shape[0] - 1)],
+            -1)
+    else:
+        prim = jnp.full(res["t"].shape, -1, jnp.int32)
     if scene.sph_prim.shape[0] > 0:
         sprim = scene.sph_prim[
             jnp.clip(res["sph"], 0, scene.sph_prim.shape[0] - 1)]
         prim = jnp.where(res["sph"] >= 0, sprim, prim)
+    if scene.crv_seg_prim.shape[0] > 0 and "crv" in res:
+        cprim = scene.crv_seg_prim[
+            jnp.clip(res["crv"], 0, scene.crv_seg_prim.shape[0] - 1)]
+        prim = jnp.where(res["crv"] >= 0, cprim, prim)
     return prim
+
+
+def _hit_ng(scene, res):
+    """Geometric normal of a triangle hit (safe placeholder when the
+    scene has no triangles — callers only use it where tri >= 0)."""
+    if scene.tri_v0.shape[0] == 0:
+        return jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                res["t"].shape + (3,))
+    tri = jnp.clip(res["tri"], 0, scene.tri_v0.shape[0] - 1)
+    ng = jnp.cross(scene.tri_e1[tri], scene.tri_e2[tri])
+    return ng / jnp.maximum(
+        jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
 
 
 def _hit_uv_bsdf(scene, res):
     """Minimal hit expansion for shadow rays: uv + bsdf + prim + backside."""
-    tri = jnp.clip(res["tri"], 0, scene.tri_v0.shape[0] - 1)
     u = res["u"][..., None]
     v = res["v"][..., None]
-    w = 1.0 - u - v
-    uv = (scene.tri_uv0[tri] * w + scene.tri_uv1[tri] * u
-          + scene.tri_uv2[tri] * v)
-    prim = scene.tri_prim[tri]
+    if scene.tri_v0.shape[0] > 0:
+        tri = jnp.clip(res["tri"], 0, scene.tri_v0.shape[0] - 1)
+        w = 1.0 - u - v
+        uv = (scene.tri_uv0[tri] * w + scene.tri_uv1[tri] * u
+              + scene.tri_uv2[tri] * v)
+        prim = scene.tri_prim[tri]
+    else:
+        uv = jnp.concatenate([u, v], axis=-1)
+        prim = jnp.zeros(res["t"].shape, jnp.int32)
     if scene.sph_prim.shape[0] > 0:
         si = jnp.clip(res["sph"], 0, scene.sph_prim.shape[0] - 1)
         prim = jnp.where(res["sph"] >= 0, scene.sph_prim[si], prim)
+    if scene.crv_seg_prim.shape[0] > 0 and "crv" in res:
+        ci = jnp.clip(res["crv"], 0, scene.crv_seg_prim.shape[0] - 1)
+        is_crv = res["crv"] >= 0
+        prim = jnp.where(is_crv, scene.crv_seg_prim[ci], prim)
+        uv = jnp.where(is_crv[..., None],
+                       jnp.stack([res["u"], res["v"]], axis=-1), uv)
     prim = jnp.clip(prim, 0, scene.prim_bsdf.shape[0] - 1)
     return uv, scene.prim_bsdf[prim], prim
 
@@ -185,10 +215,7 @@ def _shadow_transmittance(scene, settings, o, d, dist, medium,
         if _has_forward_types(settings):
             sp = ShadePoint(scene, bsdf_idx, uv)
             # forward transparency is wi-dependent only for thinsheet
-            tri = jnp.clip(res["tri"], 0, scene.tri_v0.shape[0] - 1)
-            ng = jnp.cross(scene.tri_e1[tri], scene.tri_e2[tri])
-            ng = ng / jnp.maximum(
-                jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
+            ng = _hit_ng(scene, res)
             cosd = jnp.abs(jnp.sum(d * ng, axis=-1))
             wi_proxy = jnp.stack(
                 [jnp.sqrt(jnp.maximum(1 - cosd ** 2, 0.0)),
@@ -204,8 +231,7 @@ def _shadow_transmittance(scene, settings, o, d, dist, medium,
 
         # medium handoff at the crossing
         if settings.has_media:
-            tri = jnp.clip(res["tri"], 0, scene.tri_v0.shape[0] - 1)
-            ng = jnp.cross(scene.tri_e1[tri], scene.tri_e2[tri])
+            ng = _hit_ng(scene, res)
             backside = jnp.sum(d * ng, axis=-1) > 0.0
             # continuing through: entering if we hit the front face
             new_med = _select_medium(scene, prim, s["med"], ~backside)
@@ -345,21 +371,12 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
     res_b = bvh_intersect(scene, p + wd * EPSILON, wd, 0.0, INF)
     if detach:
         res_b = _detach(res_b)
-    hit_prim = jnp.where(
-        res_b["tri"] >= 0,
-        scene.tri_prim[jnp.clip(res_b["tri"], 0, scene.tri_v0.shape[0] - 1)],
-        -1)
-    if scene.sph_prim.shape[0] > 0:
-        sprim = scene.sph_prim[
-            jnp.clip(res_b["sph"], 0, scene.sph_prim.shape[0] - 1)]
-        hit_prim = jnp.where(res_b["sph"] >= 0, sprim, hit_prim)
+    hit_prim = _hit_prim(scene, res_b)
 
     # area light: first hit must be the chosen light, front side.
     # (hit_t sanitized: misses carry t=INF whose square is inf and would
     # poison gradients through the untaken where-branch)
-    tri_b = jnp.clip(res_b["tri"], 0, scene.tri_v0.shape[0] - 1)
-    nb = jnp.cross(scene.tri_e1[tri_b], scene.tri_e2[tri_b])
-    nb = nb / jnp.maximum(jnp.linalg.norm(nb, axis=-1, keepdims=True), 1e-20)
+    nb = _hit_ng(scene, res_b)
     hit_t = jnp.where(res_b["hit"], res_b["t"], 1.0)
     lpdf_area = L.area_light_direct_pdf(scene, li, hit_t, wd, nb)
     front = jnp.sum(wd * nb, axis=-1) < 0.0
@@ -409,22 +426,28 @@ def _expand_hit(scene, o, d, res):
     """IntersectionInfo expansion: position, normals, uv, prim, bsdf."""
     t = res["t"]
     p = o + d * t[..., None]
-    tri = jnp.clip(res["tri"], 0, scene.tri_v0.shape[0] - 1)
     u = res["u"][..., None]
     v = res["v"][..., None]
 
-    e1 = scene.tri_e1[tri]
-    e2 = scene.tri_e2[tri]
-    ng_tri = jnp.cross(e1, e2)
-    ng_tri = ng_tri / jnp.maximum(
-        jnp.linalg.norm(ng_tri, axis=-1, keepdims=True), 1e-20)
-    w = 1.0 - u - v
-    ns_tri = scene.tri_n0[tri] * w + scene.tri_n1[tri] * u + scene.tri_n2[tri] * v
-    ns_len = jnp.linalg.norm(ns_tri, axis=-1, keepdims=True)
-    ns_tri = jnp.where(ns_len > 1e-6, ns_tri / jnp.maximum(ns_len, 1e-20), ng_tri)
-    uv_tri = (scene.tri_uv0[tri] * w + scene.tri_uv1[tri] * u
-              + scene.tri_uv2[tri] * v)
-    prim_tri = scene.tri_prim[tri]
+    if scene.tri_v0.shape[0] > 0:
+        tri = jnp.clip(res["tri"], 0, scene.tri_v0.shape[0] - 1)
+        e1 = scene.tri_e1[tri]
+        e2 = scene.tri_e2[tri]
+        ng_tri = jnp.cross(e1, e2)
+        ng_tri = ng_tri / jnp.maximum(
+            jnp.linalg.norm(ng_tri, axis=-1, keepdims=True), 1e-20)
+        w = 1.0 - u - v
+        ns_tri = scene.tri_n0[tri] * w + scene.tri_n1[tri] * u + scene.tri_n2[tri] * v
+        ns_len = jnp.linalg.norm(ns_tri, axis=-1, keepdims=True)
+        ns_tri = jnp.where(ns_len > 1e-6, ns_tri / jnp.maximum(ns_len, 1e-20), ng_tri)
+        uv_tri = (scene.tri_uv0[tri] * w + scene.tri_uv1[tri] * u
+                  + scene.tri_uv2[tri] * v)
+        prim_tri = scene.tri_prim[tri]
+    else:
+        ng_tri = ns_tri = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 1.0]), p.shape)
+        uv_tri = jnp.concatenate([u, v], axis=-1)
+        prim_tri = jnp.zeros(t.shape, jnp.int32)
 
     is_sph = res["sph"] >= 0
     if scene.sph_radius.shape[0] > 0:
@@ -441,9 +464,80 @@ def _expand_hit(scene, o, d, res):
     else:
         ng, ns, prim, uv = ng_tri, ns_tri, prim_tri, uv_tri
 
+    out = dict()
+    if scene.crv_seg_p0.shape[0] > 0 and "crv" in res:
+        # curve hit expansion (ref Curves::intersectionInfo,
+        # Curves.cpp:484-529): evaluate spline tangent at the hit
+        # parameter, normal per render mode, frame bitangent = tangent
+        from tungsten_tpu.scene.flatten import (
+            CURVE_MODE_BCSDF_CYLINDER, CURVE_MODE_RIBBON)
+        is_crv = res["crv"] >= 0
+        ci = jnp.clip(res["crv"], 0, scene.crv_seg_p0.shape[0] - 1)
+        tc = res["u"][..., None]
+        p0c = scene.crv_seg_p0[ci][..., :3]
+        p1c = scene.crv_seg_p1[ci][..., :3]
+        p2c = scene.crv_seg_p2[ci][..., :3]
+        # q(t) = a t^2 + b t + c ; q'(t) = 2 a t + b
+        ac = 0.5 * p0c - p1c + 0.5 * p2c
+        bc = p1c - p0c
+        cc = 0.5 * (p0c + p1c)
+        point = ac * tc * tc + bc * tc + cc
+        tang = 2.0 * ac * tc + bc
+        tang = tang / jnp.maximum(
+            jnp.linalg.norm(tang, axis=-1, keepdims=True), 1e-20)
+        mode = scene.crv_seg_mode[ci]
+        # cylinder / half_cylinder: radial normal at the hit point
+        lp = p - point
+        lp = lp - tang * jnp.sum(lp * tang, axis=-1, keepdims=True)
+        ng_cyl = lp / jnp.maximum(
+            jnp.linalg.norm(lp, axis=-1, keepdims=True), 1e-20)
+        # bcsdf_cylinder: normal faces the viewer, orthogonal to tangent
+        mw = -d
+        nb = mw - tang * jnp.sum(tang * mw, axis=-1, keepdims=True)
+        ng_b = nb / jnp.maximum(
+            jnp.linalg.norm(nb, axis=-1, keepdims=True), 1e-20)
+        ng_c = jnp.where((mode == CURVE_MODE_BCSDF_CYLINDER)[..., None],
+                         ng_b, ng_cyl)
+        # ribbon: interpolated node normal, orthogonalized to tangent
+        n0c = scene.crv_seg_n0[ci]
+        n1c = scene.crv_seg_n1[ci]
+        n2c = scene.crv_seg_n2[ci]
+        anr = 0.5 * n0c - n1c + 0.5 * n2c
+        bnr = n1c - n0c
+        cnr = 0.5 * (n0c + n1c)
+        nr = anr * tc * tc + bnr * tc + cnr
+        nr = tang * jnp.sum(tang * nr, axis=-1, keepdims=True) - nr
+        nr = nr / jnp.maximum(
+            jnp.linalg.norm(nr, axis=-1, keepdims=True), 1e-20)
+        ng_c = jnp.where((mode == CURVE_MODE_RIBBON)[..., None], nr, ng_c)
+
+        ng = vm.where3(is_crv, ng_c, ng)
+        ns = vm.where3(is_crv, ng_c, ns)
+        prim = jnp.where(is_crv, scene.crv_seg_prim[ci], prim)
+        uv = jnp.where(is_crv[..., None],
+                       jnp.stack([res["u"], res["v"]], axis=-1), uv)
+        out["is_curve"] = is_crv
+        out["crv_tangent"] = tang
+
     prim = jnp.clip(prim, 0, scene.prim_bsdf.shape[0] - 1)
-    return dict(p=p, ng=ng, ns=ns, uv=uv, prim=prim,
-                bsdf=scene.prim_bsdf[prim])
+    out.update(p=p, ng=ng, ns=ns, uv=uv, prim=prim,
+               bsdf=scene.prim_bsdf[prim])
+    return out
+
+
+def shading_frame(settings, info, ns):
+    """Tangent frame at a shading point: arbitrary orthonormal frame for
+    surfaces, tangent-aligned for curves (ref Curves::tangentSpace —
+    bitangent = fiber tangent, so local y = sin(theta) for BCSDFs)."""
+    tan, bit = vm.ortho_frame(ns)
+    if "is_curve" in info:
+        ct = info["crv_tangent"]
+        t2 = jnp.cross(ct, ns)
+        t2 = t2 / jnp.maximum(
+            jnp.linalg.norm(t2, axis=-1, keepdims=True), 1e-20)
+        tan = vm.where3(info["is_curve"], t2, tan)
+        bit = vm.where3(info["is_curve"], ct, bit)
+    return tan, bit
 
 
 # --------------------------------------------------------------- the loop
@@ -456,7 +550,7 @@ def _init_state(scene, settings, pixel, sample_idx, seed, detach):
         res = _detach(res)
     state = dict(
         o=o, d=d,
-        t=res["t"], tri=res["tri"], sph=res["sph"],
+        t=res["t"], tri=res["tri"], sph=res["sph"], crv=res["crv"],
         u=res["u"], v=res["v"], hit=res["hit"],
         throughput=jnp.ones((R, 3)),
         emission=jnp.zeros((R, 3)),
@@ -613,7 +707,7 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
                          bt.DIFFUSE_TRANSMISSION]))
         flip = flip & ~transmissive
         ns = jnp.where(flip[..., None], -info["ns"], info["ns"])
-        tan, bit = vm.ortho_frame(ns)
+        tan, bit = shading_frame(settings, info, ns)
         wi_local = vm.to_local(tan, bit, ns, -s["d"])
 
         sp = ShadePoint(scene, info["bsdf"], info["uv"])
@@ -751,7 +845,7 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
 
         out = dict(
             o=o2, d=d2,
-            t=res["t"], tri=res["tri"], sph=res["sph"],
+            t=res["t"], tri=res["tri"], sph=res["sph"], crv=res["crv"],
             u=res["u"], v=res["v"], hit=res["hit"] & alive2,
             throughput=throughput,
             emission=emission,

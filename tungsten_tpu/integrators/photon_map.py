@@ -46,7 +46,7 @@ from tungsten_tpu.bsdf.eval import (
 from tungsten_tpu.cameras.camera import generate_rays
 from tungsten_tpu.integrators.bdpt import _sample_light_root
 from tungsten_tpu.integrators.path_tracer import (
-    EPSILON, INF, _expand_hit, _has_forward_types)
+    EPSILON, INF, _expand_hit, _has_forward_types, shading_frame)
 from tungsten_tpu.integrators import lights as L
 from tungsten_tpu.ops.intersect import bvh_intersect
 from tungsten_tpu.utils import rng
@@ -104,7 +104,7 @@ def trace_photons(scene, settings, n_paths: int, seed, path_offset):
         backside = jnp.sum(info["ng"] * d, axis=-1) > 0.0
         ns = jnp.where(backside[..., None] & settings.two_sided_shading,
                        -info["ns"], info["ns"])
-        tan, bit = vm.ortho_frame(ns)
+        tan, bit = shading_frame(settings, info, ns)
         wi_local = vm.to_local(tan, bit, ns, -d)
         sp = ShadePoint(scene, info["bsdf"], info["uv"])
 
@@ -295,7 +295,7 @@ def gather_pass(scene, settings, grid, radius, pixel, sample_idx, seed):
         backside = jnp.sum(info["ng"] * s["d"], axis=-1) > 0.0
         ns = jnp.where(backside[..., None] & settings.two_sided_shading,
                        -info["ns"], info["ns"])
-        tan, bit = vm.ortho_frame(ns)
+        tan, bit = shading_frame(settings, info, ns)
         wi_local = vm.to_local(tan, bit, ns, -s["d"])
         sp = ShadePoint(scene, info["bsdf"], info["uv"])
 

@@ -67,7 +67,7 @@ def build_clusters(tri_v0, tri_e1, tri_e2):
     thi = np.maximum(np.maximum(tri_v0, v1), v2)
 
     clusters = []
-    stack = [np.arange(T, dtype=np.int64)]
+    stack = [np.arange(T, dtype=np.int64)] if T > 0 else []
     while stack:
         ids = stack.pop()
         if ids.shape[0] <= CLUSTER:

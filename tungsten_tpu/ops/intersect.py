@@ -91,7 +91,8 @@ def enable_pallas_if_suitable(scene) -> bool:
 
 
 def bvh_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
-    """Closest-hit (or any-hit) traversal of the scene BVH + spheres.
+    """Closest-hit (or any-hit) traversal of the scene BVH + spheres +
+    curves.
 
     Args:
       scene: FlatScene
@@ -100,9 +101,180 @@ def bvh_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
       t_max: scalar or (R,) far clip
       any_hit: occlusion query — stop at first hit
     Returns:
-      dict with t (R,), tri (R,) [-1 = miss or sphere], sph (R,) [-1 = miss
-      or triangle], u, v (R,), hit (R,) bool.
+      dict with t (R,), tri (R,) [-1 = miss or sphere], sph (R,),
+      crv (R,) [curve segment id, -1 otherwise], u, v (R,), hit (R,)
+      bool.  For curve hits u = spline parameter, v = azimuthal coord.
     """
+    res = _tri_sph_intersect(scene, o, d, t_min, t_max, any_hit)
+    R = o.shape[0]
+    crv = jnp.full((R,), -1, jnp.int32)
+    if scene.crv_pc_q0 is not None and scene.crv_pc_q0.shape[0] > 0:
+        cur_best = jnp.where(res["hit"], res["t"],
+                             jnp.broadcast_to(
+                                 jnp.asarray(t_max, jnp.float32), (R,)))
+        ct, cseg, cu, cv, chit = _curve_traverse(
+            scene, o, d, jnp.broadcast_to(
+                jnp.asarray(t_min, jnp.float32), (R,)),
+            cur_best, any_hit)
+        better = chit
+        res["t"] = jnp.where(better, ct, res["t"])
+        res["tri"] = jnp.where(better, -1, res["tri"])
+        res["sph"] = jnp.where(better, -1, res["sph"])
+        res["u"] = jnp.where(better, cu, res["u"])
+        res["v"] = jnp.where(better, cv, res["v"])
+        res["hit"] = res["hit"] | chit
+        crv = jnp.where(better, cseg, crv)
+    res["crv"] = crv
+    return res
+
+
+def _curve_traverse(scene, o, d, t_min, t_max, any_hit: bool):
+    """Skip-pointer walk over the curve-piece BVH.  Pieces are linear
+    chords of the quadratic segments; the leaf test is the reference's
+    half-cylinder / ribbon intersector in a ray-aligned frame
+    (ref Curves.cpp:51-133, intersectTemplate:430-470)."""
+    from tungsten_tpu.scene.flatten import CURVE_MODE_RIBBON
+    R = o.shape[0]
+    num_nodes = scene.cbvh_meta.shape[0]
+    n_pieces = scene.crv_pc_q0.shape[0]
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20,
+                            jnp.where(d >= 0, 1e-20, -1e-20), d)
+
+    # ray-aligned frame (lx, ly, lz=d) — Curves.cpp:433-442
+    dxz = jnp.sqrt(d[:, 0] ** 2 + d[:, 2] ** 2)
+    deg = dxz == 0.0
+    sdxz = jnp.maximum(dxz, 1e-20)
+    lx = jnp.where(deg[:, None],
+                   jnp.asarray([1.0, 0.0, 0.0]),
+                   jnp.stack([d[:, 2] / sdxz, jnp.zeros((R,)),
+                              -d[:, 0] / sdxz], axis=-1))
+    ly = jnp.where(deg[:, None],
+                   jnp.stack([jnp.zeros((R,)), jnp.zeros((R,)),
+                              -d[:, 1]], axis=-1),
+                   jnp.stack([lx[:, 2] * d[:, 1], dxz,
+                              -d[:, 1] * lx[:, 0]], axis=-1))
+
+    def proj(p):  # world point (R,3) -> ray frame
+        q = p - o
+        return jnp.stack([jnp.sum(q * lx, -1), jnp.sum(q * ly, -1),
+                          jnp.sum(q * d, -1)], axis=-1)
+
+    # mode is per-segment device data; evaluate both chord tests and
+    # select by mode (branchless — the ribbon test is a handful of fma)
+    has_ribbon = True
+
+    def piece_test(pid, best):
+        """best = (t, seg, u, v, hit); test piece pid (R,) for each ray."""
+        pid = jnp.clip(pid, 0, n_pieces - 1)
+        q0w = scene.crv_pc_q0[pid]
+        q1w = scene.crv_pc_q1[pid]
+        e0 = proj(q0w[:, :3])
+        e1 = proj(q1w[:, :3])
+        w0, w1 = q0w[:, 3], q1w[:, 3]
+        pt0 = scene.crv_pc_t0[pid]
+        pt1 = scene.crv_pc_t1[pid]
+        seg = scene.crv_pc_seg[pid]
+        mode = scene.crv_seg_mode[seg]
+        bt, bseg, bu, bv, bhit = best
+
+        # ---- half-cylinder chord test (Curves.cpp:51-94) ----
+        vxy = e1[:, :2] - e0[:, :2]
+        lsq = jnp.sum(vxy * vxy, -1)
+        inv_lsq = 1.0 / jnp.maximum(lsq, 1e-30)
+        seg_t = -jnp.sum(e0[:, :2] * vxy, -1) * inv_lsq
+        signed = e0[:, 0] * vxy[:, 1] - e0[:, 1] * vxy[:, 0]
+        dist = jnp.abs(signed) * jnp.sqrt(inv_lsq)
+        width = w0 * (1.0 - seg_t) + w1 * seg_t
+        depth = e0[:, 2] * (1.0 - seg_t) + e1[:, 2] * seg_t
+        dz = e1[:, 2] - e0[:, 2]
+        y_sq = width * width - dist * dist
+        l_sq = y_sq * (1.0 + dz * dz * inv_lsq)
+        delta = jnp.sqrt(jnp.maximum(l_sq, 0.0))
+        t0 = depth - delta
+        v3 = e0 - e1
+        lsq3 = jnp.maximum(jnp.sum(v3 * v3, -1), 1e-30)
+        e0z = jnp.stack([e0[:, 0], e0[:, 1], e0[:, 2] - t0], axis=-1)
+        seg_t2 = jnp.sum(e0z * v3, -1) / lsq3
+        new_t = seg_t2 * (pt1 - pt0) + pt0
+        ok_cyl = (dist <= width) & (seg_t2 >= 0.0) & (t0 < bt) & \
+            (t0 > t_min) & (new_t >= 0.0) & (new_t <= 1.0)
+        v_cyl = 0.5 + 0.5 * dist / jnp.maximum(width, 1e-30)
+
+        ok, t_hit, u_hit, v_hit = ok_cyl, t0, new_t, v_cyl
+        if has_ribbon:
+            # ---- ribbon test (Curves.cpp:96-133) ----
+            nm = proj(scene.crv_pc_nmid[pid] + o)  # vector: project rot only
+            v3d = e1 - e0
+            lsq_r = jnp.sum(v3d * v3d, -1)
+            inv_r = 1.0 / jnp.maximum(lsq_r, 1e-30)
+            nr = v3d * (jnp.sum(v3d * nm, -1) * inv_r)[:, None] - nm
+            t0r = jnp.sum(nr * e0, -1) / jnp.where(
+                jnp.abs(nr[:, 2]) < 1e-20, 1e-20, nr[:, 2])
+            local_p = jnp.stack([-e0[:, 0], -e0[:, 1], t0r - e0[:, 2]],
+                                axis=-1)
+            seg_tr = jnp.sum(local_p * v3d, -1) * inv_r
+            width_r = w0 * (1.0 - seg_tr) + w1 * seg_tr
+            dvec = local_p - v3d * seg_tr[:, None]
+            dist_sq = jnp.sum(dvec * dvec, -1)
+            new_tr = seg_tr * (pt1 - pt0) + pt0
+            ok_rib = (t0r >= t_min) & (t0r < bt) & (seg_tr >= 0.0) & \
+                (seg_tr <= 1.0) & (dist_sq <= width_r * width_r) & \
+                (new_tr >= 0.0) & (new_tr <= 1.0)
+            is_rib = mode == CURVE_MODE_RIBBON
+            ok = jnp.where(is_rib, ok_rib, ok_cyl)
+            t_hit = jnp.where(is_rib, t0r, t0)
+            u_hit = jnp.where(is_rib, new_tr, new_t)
+            v_hit = jnp.where(is_rib, 0.0, v_cyl)
+
+        return (jnp.where(ok, t_hit, bt),
+                jnp.where(ok, seg, bseg),
+                jnp.where(ok, u_hit, bu),
+                jnp.where(ok, v_hit, bv),
+                bhit | ok)
+
+    UNROLL = 4
+
+    def step(state):
+        node, best = state
+        nlo = scene.cbvh_min[node]
+        nhi = scene.cbvh_max[node]
+        meta = scene.cbvh_meta[node]
+        skip = scene.cbvh_skip[node]
+        box_hit, _ = ray_box(o, inv_d, nlo, nhi, best[0])
+        is_leaf = meta[:, 1] > 0
+        test_leaf = box_hit & is_leaf
+        for k in range(MAX_LEAF):
+            pid = meta[:, 0] + k
+            valid = test_leaf & (k < meta[:, 1])
+            t, sg, u, v, h = piece_test(pid, best)
+            best = (jnp.where(valid, t, best[0]),
+                    jnp.where(valid, sg, best[1]),
+                    jnp.where(valid, u, best[2]),
+                    jnp.where(valid, v, best[3]),
+                    jnp.where(valid, h, best[4]))
+        descend = box_hit & ~is_leaf
+        nxt = jnp.where(descend, node + 1, skip)
+        if any_hit:
+            nxt = jnp.where(best[4], num_nodes, nxt)
+        return nxt, best
+
+    def body(state):
+        for _ in range(UNROLL):
+            state = step(state)
+        return state
+
+    def cond(state):
+        return jnp.any(state[0] < num_nodes)
+
+    best0 = (t_max, jnp.full((R,), -1, jnp.int32),
+             jnp.zeros((R,)), jnp.zeros((R,)), jnp.zeros((R,), bool))
+    _, best = jax.lax.while_loop(
+        cond, body, (jnp.zeros((R,), jnp.int32), best0))
+    return best
+
+
+def _tri_sph_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
+    """Triangle-BVH + analytic-sphere traversal (no curves)."""
     R = o.shape[0]
     num_nodes = scene.bvh_meta.shape[0]
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d >= 0, 1e-20, -1e-20), d)

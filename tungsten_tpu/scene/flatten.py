@@ -33,6 +33,17 @@ LIGHT_POINT = 3
 
 MAX_LIGHT_TRIS = 32  # padded per-light CDF width for area lights
 
+# curve render modes (ref Curves.cpp:20-25)
+CURVE_MODE_CYLINDER = 0
+CURVE_MODE_HALF_CYLINDER = 1
+CURVE_MODE_BCSDF_CYLINDER = 2
+CURVE_MODE_RIBBON = 3
+CURVE_MODES = {"cylinder": CURVE_MODE_CYLINDER,
+               "half_cylinder": CURVE_MODE_HALF_CYLINDER,
+               "bcsdf_cylinder": CURVE_MODE_BCSDF_CYLINDER,
+               "ribbon": CURVE_MODE_RIBBON}
+CURVE_SUBDIV = 8  # linear pieces per quadratic segment (leaf test)
+
 TONEMAPS = {"linear": 0, "gamma": 1, "reinhard": 2, "filmic": 3, "pbrt": 4}
 FILTERS = {"dirac": 0, "box": 1, "tent": 2, "gaussian": 3,
            "mitchell_netravali": 4, "catmull_rom": 5, "lanczos": 6}
@@ -64,6 +75,35 @@ class FlatScene:
     sph_center: Any     # (S,3)
     sph_radius: Any     # (S,)
     sph_prim: Any       # (S,) i32
+    # --- curves (ref src/core/primitives/Curves.cpp): quadratic B-spline
+    # segments, pre-subdivided into linear "pieces" for the TPU-friendly
+    # branchless leaf test; the segment table keeps the exact spline for
+    # hit expansion (normal/tangent at the hit parameter). ---
+    crv_seg_p0: Any     # (Cs,4) control points xyz+width (world)
+    crv_seg_p1: Any
+    crv_seg_p2: Any
+    crv_seg_n0: Any     # (Cs,3) node normals (ribbon mode)
+    crv_seg_n1: Any
+    crv_seg_n2: Any
+    crv_seg_prim: Any   # (Cs,) i32
+    crv_seg_mode: Any   # (Cs,) i32 CURVE_MODE_*
+    crv_pc_q0: Any      # (Cp,4) piece endpoints xyz+width
+    crv_pc_q1: Any
+    crv_pc_nmid: Any    # (Cp,3) spline normal at piece midpoint (ribbon)
+    crv_pc_seg: Any     # (Cp,) i32 parent segment
+    crv_pc_t0: Any      # (Cp,) segment-parameter range of the piece
+    crv_pc_t1: Any
+    cbvh_min: Any       # curve-piece BVH (same layout as bvh_*)
+    cbvh_max: Any
+    cbvh_meta: Any
+    cbvh_skip: Any
+    # --- hair BCSDF azimuthal tables (ref PrecomputedAzimuthalLobe),
+    # one set per hair-type BSDF instance ---
+    hair_values: Any    # (H,3,AZ,AZ,3) N_R/N_TT/N_TRT over (cosThetaD,phi)
+    hair_pdf: Any       # (H,3,AZ,AZ) row-normalized sampling pdf
+    hair_cdf: Any       # (H,3,AZ,AZ+1)
+    hair_sums: Any      # (H,3,AZ) unnormalized row sums (lobe weights)
+    hair_params: Any    # (H,4) scale_angle_rad, vR, vTT, vTRT
     # --- primitives ---
     prim_bsdf: Any      # (P,) i32
     prim_emission_tex: Any  # (P,) i32, -1 if not emissive
@@ -152,6 +192,8 @@ class RenderSettings:
     has_media: bool = False
     num_caps: int = 0
     has_points: bool = False
+    has_curves: bool = False
+    curve_modes: tuple = ()  # CURVE_MODE_* values present in the scene
     med_kinds: tuple = ()    # medium kinds present (grid.MED_*)
     grid_steps: int = 96     # raymarch steps for voxel optical depth
     integrator_type: str = "path_tracer"
@@ -295,6 +337,156 @@ def _load_grid(g: dict, resolve_path):
     return dens, emis, w2g
 
 
+def _flatten_curves(prim: dict, m: np.ndarray, resolve_path, prim_id: int):
+    """One `curves` primitive -> world-space quadratic segments
+    (ref Curves::loadCurves + prepareForRender, Curves.cpp:282-616)."""
+    from tungsten_tpu.io import curves as curve_io
+    data = curve_io.load_curves(resolve_path(prim["file"]))
+    nodes = data.nodes.copy()
+    normals = data.normals
+
+    curve_ends = data.curve_ends.astype(np.int64)
+    starts = np.concatenate([[0], curve_ends[:-1]])
+    counts = curve_ends - starts
+
+    # thickness override / taper run before the transform
+    # (Curves::loadCurves, Curves.cpp:296-306)
+    if prim.get("curve_thickness") is not None:
+        nodes[:, 3] = float(prim["curve_thickness"])
+    if bool(prim.get("curve_taper", False)):
+        curve_of = np.repeat(np.arange(len(counts)), counts)
+        t_in = np.arange(len(nodes)) - starts[curve_of]
+        nodes[:, 3] *= 1.0 - (t_in - 0.5) / np.maximum(
+            counts[curve_of] - 1, 1)
+
+    # transform nodes; widths scale by the average axis scale
+    # (Curves::prepareForRender, Curves.cpp:577-585)
+    width_scale = float(np.mean(np.linalg.norm(m[:3, :3], axis=0)))
+    nodes[:, :3] = xform.transform_points(m, nodes[:, :3])
+    nodes[:, 3] *= width_scale
+    nrm = xform.transform_vectors(m, normals)
+    nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-20)
+
+    # subsample: drop whole curves with probability `subsample`
+    # (Curves.cpp:593-594)
+    subsample = float(prim.get("subsample", 0.0))
+    keep = np.ones(len(counts), bool)
+    if subsample > 0.0:
+        keep = np.random.default_rng(0xBA5EBA11).random(len(counts)) \
+            >= subsample
+
+    # segment index triples: curve i contributes nodes [s+2, e)
+    seg_last = []
+    for i in np.nonzero(keep & (counts >= 3))[0]:
+        seg_last.append(np.arange(starts[i] + 2, curve_ends[i]))
+    if not seg_last:
+        return None
+    t2 = np.concatenate(seg_last)
+    mode = CURVE_MODES.get(prim.get("mode", "half_cylinder"),
+                           CURVE_MODE_HALF_CYLINDER)
+    return dict(
+        p0=nodes[t2 - 2], p1=nodes[t2 - 1], p2=nodes[t2],
+        n0=nrm[t2 - 2].astype(np.float32),
+        n1=nrm[t2 - 1].astype(np.float32),
+        n2=nrm[t2].astype(np.float32),
+        prim=np.full(len(t2), prim_id, np.int32),
+        mode=np.full(len(t2), mode, np.int32),
+    )
+
+
+def _build_curve_tables(curve_segs: list):
+    """Concatenate per-prim segments, pre-subdivide into linear pieces,
+    and build the piece BVH.  Returns a dict of FlatScene crv_*/cbvh_*
+    arrays (numpy)."""
+    from tungsten_tpu.scene.bvh import build_bvh
+    curve_segs = [c for c in curve_segs if c is not None]
+    if not curve_segs:
+        z4 = np.zeros((0, 4), np.float32)
+        z3 = np.zeros((0, 3), np.float32)
+        zi = np.zeros((0,), np.int32)
+        zf = np.zeros((0,), np.float32)
+        bvh = build_bvh(np.zeros((0, 3)), np.zeros((0, 3)))
+        return dict(
+            crv_seg_p0=z4, crv_seg_p1=z4, crv_seg_p2=z4,
+            crv_seg_n0=z3, crv_seg_n1=z3, crv_seg_n2=z3,
+            crv_seg_prim=zi, crv_seg_mode=zi,
+            crv_pc_q0=z4, crv_pc_q1=z4, crv_pc_nmid=z3,
+            crv_pc_seg=zi, crv_pc_t0=zf, crv_pc_t1=zf,
+            cbvh_min=bvh.bounds_min, cbvh_max=bvh.bounds_max,
+            cbvh_meta=bvh.meta, cbvh_skip=bvh.skip)
+
+    p0 = np.concatenate([c["p0"] for c in curve_segs]).astype(np.float32)
+    p1 = np.concatenate([c["p1"] for c in curve_segs]).astype(np.float32)
+    p2 = np.concatenate([c["p2"] for c in curve_segs]).astype(np.float32)
+    n0 = np.concatenate([c["n0"] for c in curve_segs])
+    n1 = np.concatenate([c["n1"] for c in curve_segs])
+    n2 = np.concatenate([c["n2"] for c in curve_segs])
+    seg_prim = np.concatenate([c["prim"] for c in curve_segs])
+    seg_mode = np.concatenate([c["mode"] for c in curve_segs])
+    cs = p0.shape[0]
+    S = CURVE_SUBDIV
+
+    # B-spline coefficient form (precomputeBSplineCoefficients,
+    # Curves.cpp:135-144): q(t) = a t^2 + b t + c
+    a = 0.5 * p0 - p1 + 0.5 * p2
+    b = p1 - p0
+    c = 0.5 * (p0 + p1)
+    ts = np.linspace(0.0, 1.0, S + 1, dtype=np.float32)
+    vals = (a[:, None] * (ts ** 2)[None, :, None]
+            + b[:, None] * ts[None, :, None] + c[:, None])  # (Cs, S+1, 4)
+    q0 = vals[:, :-1].reshape(cs * S, 4)
+    q1 = vals[:, 1:].reshape(cs * S, 4)
+    tmid = 0.5 * (ts[:-1] + ts[1:])
+    an, bn, cn = 0.5 * n0 - n1 + 0.5 * n2, n1 - n0, 0.5 * (n0 + n1)
+    nmid = (an[:, None] * (tmid ** 2)[None, :, None]
+            + bn[:, None] * tmid[None, :, None]
+            + cn[:, None]).reshape(cs * S, 3).astype(np.float32)
+    pc_seg = np.repeat(np.arange(cs, dtype=np.int32), S)
+    pc_t0 = np.tile(ts[:-1], cs)
+    pc_t1 = np.tile(ts[1:], cs)
+
+    # piece AABBs: chord box + width + curvature bulge bound
+    # (max chord deviation of a quadratic over 1/S of its span)
+    bulge = np.linalg.norm(a[:, :3], axis=-1) / (4.0 * S * S)
+    pad = (np.maximum(q0[:, 3], q1[:, 3])
+           + np.repeat(bulge, S)).astype(np.float32)[:, None]
+    lo = np.minimum(q0[:, :3], q1[:, :3]) - pad
+    hi = np.maximum(q0[:, :3], q1[:, :3]) + pad
+    bvh = build_bvh(lo, hi)
+    order = bvh.order
+    return dict(
+        crv_seg_p0=p0, crv_seg_p1=p1, crv_seg_p2=p2,
+        crv_seg_n0=n0, crv_seg_n1=n1, crv_seg_n2=n2,
+        crv_seg_prim=seg_prim, crv_seg_mode=seg_mode,
+        crv_pc_q0=q0[order], crv_pc_q1=q1[order],
+        crv_pc_nmid=nmid[order], crv_pc_seg=pc_seg[order],
+        crv_pc_t0=pc_t0[order], crv_pc_t1=pc_t1[order],
+        cbvh_min=bvh.bounds_min, cbvh_max=bvh.bounds_max,
+        cbvh_meta=bvh.meta, cbvh_skip=bvh.skip)
+
+
+def _stack_hair_tables(fiber_tables: list) -> dict:
+    """Stack per-hair-bsdf azimuthal tables into device arrays; a benign
+    1-entry placeholder keeps gathers in-range when no hair is present."""
+    from tungsten_tpu.bsdf.fiber import AZ_RES
+    if not fiber_tables:
+        return dict(
+            hair_values=np.zeros((1, 3, AZ_RES, AZ_RES, 3), np.float32),
+            hair_pdf=np.full((1, 3, AZ_RES, AZ_RES), 1.0 / AZ_RES,
+                             np.float32),
+            hair_cdf=np.broadcast_to(
+                np.arange(AZ_RES + 1, dtype=np.float32) / AZ_RES,
+                (1, 3, AZ_RES, AZ_RES + 1)).copy(),
+            hair_sums=np.ones((1, 3, AZ_RES), np.float32),
+            hair_params=np.asarray([[0.0, 0.04, 0.01, 0.16]], np.float32))
+    return dict(
+        hair_values=np.stack([t["values"] for t in fiber_tables]),
+        hair_pdf=np.stack([t["pdf"] for t in fiber_tables]),
+        hair_cdf=np.stack([t["cdf"] for t in fiber_tables]),
+        hair_sums=np.stack([t["sums"] for t in fiber_tables]),
+        hair_params=np.stack([t["params"] for t in fiber_tables]))
+
+
 def _build_env_distribution(img: np.ndarray):
     """Luminance*sin(theta) weights with 3-wide max dilation in u and v,
     per-row + marginal CDFs — matches BitmapTexture::makeSamplable
@@ -325,9 +517,12 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
     textures = TextureTableBuilder(desc.resolve_path)
 
     # ---- BSDF table ----
-    bsdf_rows = [bsdf_types.parse_bsdf_row(b, textures) for b in desc.bsdfs]
+    fiber_tables: list = []
+    bsdf_rows = [bsdf_types.parse_bsdf_row(b, textures, fiber_tables)
+                 for b in desc.bsdfs]
     if not bsdf_rows:
-        bsdf_rows = [bsdf_types.parse_bsdf_row({"type": "lambert"}, textures)]
+        bsdf_rows = [bsdf_types.parse_bsdf_row({"type": "lambert"}, textures,
+                                               fiber_tables)]
 
     # ---- media table (ref HomogeneousMedium::prepareForRender scales
     # material cross-sections by density; transmittance law per medium) ----
@@ -416,6 +611,7 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
     num_media = len(med_sigma_a)
 
     geom = _GeomAccum()
+    curve_segs = []  # per-curves-prim dicts of segment arrays
     spheres_c, spheres_r, spheres_p = [], [], []
     prim_int_med, prim_ext_med = [], []
     prim_bsdf, prim_emission_tex = [], []
@@ -529,8 +725,19 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
             points.append({"prim": prim_id, "pos": pos.astype(np.float32),
                            "emission": rad.astype(np.float32)})
             continue
+        elif ptype == "curves":
+            curve_segs.append(_flatten_curves(prim, m, desc.resolve_path,
+                                              prim_id))
+            # curves default to the hair BCSDF when no bsdf is given
+            # (ref Curves::Curves() ctor)
+            if prim.get("bsdf_index") is None:
+                prim_bsdf[-1] = len(bsdf_rows)
+                bsdf_rows.append(
+                    bsdf_types.parse_bsdf_row({"type": "hair"}, textures,
+                                              fiber_tables))
+            continue
         else:
-            # skydome, curves, minecraft_map ... not yet built
+            # skydome, minecraft_map ... not yet built
             raise NotImplementedError(f"primitive type not yet supported: {ptype}")
 
         tri_end = geom.count()
@@ -699,6 +906,10 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         aperture_size=float(cam.get("aperture_size", 0.001)),
         cat_eye=float(cam.get("cateye", cam.get("cat_eye", 0.0))),
         has_env=env_info is not None,
+        has_curves=any(c is not None for c in curve_segs),
+        curve_modes=tuple(sorted(set(
+            int(v) for c in curve_segs if c is not None
+            for v in np.unique(c["mode"])))),
         num_lights=int(L),
         present_bsdf_types=tuple(sorted({int(r[0]) for r in bsdf_rows})),
         has_media=num_media > 0,
@@ -731,6 +942,8 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         sph_center=dev(np.asarray(spheres_c, np.float32).reshape(-1, 3)),
         sph_radius=dev(np.asarray(spheres_r, np.float32)),
         sph_prim=dev(np.asarray(spheres_p, np.int32)),
+        **{k: dev(v) for k, v in _build_curve_tables(curve_segs).items()},
+        **{k: dev(v) for k, v in _stack_hair_tables(fiber_tables).items()},
         prim_bsdf=dev(np.asarray(prim_bsdf, np.int32)),
         prim_emission_tex=dev(np.asarray(prim_emission_tex, np.int32)),
         prim_light=dev(prim_light),
