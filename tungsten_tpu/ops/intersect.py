@@ -108,7 +108,8 @@ def bvh_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
     res = _tri_sph_intersect(scene, o, d, t_min, t_max, any_hit)
     R = o.shape[0]
     crv = jnp.full((R,), -1, jnp.int32)
-    if scene.crv_pc_q0 is not None and scene.crv_pc_q0.shape[0] > 0:
+    if getattr(scene, "crv_pc_q0", None) is not None and \
+            scene.crv_pc_q0.shape[0] > 0:
         cur_best = jnp.where(res["hit"], res["t"],
                              jnp.broadcast_to(
                                  jnp.asarray(t_max, jnp.float32), (R,)))

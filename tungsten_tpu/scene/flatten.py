@@ -725,6 +725,21 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
             points.append({"prim": prim_id, "pos": pos.astype(np.float32),
                            "emission": rad.astype(np.float32)})
             continue
+        elif ptype == "skydome":
+            # analytic daylight dome baked to an envmap (ref Skydome.cpp:
+            # 292-317; sun direction = transform's up axis)
+            from tungsten_tpu.scene.sky import generate_sky
+            sun = xform.transform_vectors(m, [[0.0, 1.0, 0.0]])[0]
+            sky_img = generate_sky(
+                sun,
+                turbidity=float(prim.get("turbidity", 3.0)),
+                intensity=float(prim.get("intensity", 2.0)),
+                temperature=float(prim.get("temperature", 5777.0)),
+                gamma_scale=float(prim.get("gamma_scale", 1.0)))
+            env_info = {"prim": prim_id, "tex": -1, "image": sky_img,
+                        "rot": np.eye(3, dtype=np.float32),
+                        "samplable": samplable}
+            continue
         elif ptype == "curves":
             curve_segs.append(_flatten_curves(prim, m, desc.resolve_path,
                                               prim_id))
@@ -827,13 +842,17 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
     env_rot = np.eye(3, dtype=np.float32)
     env_scale = 1.0
     if env_info is not None:
-        tex_id = env_info["tex"]
-        bid = textures.bitmap_id[tex_id]
-        if bid >= 0:
-            env_image = np.asarray(textures.bitmaps[bid], np.float32)
+        if env_info.get("image") is not None:
+            env_image = env_info["image"]
         else:
-            env_image = np.broadcast_to(
-                textures.const[tex_id][None, None], (1, 1, 3)).astype(np.float32)
+            tex_id = env_info["tex"]
+            bid = textures.bitmap_id[tex_id]
+            if bid >= 0:
+                env_image = np.asarray(textures.bitmaps[bid], np.float32)
+            else:
+                env_image = np.broadcast_to(
+                    textures.const[tex_id][None, None],
+                    (1, 1, 3)).astype(np.float32)
         env_rot = env_info["rot"]
         if env_info["samplable"]:
             li = len(lights)
