@@ -1,0 +1,88 @@
+"""MLT family: PSS machinery units + convergence to the PT estimate.
+
+Reference: src/core/integrators/{kelemen_mlt,multiplexed_mlt,
+reversible_jump_mlt}/ — see integrators/mlt.py docstring for the
+parity/delta notes.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from dataclasses import replace
+
+from tungsten_tpu.scene.parse import SceneDesc
+from tungsten_tpu.scene.flatten import flatten_scene
+from tungsten_tpu.render import render
+from tungsten_tpu.integrators import mlt
+
+
+def test_mutation_kernel():
+    rng = np.random.default_rng(0)
+    tape = jnp.asarray(rng.random((512, 8), dtype=np.float32))
+    u = jnp.asarray(rng.random((512, 8), dtype=np.float32))
+    out = np.asarray(mlt._mutate(tape, u))
+    assert ((out >= 0.0) & (out < 1.0)).all()
+    d = np.abs(out - np.asarray(tape))
+    d = np.minimum(d, 1.0 - d)  # wrapped distance
+    # Kelemen kernel: perturbations within (S1*s, S2]
+    assert d.max() <= mlt.S2 + 1e-6
+    assert d.min() >= mlt.S1 * np.exp(mlt.FACTOR * (1.0 / 512)) * 0.5
+    # symmetric-ish: mean signed displacement near zero
+    signed = out - np.asarray(tape)
+    signed = np.where(signed > 0.5, signed - 1.0,
+                      np.where(signed < -0.5, signed + 1.0, signed))
+    assert abs(signed.mean()) < 2e-3
+
+
+def _scene(integ):
+    return SceneDesc(
+        path="/tmp/mlt.json", json={},
+        bsdfs=[{"name": "w", "type": "lambert", "albedo": 0.7},
+               {"name": "r", "type": "lambert", "albedo": [0.7, 0.2, 0.2]}],
+        primitives=[
+            {"type": "quad", "bsdf_index": 0, "transform": {"scale": 4.0}},
+            {"type": "quad", "bsdf_index": 1,
+             "transform": {"position": [-2, 1, 0], "rotation": [0, 0, -90],
+                           "scale": 4.0}},
+            {"type": "quad", "bsdf_index": 0, "emission": 10.0,
+             "transform": {"position": [0, 3.0, 0], "scale": 1.5,
+                           "rotation": [180, 0, 0]}},
+            {"type": "cube", "bsdf_index": 0,
+             "transform": {"position": [0.5, 0.5, 0], "scale": 1.0}},
+        ],
+        media=[],
+        camera={"type": "pinhole", "resolution": [24, 24],
+                "transform": {"position": [0, 1.5, -4], "look_at": [0, 1, 0],
+                              "up": [0, 1, 0]}},
+        integrator=dict(integ), renderer={"spp": 4})
+
+
+def test_trace_tape_matches_image_position():
+    flat, s = flatten_scene(_scene({"type": "path_tracer",
+                                    "max_bounces": 3}))
+    R = 64
+    rng = np.random.default_rng(1)
+    tape = jnp.asarray(rng.random((R, mlt.tape_dims(s)),
+                                  dtype=np.float32))
+    rad, pixel, lum = mlt.trace_tape(flat, s, tape, 7)
+    pixel = np.asarray(pixel)
+    t = np.asarray(tape)
+    px = np.minimum((t[:, 0] * s.width).astype(int), s.width - 1)
+    py = np.minimum((t[:, 1] * s.height).astype(int), s.height - 1)
+    assert (pixel == py * s.width + px).all()
+    assert np.isfinite(np.asarray(rad)).all()
+    assert (np.asarray(lum) >= 0).all()
+
+
+@pytest.mark.parametrize("integ", ["kelemen_mlt", "reversible_jump_mlt",
+                                   "multiplexed_mlt"])
+def test_mlt_converges_to_pt(integ):
+    flat, s_pt = flatten_scene(_scene({"type": "path_tracer",
+                                       "max_bounces": 4}))
+    img_pt = np.asarray(render(flat, s_pt, spp=16))
+    flat2, s = flatten_scene(_scene({"type": integ, "max_bounces": 4,
+                                     "initial_sample_pool": 1024}))
+    s = replace(s, mlt_chains=512)
+    img = np.asarray(render(flat2, s, spp=16))
+    assert np.isfinite(img).all()
+    # overall integral agreement (MLT is noisy per pixel at tiny budgets)
+    assert abs(img.mean() - img_pt.mean()) / img_pt.mean() < 0.12

@@ -679,6 +679,9 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
         # ---- escaped rays: environment + caps (ref handleInfiniteLights) ----
         if settings.has_env or settings.num_caps > 0:
             env_ok = escaped & (bounce >= settings.min_bounces)
+            if settings.mlt_path_length >= 0:
+                # MMLT: this chain only measures length-k paths
+                env_ok = env_ok & (bounce + 1 == settings.mlt_path_length)
             guard = (~jnp.bool_(settings.enable_light_sampling)) | \
                 s["was_specular"]
             if settings.has_env:
@@ -744,6 +747,8 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
                        dim_base, detach=detach)
             do_nee = (shade | vol_scatter) & \
                 (bounce < settings.max_bounces - 1)
+            if settings.mlt_path_length >= 0:
+                do_nee = do_nee & (bounce + 2 == settings.mlt_path_length)
             emission = emission + jnp.where(
                 do_nee[..., None], nee * throughput, 0.0)
 
@@ -761,6 +766,8 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
         e_hit = jnp.where(samplable[..., None], e_val, e_tex)
         take_emit = shade & is_emissive & front & \
             (bounce >= settings.min_bounces) & guard
+        if settings.mlt_path_length >= 0:
+            take_emit = take_emit & (bounce + 1 == settings.mlt_path_length)
         emission = emission + jnp.where(
             take_emit[..., None], throughput * e_hit, 0.0)
 

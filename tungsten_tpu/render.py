@@ -206,6 +206,14 @@ def render_pass(scene: FlatScene, settings: RenderSettings, sample_start,
     if settings.integrator_type in ("photon_map", "progressive_photon_map"):
         return _render_pass_photon(scene, settings, sample_start, seed,
                                    spp_chunk)
+    if settings.integrator_type in ("kelemen_mlt", "reversible_jump_mlt"):
+        from tungsten_tpu.integrators.mlt import render_pass_mlt
+        return render_pass_mlt(scene, settings, sample_start, seed,
+                               spp_chunk)
+    if settings.integrator_type == "multiplexed_mlt":
+        from tungsten_tpu.integrators.mlt import render_pass_mmlt
+        return render_pass_mmlt(scene, settings, sample_start, seed,
+                                spp_chunk)
     w, h = settings.width, settings.height
     n = w * h
     C = min(WAVEFRONT_CHUNK, n)

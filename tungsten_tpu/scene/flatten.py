@@ -203,6 +203,13 @@ class RenderSettings:
     gather_radius: float = 0.05
     gather_count: int = 20   # gather_photon_count (kNN k)
     ppm_alpha: float = 0.3
+    # MLT family (ref KelemenMltSettings / MultiplexedMltSettings /
+    # ReversibleJumpMltSettings)
+    mlt_large_step_prob: float = 0.1
+    mlt_sample_pool: int = 10000     # initial_sample_pool
+    mlt_chains: int = 8192           # parallel chains per batch
+    mlt_strategy_prob: float = 0.05  # strategy_perturbation_probability
+    mlt_path_length: int = -1        # MMLT: restrict to one path length
 
 
 _UNIT_QUAD_UV = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
@@ -940,6 +947,10 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         gather_radius=float(integ.get("gather_radius", 0.05)),
         gather_count=int(integ.get("gather_photon_count", 20)),
         ppm_alpha=float(integ.get("alpha", 0.3)),
+        mlt_large_step_prob=float(integ.get("large_step_probability", 0.1)),
+        mlt_sample_pool=int(integ.get("initial_sample_pool", 10000)),
+        mlt_strategy_prob=float(
+            integ.get("strategy_perturbation_probability", 0.05)),
     )
 
     tex_type, tex_const, tex_params, tex_bitmap_id, bitmaps = textures.finalize()

@@ -54,6 +54,41 @@ def bounce_dim(bounce, slot):
     return DIMS_CAMERA + bounce * DIMS_PER_BOUNCE + slot
 
 
+# ---------------------------------------------------------------- tape mode
+#
+# MLT integrators drive the tracer from an explicit primary-sample-space
+# vector per ray ("tape", (R, D) float32) instead of the counter hash —
+# the TPU analog of the reference's MetropolisSampler supplying next1D()
+# from a mutated sample vector (kelemen_mlt/MetropolisSampler.hpp:106-164).
+# While a tape is pushed, random_{1,2,3}d read tape[:, dim] (dims wrap
+# mod D) and ignore (seed, pixel, sample).
+
+_TAPE = None
+
+
+class tape_mode:
+    """Context manager activating tape-driven randomness during tracing."""
+
+    def __init__(self, tape):
+        self.tape = tape
+
+    def __enter__(self):
+        global _TAPE
+        self._prev = _TAPE
+        _TAPE = self.tape
+        return self
+
+    def __exit__(self, *exc):
+        global _TAPE
+        _TAPE = self._prev
+        return False
+
+
+def _tape_read(dim):
+    d = _TAPE.shape[1]
+    return _TAPE[:, jnp.asarray(dim) % d]
+
+
 def _pcg4d(v0, v1, v2, v3):
     """pcg4d mixing of four uint32 words; returns four uint32 words."""
     M = jnp.uint32(1664525)
@@ -87,6 +122,8 @@ def random_1d(seed, pixel, sample_idx, dim):
 
     All args broadcastable uint32/int32 arrays.
     """
+    if _TAPE is not None:
+        return _tape_read(dim)
     x, _, _, _ = _pcg4d(
         jnp.asarray(pixel).astype(jnp.uint32),
         jnp.asarray(sample_idx).astype(jnp.uint32),
@@ -98,6 +135,8 @@ def random_1d(seed, pixel, sample_idx, dim):
 
 def random_2d(seed, pixel, sample_idx, dim):
     """Two uniform floats; consumes dims [dim, dim+1] in the static layout."""
+    if _TAPE is not None:
+        return _tape_read(dim), _tape_read(dim + 1)
     x, y, _, _ = _pcg4d(
         jnp.asarray(pixel).astype(jnp.uint32),
         jnp.asarray(sample_idx).astype(jnp.uint32),
@@ -108,6 +147,8 @@ def random_2d(seed, pixel, sample_idx, dim):
 
 
 def random_3d(seed, pixel, sample_idx, dim):
+    if _TAPE is not None:
+        return _tape_read(dim), _tape_read(dim + 1), _tape_read(dim + 2)
     x, y, z, _ = _pcg4d(
         jnp.asarray(pixel).astype(jnp.uint32),
         jnp.asarray(sample_idx).astype(jnp.uint32),
