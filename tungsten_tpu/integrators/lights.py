@@ -55,7 +55,7 @@ def env_pdf(scene, d):
     # BitmapTexture::pdf (src/core/textures/BitmapTexture.cpp:452-455)
     row = jnp.clip(((1.0 - uv[..., 1]) * h).astype(jnp.int32), 0, h - 1)
     col = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
-    tex_pdf = scene.env_cond_pdf[row, col] * scene.env_marg_pdf[row] * (w * h)
+    tex_pdf = scene.env_alias[row * w + col, 2]  # one packed gather
     return jnp.where(
         sin_t > 1e-8,
         INV_PI * INV_TWO_PI * tex_pdf / jnp.maximum(sin_t, 1e-8),
@@ -63,25 +63,37 @@ def env_pdf(scene, d):
 
 
 def env_sample(scene, u1, u2):
-    """Importance-sample the envmap; returns (d, radiance, pdf)."""
+    """Importance-sample the envmap; returns (d, radiance, pdf).
+
+    O(1) alias-table texel selection (Walker/Vose) — ONE packed gather
+    per ray instead of log2(H)+log2(W) binary-search gathers.  Random
+    gathers are the dominant scalar cost on TPU, so the distribution
+    structure is chosen for gather count, not for the reference's
+    row/column CDF walk; the sampled texel distribution is identical."""
     h, w = scene.env_cond_pdf.shape
-    row = jnp.clip(
-        jnp.searchsorted(scene.env_marg_cdf, u2, side="right") - 1, 0, h - 1)
-    ry = jnp.clip(
-        (u2 - scene.env_marg_cdf[row]) / jnp.maximum(scene.env_marg_pdf[row], 1e-30),
-        0.0, 1.0)
-    cdf_rows = scene.env_cond_cdf[row]  # (R, W+1)
-    col = jnp.clip(
-        jax_searchsorted_rows(cdf_rows, u1) - 1, 0, w - 1)
-    take = jnp.take_along_axis
-    c0 = take(cdf_rows, col[..., None], axis=-1)[..., 0]
-    p = take(scene.env_cond_pdf[row], col[..., None], axis=-1)[..., 0]
-    rx = jnp.clip((u1 - c0) / jnp.maximum(p, 1e-30), 0.0, 1.0)
-    uv = jnp.stack([(col + rx) / w, 1.0 - (row + ry) / h], axis=-1)
+    n = h * w
+    x = u2 * n
+    idx = jnp.minimum(x.astype(jnp.int32), n - 1)
+    f = x - idx
+    cell = scene.env_alias[idx]                   # (R, 4) one gather
+    keep = f < cell[..., 0]
+    texel = jnp.where(keep, idx, cell[..., 1].astype(jnp.int32))
+    # recycle the comparison residual as a fresh uniform for the
+    # in-texel row offset
+    ry = jnp.where(keep,
+                   f / jnp.maximum(cell[..., 0], 1e-20),
+                   (f - cell[..., 0]) / jnp.maximum(1.0 - cell[..., 0],
+                                                    1e-20))
+    # keep strictly inside the texel: a 24-bit-quantized u2 makes f
+    # land exactly on texel boundaries, which at the pole rows yields
+    # sin(theta) = 0 (pdf 0) with nonzero radiance
+    ry = jnp.clip(ry, 1e-4, 1.0 - 1e-4)
+    row = texel // w
+    col = texel - row * w
+    uv = jnp.stack([(col + u1) / w, 1.0 - (row + ry) / h], axis=-1)
     # NOTE ref flips v in BitmapTexture::sample; uvToDirection takes uv as-is
     d, sin_t = env_uv_to_direction(scene, uv)
-    tex_row = jnp.clip(((1.0 - uv[..., 1]) * h).astype(jnp.int32), 0, h - 1)
-    tex_pdf = p * scene.env_marg_pdf[row] * (w * h)
+    tex_pdf = scene.env_alias[texel, 2]
     pdf = jnp.where(sin_t > 1e-8,
                     INV_PI * INV_TWO_PI * tex_pdf / jnp.maximum(sin_t, 1e-8),
                     0.0)
@@ -90,8 +102,24 @@ def env_sample(scene, u1, u2):
 
 
 def jax_searchsorted_rows(cdf_rows, u):
-    """Row-wise searchsorted: cdf_rows (..., W+1), u (...,) -> index."""
+    """Row-wise searchsorted: cdf_rows (..., W+1), u (...,) -> index.
+    Linear scan — only for narrow tables (per-light triangle CDFs)."""
     return jnp.sum((cdf_rows <= u[..., None]).astype(jnp.int32), axis=-1)
+
+
+def _searchsorted_rows_gather(cdf, row, u):
+    """Largest col with cdf[row, col] <= u, via per-ray binary search
+    with scalar gathers (log2(W) steps, no (R, W) temporaries)."""
+    import math
+    w1 = cdf.shape[1]
+    lo = jnp.zeros_like(row)
+    hi = jnp.full_like(row, w1 - 1)
+    for _ in range(int(math.ceil(math.log2(max(w1, 2))))):
+        mid = (lo + hi) // 2
+        below = cdf[row, mid] <= u
+        lo = jnp.where(below, mid, lo)
+        hi = jnp.where(below, hi, mid)
+    return jnp.clip(lo, 0, cdf.shape[1] - 2)
 
 
 # -------------------------------------------------------------- area light

@@ -338,15 +338,6 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
 
     endcap = jnp.where(ltype == LIGHT_AREA, scene.light_prim[li], -2)
     shadow_o = p + d * EPSILON
-    tr = _shadow_transmittance(scene, settings, shadow_o, d, dist,
-                               ctx["medium"], ~is_vol, detach=detach,
-                               endcap_prim=endcap)
-    tr = jnp.where(do_shadow[..., None], tr, 0.0)
-
-    mis_l = L.power_heuristic(pdf, pdf_counter)
-    mis_l = jnp.where(is_dirac, 1.0, mis_l)  # Dirac lights skip MIS
-    contrib_l = f * tr * emis / jnp.maximum(pdf, 1e-20)[..., None] \
-        * mis_l[..., None]
 
     # ---------------- bsdf/phase strategy (independent sample) ----------
     ub = rng.random_1d(seed, pixel, sample_idx,
@@ -368,9 +359,38 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
         pdf_b = jnp.where(is_vol, ppdf, pdf_b)
         ok_b = jnp.where(is_vol, ppdf > 0, ok_b)
 
-    res_b = bvh_intersect(scene, p + wd * EPSILON, wd, 0.0, INF)
-    if detach:
-        res_b = _detach(res_b)
+    simple = not settings.has_media and not _has_forward_types(settings)
+    if simple:
+        # one batched traversal for both MIS strategies: shadow segment
+        # + bsdf-strategy closest hit (2R rays amortize the kernel's
+        # fixed cost and sort overhead far better than two R-ray calls)
+        far = jnp.where(do_shadow,
+                        jnp.where(dist >= INF, INF, dist * SHADOW_FUDGE),
+                        0.0)
+        o_all = jnp.concatenate([shadow_o, p + wd * EPSILON], axis=0)
+        d_all = jnp.concatenate([d, wd], axis=0)
+        t_all = jnp.concatenate([far, jnp.full((R,), INF)], axis=0)
+        res_all = bvh_intersect(scene, o_all, d_all, 0.0, t_all)
+        if detach:
+            res_all = _detach(res_all)
+        res_sh = {k: v[:R] for k, v in res_all.items()}
+        res_b = {k: v[R:] for k, v in res_all.items()}
+        occ = res_sh["hit"] & (_hit_prim(scene, res_sh) != endcap)
+        tr = jnp.where((do_shadow & ~occ)[..., None], 1.0, 0.0)
+    else:
+        tr = _shadow_transmittance(scene, settings, shadow_o, d, dist,
+                                   ctx["medium"], ~is_vol, detach=detach,
+                                   endcap_prim=endcap)
+        tr = jnp.where(do_shadow[..., None], tr, 0.0)
+        res_b = bvh_intersect(scene, p + wd * EPSILON, wd, 0.0, INF)
+        if detach:
+            res_b = _detach(res_b)
+
+    mis_l = L.power_heuristic(pdf, pdf_counter)
+    mis_l = jnp.where(is_dirac, 1.0, mis_l)  # Dirac lights skip MIS
+    contrib_l = f * tr * emis / jnp.maximum(pdf, 1e-20)[..., None] \
+        * mis_l[..., None]
+
     hit_prim = _hit_prim(scene, res_b)
 
     # area light: first hit must be the chosen light, front side.

@@ -60,26 +60,25 @@ def build_clusters(tri_v0, tri_e1, tri_e2):
     (-1 for padding).
     """
     T = tri_v0.shape[0]
-    cent = tri_v0 + (tri_e1 + tri_e2) * (1.0 / 3.0)
     v1 = tri_v0 + tri_e1
     v2 = tri_v0 + tri_e2
     tlo = np.minimum(np.minimum(tri_v0, v1), v2)
     thi = np.maximum(np.maximum(tri_v0, v1), v2)
 
+    # Clusters = binned-SAH BVH subtrees of <= CLUSTER tris, in DFS
+    # order: SAH boxes are far tighter than median splits (less box
+    # overlap -> fewer clusters per warp in the drain, and chunk-level
+    # skipping in the cull actually fires), and DFS order keeps
+    # consecutive clusters spatially coherent for the superboxes.
     clusters = []
-    stack = [np.arange(T, dtype=np.int64)] if T > 0 else []
-    while stack:
-        ids = stack.pop()
-        if ids.shape[0] <= CLUSTER:
-            clusters.append(ids)
-            continue
-        c = cent[ids]
-        ext = c.max(axis=0) - c.min(axis=0)
-        ax = int(np.argmax(ext))
-        order = np.argsort(c[:, ax], kind="stable")
-        h = ids.shape[0] // 2
-        stack.append(ids[order[:h]])
-        stack.append(ids[order[h:]])
+    if T > 0:
+        from tungsten_tpu.scene.bvh import build_bvh
+        bvh = build_bvh(tlo, thi, max_leaf_size=4)
+        # bvh.order is the DFS concatenation of leaf prim ranges, so
+        # consecutive 128-slices of it are exactly DFS-adjacent SAH
+        # subtrees
+        for s in range(0, T, CLUSTER):
+            clusters.append(bvh.order[s:s + CLUSTER].astype(np.int64))
 
     nc = len(clusters)
     ncp = -(-max(nc, 1) // 128) * 128
@@ -88,6 +87,7 @@ def build_clusters(tri_v0, tri_e1, tri_e2):
     boxes[3:6, :] = -NPINF
     attr = np.zeros((ncp * ATTR_ROWS, 128), np.float32)
     remap = np.full((ncp * CLUSTER,), -1, np.int32)
+
     for i, ids in enumerate(clusters):
         n = ids.shape[0]
         boxes[0:3, i] = tlo[ids].min(axis=0)
@@ -97,7 +97,21 @@ def build_clusters(tri_v0, tri_e1, tri_e2):
         attr[base + 3:base + 6, :n] = tri_e1[ids].T
         attr[base + 6:base + 9, :n] = tri_e2[ids].T
         remap[i * CLUSTER:i * CLUSTER + n] = ids
-    return boxes, attr, remap
+
+    # supercluster AABBs: one box per 128-cluster chunk, so the kernel's
+    # cull phase can skip whole chunks per warp (the clusters come out of
+    # a DFS median split, so consecutive clusters are spatially tight)
+    sboxes = np.zeros((8, 128), np.float32)
+    sboxes[0:3, :] = NPINF
+    sboxes[3:6, :] = -NPINF
+    for s in range(ncp // 128):
+        chunk_lo = boxes[0:3, s * 128:(s + 1) * 128]
+        chunk_hi = boxes[3:6, s * 128:(s + 1) * 128]
+        valid = chunk_lo[0] <= chunk_hi[0]
+        if valid.any():
+            sboxes[0:3, s] = chunk_lo[:, valid].min(axis=1)
+            sboxes[3:6, s] = chunk_hi[:, valid].max(axis=1)
+    return boxes, attr, remap, sboxes
 
 
 # ------------------------------------------------------------------ kernel
@@ -110,11 +124,13 @@ def _safe_inv(x):
 def _make_kernel(ncp: int, any_hit: bool, debug_phase: int = 2):
 
     def kernel(boxes_ref,                      # (8, NCp) VMEM attr-major
+               sboxes_ref,                     # (8, 128) supercluster AABBs
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tmin_ref, tmax_ref,             # (8,128) VMEM blocks
                attr_ref,                       # (NCp*16, 128) VMEM
                t_ref, tri_ref, u_ref, v_ref,   # (8,128) outputs
-               entry_ref):                     # (8, NCp) f32 scratch
+               entry_ref,                      # (8, NCp) f32 scratch
+               sentry_ref):                    # (8, 128) f32 scratch
         # rays transposed once: column w = warp w's 128 rays on sublanes
         oxt = ox_ref[:].T                     # (128, 8)
         oyt = oy_ref[:].T
@@ -131,11 +147,8 @@ def _make_kernel(ncp: int, any_hit: bool, debug_phase: int = 2):
         iyt = _safe_inv(dyt)
         izt = _safe_inv(dzt)
 
-        # ---------------- phase A: dense cull --------------------------
-        # entry_ref[w, c] = min over warp w's live rays of the slab
-        # entry distance to cluster c's AABB (INF if no ray overlaps).
-        livet = tmaxt > 0.0
-        for w in range(8):
+        def slab_entries(box_ref, s, w, rlive):
+            """(1,128) per-cluster min entry over warp w's live rays."""
             rox = oxt[:, w:w + 1]             # (128,1)
             roy = oyt[:, w:w + 1]
             roz = ozt[:, w:w + 1]
@@ -144,31 +157,48 @@ def _make_kernel(ncp: int, any_hit: bool, debug_phase: int = 2):
             riz = izt[:, w:w + 1]
             rtmin = tmint[:, w:w + 1]
             rtmax = tmaxt[:, w:w + 1]
+            lox = box_ref[0:1, s:s + 128]     # (1,128) boxes
+            loy = box_ref[1:2, s:s + 128]
+            loz = box_ref[2:3, s:s + 128]
+            hix = box_ref[3:4, s:s + 128]
+            hiy = box_ref[4:5, s:s + 128]
+            hiz = box_ref[5:6, s:s + 128]
+            t0x = (lox - rox) * rix           # (128,128)
+            t1x = (hix - rox) * rix
+            t0y = (loy - roy) * riy
+            t1y = (hiy - roy) * riy
+            t0z = (loz - roz) * riz
+            t1z = (hiz - roz) * riz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.maximum(jnp.minimum(t0z, t1z), rtmin))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.minimum(jnp.maximum(t0z, t1z), rtmax))
+            hit = (tn <= tf * 1.00000024) & rlive
+            return jnp.min(jnp.where(hit, tn, INF), axis=0, keepdims=True)
+
+        # ---------------- phase A: hierarchical dense cull --------------
+        # A0: each warp tests the <=128 supercluster boxes (one chunk of
+        # 128 clusters each); A1 runs the per-cluster slab tests only for
+        # chunks the warp's rays can touch.  entry_ref[w, c] = min over
+        # warp w's live rays of the slab entry to cluster c's AABB.
+        livet = tmaxt > 0.0
+        n_chunks = ncp // 128
+        for w in range(8):
             rlive = livet[:, w:w + 1]
-            for cl in range(ncp // 128):
+            sentry_ref[w:w + 1, :] = slab_entries(sboxes_ref, 0, w, rlive)
+        for w in range(8):
+            rlive = livet[:, w:w + 1]
+            for cl in range(n_chunks):
                 s = cl * 128
-                lox = boxes_ref[0:1, s:s + 128]   # (1,128) clusters
-                loy = boxes_ref[1:2, s:s + 128]
-                loz = boxes_ref[2:3, s:s + 128]
-                hix = boxes_ref[3:4, s:s + 128]
-                hiy = boxes_ref[4:5, s:s + 128]
-                hiz = boxes_ref[5:6, s:s + 128]
-                t0x = (lox - rox) * rix           # (128,128)
-                t1x = (hix - rox) * rix
-                t0y = (loy - roy) * riy
-                t1y = (hiy - roy) * riy
-                t0z = (loz - roz) * riz
-                t1z = (hiz - roz) * riz
-                tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                             jnp.minimum(t0y, t1y)),
-                                 jnp.maximum(jnp.minimum(t0z, t1z), rtmin))
-                tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                             jnp.maximum(t0y, t1y)),
-                                 jnp.minimum(jnp.maximum(t0z, t1z), rtmax))
-                hit = (tn <= tf * 1.00000024) & rlive
-                entry = jnp.where(hit, tn, INF)
-                entry_ref[w:w + 1, s:s + 128] = jnp.min(
-                    entry, axis=0, keepdims=True)
+                entry_ref[w:w + 1, s:s + 128] = jnp.full(
+                    (1, 128), INF, jnp.float32)
+
+                @pl.when(sentry_ref[w, cl] < INF)
+                def _(w=w, s=s, rlive=rlive):
+                    entry_ref[w:w + 1, s:s + 128] = slab_entries(
+                        boxes_ref, s, w, rlive)
 
         if debug_phase == 1:    # ablation: no drain machinery at all
             t_ref[:] = jnp.minimum(entry_ref[0:8, 0:128], tmax_ref[:])
@@ -301,9 +331,9 @@ def _make_kernel(ncp: int, any_hit: bool, debug_phase: int = 2):
 @functools.partial(jax.jit,
                    static_argnames=("ncp", "any_hit", "interpret",
                                     "debug_phase"))
-def cluster_intersect(boxes, attr, remap, o, d, t_min, t_max, ncp: int,
-                      any_hit: bool = False, interpret: bool = False,
-                      debug_phase: int = 2):
+def cluster_intersect(boxes, sboxes, attr, remap, o, d, t_min, t_max,
+                      ncp: int, any_hit: bool = False,
+                      interpret: bool = False, debug_phase: int = 2):
     """Closest-hit (or any-hit) traversal.  o/d (R,3), R % BLOCK == 0.
     Returns (t, tri, u, v); tri is an ORIGINAL triangle id, -1 on miss.
     For any_hit a hit ray reports tri >= 0 (its t is not meaningful).
@@ -332,12 +362,14 @@ def cluster_intersect(boxes, attr, remap, o, d, t_min, t_max, ncp: int,
     t, tri, u, v = pl.pallas_call(
         _make_kernel(ncp, any_hit, debug_phase),
         grid=(G,),
-        in_specs=[full, blk, blk, blk, blk, blk, blk, blk, blk, full],
+        in_specs=[full, full, blk, blk, blk, blk, blk, blk, blk, blk,
+                  full],
         out_specs=[blk, blk, blk, blk],
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((8, ncp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((8, ncp), jnp.float32),
+                        pltpu.VMEM((8, 128), jnp.float32)],
         interpret=interpret,
-    )(boxes, ox, oy, oz, dx, dy, dz, tmin, tmax, attr)
+    )(boxes, sboxes, ox, oy, oz, dx, dy, dz, tmin, tmax, attr)
 
     t = t.reshape(R)
     tri = tri.reshape(R)

@@ -351,7 +351,7 @@ def _tri_sph_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
             tmin_s = jnp.concatenate([tmin_s, jnp.zeros((pad,))])
             tmax_s = jnp.concatenate([tmax_s, jnp.zeros((pad,))])
         t, tri, u, v = cluster_intersect(
-            scene.ck_boxes, scene.ck_attr, scene.ck_remap,
+            scene.ck_boxes, scene.ck_sboxes, scene.ck_attr, scene.ck_remap,
             o_s, d_s, tmin_s, tmax_s, ncp=scene.ck_boxes.shape[1],
             any_hit=any_hit)
         # un-permute by sorting results back on the original ray index

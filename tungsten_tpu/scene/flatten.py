@@ -71,6 +71,7 @@ class FlatScene:
     ck_boxes: Any       # (8, NCp) attr-major cluster AABBs
     ck_attr: Any        # (NCp*16, 128) cluster triangle SoA blocks
     ck_remap: Any       # (NCp*128,) i32 (cluster*128+lane) -> tri id
+    ck_sboxes: Any      # (8, 128) supercluster AABBs (one per 128-chunk)
     # --- analytic spheres ---
     sph_center: Any     # (S,3)
     sph_radius: Any     # (S,)
@@ -156,6 +157,7 @@ class FlatScene:
     env_cond_cdf: Any   # (H,W+1)
     env_marg_pdf: Any   # (H,)
     env_marg_cdf: Any   # (H+1,)
+    env_alias: Any      # (H*W, 4) packed [prob, alias, texel_pdf, 0]
     env_to_world: Any   # (3,3)
     env_to_local: Any   # (3,3)
     env_light_index: Any  # () i32, -1 if none
@@ -516,8 +518,32 @@ def _build_env_distribution(img: np.ndarray):
     marg_cdf = np.zeros(h + 1, np.float32)
     marg_cdf[1:] = np.cumsum(marg)
     marg_cdf[-1] = 1.0
+
+    # O(1) alias table over all texels (Vose/Walker) — the TPU-native
+    # sampling path: one packed gather instead of log2(W)+log2(H)
+    # binary-search gathers (random gathers are the slow op on TPU).
+    # Packed row: [prob_keep, alias_idx, texel_pdf, 0]
+    p_tex = (cond_pdf * marg[:, None]).reshape(-1).astype(np.float64)
+    p_tex = p_tex / max(p_tex.sum(), 1e-300)
+    n = p_tex.size
+    scaled = p_tex * n
+    alias = np.arange(n, dtype=np.int64)
+    prob = np.ones(n, np.float64)
+    small = [i for i in np.nonzero(scaled < 1.0)[0]]
+    large = [i for i in np.nonzero(scaled >= 1.0)[0]]
+    while small and large:
+        s = small.pop()
+        g = large.pop()
+        prob[s] = scaled[s]
+        alias[s] = g
+        scaled[g] = (scaled[g] + scaled[s]) - 1.0
+        (small if scaled[g] < 1.0 else large).append(g)
+    packed = np.zeros((n, 4), np.float32)
+    packed[:, 0] = prob
+    packed[:, 1] = alias
+    packed[:, 2] = p_tex * n  # texel_pdf relative to uniform
     return (cond_pdf.astype(np.float32), cond_cdf,
-            marg.astype(np.float32), marg_cdf)
+            marg.astype(np.float32), marg_cdf, packed)
 
 
 def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
@@ -867,7 +893,8 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
             light_type[li] = LIGHT_INFINITE
             light_prim[li] = env_info["prim"]
             prim_light[env_info["prim"]] = li
-    cond_pdf, cond_cdf, marg_pdf, marg_cdf = _build_env_distribution(env_image)
+    (cond_pdf, cond_cdf, marg_pdf, marg_cdf,
+     env_alias) = _build_env_distribution(env_image)
 
     # ---- cap + point lights ----
     li_next = len(lights) + (1 if env_info and env_info["samplable"] else 0)
@@ -956,7 +983,8 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
     tex_type, tex_const, tex_params, tex_bitmap_id, bitmaps = textures.finalize()
 
     from tungsten_tpu.ops.cluster_trace import build_clusters
-    ck_boxes, ck_attr, ck_remap = build_clusters(tri_v0, tri_e1, tri_e2)
+    ck_boxes, ck_attr, ck_remap, ck_sboxes = build_clusters(
+        tri_v0, tri_e1, tri_e2)
 
     def dev(x, dtype=None):
         return jnp.asarray(x, dtype=dtype)
@@ -969,6 +997,7 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         bvh_min=dev(bvh.bounds_min), bvh_max=dev(bvh.bounds_max),
         bvh_meta=dev(bvh.meta), bvh_skip=dev(bvh.skip),
         ck_boxes=dev(ck_boxes), ck_attr=dev(ck_attr), ck_remap=dev(ck_remap),
+        ck_sboxes=dev(ck_sboxes),
         sph_center=dev(np.asarray(spheres_c, np.float32).reshape(-1, 3)),
         sph_radius=dev(np.asarray(spheres_r, np.float32)),
         sph_prim=dev(np.asarray(spheres_p, np.int32)),
@@ -1012,6 +1041,7 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         env_image=dev(env_image),
         env_cond_pdf=dev(cond_pdf), env_cond_cdf=dev(cond_cdf),
         env_marg_pdf=dev(marg_pdf), env_marg_cdf=dev(marg_cdf),
+        env_alias=dev(env_alias),
         env_to_world=dev(env_rot), env_to_local=dev(env_rot.T),
         env_light_index=dev(np.int32(env_light_index)),
         env_emission_scale=dev(np.float32(env_scale)),
