@@ -203,6 +203,9 @@ def render_pass(scene: FlatScene, settings: RenderSettings, sample_start,
     # the static settings so jit/compile-cache keys don't fragment per
     # CLI override (compiles are minutes via the remote service here)
     settings = replace(settings, spp=0, seed=0)
+    from tungsten_tpu.utils import rng as _rng
+    _rng.set_sampler(settings.stratified_sampler and
+                     "mlt" not in settings.integrator_type)
     if settings.integrator_type in ("photon_map", "progressive_photon_map"):
         return _render_pass_photon(scene, settings, sample_start, seed,
                                    spp_chunk)

@@ -188,6 +188,7 @@ class RenderSettings:
     aperture_size: float = 0.001
     cat_eye: float = 0.0
     spp_step: int = 16
+    stratified_sampler: bool = False  # scrambled Sobol' vs pcg4d hash
     has_env: bool = False
     num_lights: int = 0
     present_bsdf_types: tuple = ()
@@ -945,6 +946,7 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         height=int(res[1]),
         spp=int(rend.get("spp", 32)),
         spp_step=int(rend.get("spp_step", 16)),
+        stratified_sampler=bool(rend.get("stratified_sampler", True)),
         max_bounces=int(integ.get("max_bounces", 64)),
         min_bounces=int(integ.get("min_bounces", 0)),
         enable_light_sampling=bool(integ.get("enable_light_sampling", True)),

@@ -89,6 +89,38 @@ def _tape_read(dim):
     return _TAPE[:, jnp.asarray(dim) % d]
 
 
+# ------------------------------------------------------------ sampler mode
+#
+# "uniform" = the pcg4d counter hash; "sobol" = generated scrambled
+# Sobol' (ref SobolPathSampler: per-pixel value scramble + index
+# permutation within runs of 256, SobolPathSampler.hpp:47-71).  The mode
+# is latched at trace time by the render entry points from
+# RenderSettings.stratified_sampler; it keeps the same (seed, pixel,
+# sample, dim) addressing, so replay/resume/sharding determinism holds.
+
+SAMPLER_UNIFORM = 0
+SAMPLER_SOBOL = 1
+_SAMPLER = SAMPLER_UNIFORM
+
+
+def set_sampler(stratified: bool) -> None:
+    global _SAMPLER
+    _SAMPLER = SAMPLER_SOBOL if stratified else SAMPLER_UNIFORM
+
+
+def _sobol_value(seed, pixel, sample_idx, dim):
+    from tungsten_tpu.utils import sobol
+    pix = jnp.asarray(pixel).astype(jnp.uint32)
+    smp = jnp.asarray(sample_idx).astype(jnp.uint32)
+    dim = jnp.asarray(dim).astype(jnp.uint32)
+    seed = jnp.asarray(seed).astype(jnp.uint32)
+    # per-pixel scramble + index permutation in runs of 256
+    h, h2, _, _ = _pcg4d(pix, dim, jnp.uint32(0x50B0), seed)
+    idx = smp ^ (h2 & jnp.uint32(0xFF))
+    v = sobol.sobol_uint(idx, dim)
+    return _to_unit_float(v ^ h)
+
+
 def _pcg4d(v0, v1, v2, v3):
     """pcg4d mixing of four uint32 words; returns four uint32 words."""
     M = jnp.uint32(1664525)
@@ -124,6 +156,8 @@ def random_1d(seed, pixel, sample_idx, dim):
     """
     if _TAPE is not None:
         return _tape_read(dim)
+    if _SAMPLER == SAMPLER_SOBOL:
+        return _sobol_value(seed, pixel, sample_idx, dim)
     x, _, _, _ = _pcg4d(
         jnp.asarray(pixel).astype(jnp.uint32),
         jnp.asarray(sample_idx).astype(jnp.uint32),
@@ -137,6 +171,9 @@ def random_2d(seed, pixel, sample_idx, dim):
     """Two uniform floats; consumes dims [dim, dim+1] in the static layout."""
     if _TAPE is not None:
         return _tape_read(dim), _tape_read(dim + 1)
+    if _SAMPLER == SAMPLER_SOBOL:
+        return (_sobol_value(seed, pixel, sample_idx, dim),
+                _sobol_value(seed, pixel, sample_idx, dim + 1))
     x, y, _, _ = _pcg4d(
         jnp.asarray(pixel).astype(jnp.uint32),
         jnp.asarray(sample_idx).astype(jnp.uint32),
@@ -149,6 +186,10 @@ def random_2d(seed, pixel, sample_idx, dim):
 def random_3d(seed, pixel, sample_idx, dim):
     if _TAPE is not None:
         return _tape_read(dim), _tape_read(dim + 1), _tape_read(dim + 2)
+    if _SAMPLER == SAMPLER_SOBOL:
+        return (_sobol_value(seed, pixel, sample_idx, dim),
+                _sobol_value(seed, pixel, sample_idx, dim + 1),
+                _sobol_value(seed, pixel, sample_idx, dim + 2))
     x, y, z, _ = _pcg4d(
         jnp.asarray(pixel).astype(jnp.uint32),
         jnp.asarray(sample_idx).astype(jnp.uint32),
