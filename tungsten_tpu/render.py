@@ -253,12 +253,163 @@ def render_pass(scene: FlatScene, settings: RenderSettings, sample_start,
     return acc[:n].reshape(h, w, 3), rays
 
 
+# --------------------------- adaptive sampling -------------------------
+# ref PathTraceIntegrator.cpp:44-134: per-4x4-tile Welford error
+# estimates, 95th-percentile clamp, one-texel weight dilation, and
+# stochastic per-tile budget allocation after 16 uniform spp.
+
+VARIANCE_TILE = 4
+ADAPTIVE_THRESHOLD = 16
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "n_total", "vt_w",
+                                             "n_tiles"))
+def _trace_adaptive_chunk(scene, settings, pixel, sample_idx, seed,
+                          n_total: int, vt_w: int, n_tiles: int):
+    """Trace a wavefront with per-ray sample indices; returns the
+    radiance framebuffer part + per-variance-tile (sum, sumsq, count)
+    luminance statistics."""
+    from tungsten_tpu.integrators.path_tracer import trace_wave
+    rad = trace_wave(scene, settings, pixel, sample_idx, jnp.uint32(seed))
+    rad = jnp.where(jnp.isfinite(rad), rad, 0.0)
+    ok = pixel < n_total
+    rad = jnp.where(ok[..., None], rad, 0.0)
+    pix = jnp.clip(pixel.astype(jnp.int32), 0, n_total - 1)
+    fb = jnp.zeros((n_total, 3)).at[pix].add(rad)
+    lum = rad @ jnp.asarray([0.2126, 0.7152, 0.0722])
+    px = pix % settings.width
+    py = pix // settings.width
+    tile = jnp.clip(px // VARIANCE_TILE + (py // VARIANCE_TILE) * vt_w,
+                    0, n_tiles - 1)
+    zt = jnp.zeros((n_tiles,))
+    t_sum = zt.at[tile].add(lum)
+    t_sumsq = zt.at[tile].add(lum * lum)
+    t_cnt = zt.at[tile].add(ok.astype(jnp.float32))
+    return fb, t_sum, t_sumsq, t_cnt
+
+
+def render_adaptive(scene: FlatScene, settings: RenderSettings, spp: int,
+                    seed: int, verbose: bool = False):
+    """Adaptive path tracing: uniform warmup then per-tile budget
+    redistribution each spp_step round.  Returns (hdr, rays)."""
+    w, h = settings.width, settings.height
+    n = w * h
+    vt_w = -(-w // VARIANCE_TILE)
+    vt_h = -(-h // VARIANCE_TILE)
+    nt = vt_w * vt_h
+    settings = replace(settings, spp=0, seed=0)
+    from tungsten_tpu.utils import rng as _rng
+    _rng.set_sampler(settings.stratified_sampler)
+
+    fb = np.zeros((n, 3), np.float32)
+    px_count = np.zeros(n, np.float64)
+    t_sum = np.zeros(nt)
+    t_sumsq = np.zeros(nt)
+    t_cnt = np.zeros(nt)
+    tile_next_index = np.zeros(nt, np.int64)  # per-tile sample cursor
+
+    pix_all = np.arange(n, dtype=np.uint32)
+    px_of_tile = None  # lazy: pixel ids grouped by variance tile
+    rays = 0
+
+    def run_wave(pixels, samples):
+        nonlocal fb, t_sum, t_sumsq, t_cnt, rays
+        C = WAVEFRONT_CHUNK
+        for off in range(0, len(pixels), C):
+            p = pixels[off:off + C]
+            s = samples[off:off + C]
+            pad = (-len(p)) % min(C, max(len(p), 1))
+            if pad:
+                p = np.concatenate([p, np.full(pad, n, np.uint32)])
+                s = np.concatenate([s, np.zeros(pad, np.uint32)])
+            part, ts, tq, tc = _trace_adaptive_chunk(
+                scene, settings, jnp.asarray(p), jnp.asarray(s),
+                np.uint32(seed), n, vt_w, nt)
+            fb += np.asarray(part)
+            t_sum += np.asarray(ts)
+            t_sumsq += np.asarray(tq)
+            t_cnt += np.asarray(tc)
+            rays += len(p) * 3 * min(settings.max_bounces, 8)
+
+    # ---- uniform warmup ----
+    warm = min(ADAPTIVE_THRESHOLD, spp)
+    for i in range(warm):
+        run_wave(pix_all, np.full(n, i, np.uint32))
+    px_count += warm
+    tile_next_index += warm
+
+    # ---- adaptive rounds ----
+    rng_host = np.random.default_rng(seed ^ 0xADA7)
+    done = warm
+    while done < spp:
+        step = min(settings.spp_step, spp - done)
+        cnt = np.maximum(t_cnt, 2.0)
+        mean = t_sum / cnt
+        var = np.maximum(t_sumsq - t_sum * mean, 0.0) / (cnt - 1.0)
+        err = var / (cnt * np.maximum(mean * mean, 1e-3))
+        pos = err[err > 0.0]
+        if pos.size == 0:
+            break
+        max_err = np.sort(pos)[(pos.size * 95) // 100]
+        wgt = np.minimum(err, max_err).reshape(vt_h, vt_w)
+        # one-texel max dilation (dilateAdaptiveWeights)
+        wgt = np.maximum(wgt, np.roll(wgt, -1, 0))
+        wgt = np.maximum(wgt, np.roll(wgt, -1, 1))
+        wgt = np.maximum(wgt, np.roll(wgt, 1, 0))
+        wgt = np.maximum(wgt, np.roll(wgt, 1, 1))
+        wgt = wgt.reshape(-1)
+        budget = (step - 1) * n // (VARIANCE_TILE * VARIANCE_TILE)
+        factor = budget / max(wgt.sum(), 1e-30)
+        frac = wgt * factor
+        extra = np.floor(frac).astype(np.int64)
+        # stochastic rounding of the fractional remainders
+        extra += (rng_host.random(nt) < (frac - extra)).astype(np.int64)
+        counts = extra + 1  # every tile gets >= 1 sample
+
+        if px_of_tile is None:
+            px = pix_all % w
+            py = pix_all // w
+            tid = px // VARIANCE_TILE + (py // VARIANCE_TILE) * vt_w
+            order = np.argsort(tid, kind="stable")
+            px_of_tile = (pix_all[order],
+                          np.searchsorted(tid[order], np.arange(nt + 1)))
+        sorted_pix, starts = px_of_tile
+        pixels_l, samples_l = [], []
+        for k in range(nt):
+            c = int(counts[k])
+            tp = sorted_pix[starts[k]:starts[k + 1]]
+            if c <= 0 or len(tp) == 0:
+                continue
+            reps = np.tile(tp, c)
+            sidx = np.repeat(tile_next_index[k] + np.arange(c), len(tp))
+            pixels_l.append(reps)
+            samples_l.append(sidx.astype(np.uint32))
+            px_count[tp] += c
+        tile_next_index += counts
+        run_wave(np.concatenate(pixels_l), np.concatenate(samples_l))
+        done += step
+        if verbose:
+            print(f"adaptive round done~{done}/{spp} "
+                  f"(tile spp {counts.min()}..{counts.max()})")
+
+    img = fb / np.maximum(px_count[:, None], 1.0)
+    return img.reshape(h, w, 3).astype(np.float32), rays
+
+
 def render(scene: FlatScene, settings: RenderSettings, spp: int | None = None,
            seed: int | None = None, spp_chunk: int = 1, verbose: bool = False,
            return_stats: bool = False):
     """Render `spp` samples per pixel; returns linear HDR (H, W, 3) numpy."""
     spp = spp if spp is not None else settings.spp
     seed = seed if seed is not None else settings.seed
+    if settings.adaptive_sampling and \
+            settings.integrator_type == "path_tracer" and \
+            spp > ADAPTIVE_THRESHOLD:
+        img, rays = render_adaptive(scene, settings, spp, seed,
+                                    verbose=verbose)
+        if return_stats:
+            return img, {"rays": rays, "time": 0.0, "mrays_per_s": 0.0}
+        return img
     acc = None
     done = 0
     total_rays = 0

@@ -183,12 +183,14 @@ class RenderSettings:
     tonemap: str = "gamma"
     filter: str = "tent"
     camera_type: str = "pinhole"
+    cubemap_mode: str = "horizontal_cross"
     fov_deg: float = 60.0
     focus_distance: float = 1.0
     aperture_size: float = 0.001
     cat_eye: float = 0.0
     spp_step: int = 16
     stratified_sampler: bool = False  # scrambled Sobol' vs pcg4d hash
+    adaptive_sampling: bool = False   # per-tile budget reallocation
     has_env: bool = False
     num_lights: int = 0
     present_bsdf_types: tuple = ()
@@ -947,6 +949,7 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         spp=int(rend.get("spp", 32)),
         spp_step=int(rend.get("spp_step", 16)),
         stratified_sampler=bool(rend.get("stratified_sampler", True)),
+        adaptive_sampling=bool(rend.get("adaptive_sampling", True)),
         max_bounces=int(integ.get("max_bounces", 64)),
         min_bounces=int(integ.get("min_bounces", 0)),
         enable_light_sampling=bool(integ.get("enable_light_sampling", True)),
@@ -956,6 +959,7 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         tonemap=cam.get("tonemap", "gamma"),
         filter=cam.get("reconstruction_filter", "tent"),
         camera_type=cam.get("type", "pinhole"),
+        cubemap_mode=cam.get("mode", "horizontal_cross"),
         fov_deg=fov,
         focus_distance=float(cam.get("focus_distance", 1.0)),
         aperture_size=float(cam.get("aperture_size", 0.001)),
