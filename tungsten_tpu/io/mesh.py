@@ -69,7 +69,16 @@ def save_wo3(path, mesh: Mesh) -> None:
 def load_obj(path) -> Mesh:
     """Minimal OBJ triangle loader (positions/normals/uvs, fan-triangulated
     faces, negative indices).  Geometry-only, mirroring what the reference's
-    ObjLoader::loadGeometryOnly provides for mesh primitives."""
+    ObjLoader::loadGeometryOnly provides for mesh primitives.
+
+    Prefers the native C++ parser (tungsten_tpu/native/objloader.cpp);
+    this Python implementation is the fallback."""
+    from tungsten_tpu import native
+    res = native.load_obj_native(str(path))
+    if res is not None:
+        pos, nrm, uv, idx = res
+        return Mesh(pos=pos, normal=nrm, uv=uv, indices=idx,
+                    material=np.zeros(idx.shape[0], np.int32))
     vs, vts, vns = [], [], []
     # Each emitted vertex is the (v, vt, vn) triple of a face corner.
     corner_index: dict = {}

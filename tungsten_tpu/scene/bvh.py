@@ -47,10 +47,21 @@ def _surface_area(lo, hi):
 
 
 def build_bvh(prim_min: np.ndarray, prim_max: np.ndarray, max_leaf_size: int = 4) -> BvhArrays:
-    """Build a binary SAH BVH from per-primitive AABBs."""
+    """Build a binary SAH BVH from per-primitive AABBs.
+
+    Uses the native C++ builder (tungsten_tpu/native/bvh_builder.cpp)
+    when available — same algorithm and layout, ~50x faster for large
+    meshes — with this numpy implementation as the fallback."""
     prim_min = np.asarray(prim_min, dtype=np.float32)
     prim_max = np.asarray(prim_max, dtype=np.float32)
     n = prim_min.shape[0]
+    if n > 0:
+        from tungsten_tpu import native
+        res = native.build_bvh_native(prim_min, prim_max, max_leaf_size)
+        if res is not None:
+            b_min, b_max, meta, skip, order = res
+            return BvhArrays(bounds_min=b_min, bounds_max=b_max,
+                             meta=meta, skip=skip, order=order)
     centroids = 0.5 * (prim_min + prim_max)
 
     b_min, b_max, meta, order_chunks = [], [], [], []
