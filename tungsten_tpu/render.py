@@ -435,6 +435,36 @@ def render(scene: FlatScene, settings: RenderSettings, spp: int | None = None,
     return img
 
 
+def render_denoise_buffers(scene: FlatScene, settings: RenderSettings,
+                           spp: int | None = None, seed: int | None = None):
+    """Two-buffer outputs for the NFOR denoiser (ref OutputBuffer's
+    two_buffer_variance: half buffers split by sample parity,
+    Camera::colorBuffer A/B + feature AOVs, OutputBuffer.hpp:88-130).
+
+    Returns dict(color_a, color_b, color_var, feat_a, feat_b, feat_var)
+    with features = [albedo rgb, normal xyz, depth].
+    """
+    spp = spp if spp is not None else settings.spp
+    seed = seed if seed is not None else settings.seed
+    half = max(spp // 2, 1)
+    color_a = render(scene, settings, spp=half, seed=seed)
+    color_b = render(scene, settings, spp=half, seed=int(seed) + 1)
+    color_var = (color_b - color_a) ** 2 * 0.25
+
+    def feats(sd):
+        aov = render_aovs(scene, settings, seed=np.uint32(sd))
+        alb = np.asarray(aov["albedo"])
+        nrm = np.asarray(aov["normal"])
+        dep = np.asarray(aov["depth"])[..., None]
+        return np.concatenate([alb, nrm, dep], axis=-1)
+
+    fa = feats(int(seed) + 2)
+    fb = feats(int(seed) + 3)
+    fv = (fb - fa) ** 2 * 0.25
+    return dict(color_a=color_a, color_b=color_b, color_var=color_var,
+                feat_a=fa, feat_b=fb, feat_var=fv)
+
+
 def render_file(scene_path, output=None, spp=None, resolution=None,
                 seed=None, verbose=False):
     """Load a Tungsten scene file, render, tonemap, save; returns HDR."""
