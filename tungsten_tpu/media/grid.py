@@ -38,8 +38,10 @@ import jax.numpy as jnp
 MED_HOMOGENEOUS = 0
 MED_EXPONENTIAL = 1
 MED_VOXEL = 2
+MED_ATMOSPHERE = 3
 
 INF = jnp.float32(3.0e38)
+SQRT_PI = 1.7724538509055159
 
 
 # ------------------------------------------------------------- trilinear
@@ -132,6 +134,47 @@ def _exp_inverse(x, dx, tau):
     return jnp.where(jnp.abs(dx) < 1e-12, lin, gen)
 
 
+# ------------------------------------------------- atmosphere (analytic)
+#
+# Gaussian shell density rho(p) = exp(-s^2 (|p-c|^2 - r^2)) with
+# s = falloff_scale / radius (ref AtmosphericMedium.cpp:62-121).
+# Closed forms via erf; the reference returns the *absolute* coordinate
+# u from inverseOpticalDepth and assigns it to sample.t directly — this
+# build converts back to ray distance (t = u - t0), which is the
+# dimensionally consistent interpretation.
+# med_exp_params layout for atmosphere: [s_eff, center xyz, radius, pad].
+
+def _atmo_hu(scene, mi, o, d):
+    prm = scene.med_exp_params[mi]
+    s = prm[..., 0]
+    c = prm[..., 1:4]
+    r = prm[..., 4]
+    p = o - c
+    t0 = jnp.sum(p * d, axis=-1)
+    h_sq = jnp.maximum(jnp.sum(p * p, axis=-1) - t0 * t0, 0.0)
+    return s, r, t0, h_sq
+
+
+def _atmo_integral(s, r, t0, h_sq, u0, u1):
+    """∫ rho du from u0 to u1 (absolute coords; u1 may be INF)."""
+    from jax.scipy.special import erf
+    pre = (SQRT_PI * 0.5 / jnp.maximum(s, 1e-20)) * \
+        jnp.exp((-h_sq + r * r) * s * s)
+    hi = jnp.where(u1 >= INF, 1.0, erf(s * jnp.where(u1 >= INF, 0.0, u1)))
+    return pre * (hi - erf(s * u0))
+
+
+def _atmo_inverse(s, r, t0, h_sq, tau):
+    """Absolute coordinate u with ∫_{t0}^{u} rho = tau, INF if never."""
+    from jax.scipy.special import erf
+    from jax.scipy.special import erfinv
+    inner = erf(s * t0) + (2.0 / SQRT_PI) * \
+        jnp.exp(s * s * (h_sq - r * r)) * s * tau
+    return jnp.where(inner >= 1.0, INF,
+                     erfinv(jnp.clip(inner, -1.0 + 1e-7, 1.0 - 1e-7)) /
+                     jnp.maximum(s, 1e-20))
+
+
 # --------------------------------------------------------- dispatch layer
 
 def density(scene, settings, mi, p):
@@ -141,6 +184,14 @@ def density(scene, settings, mi, p):
     if any(k == MED_EXPONENTIAL for k in settings.med_kinds):
         x, _ = _exp_xdx(scene, mi, p, jnp.zeros_like(p))
         rho = jnp.where(kind == MED_EXPONENTIAL, jnp.exp(-x), rho)
+    if any(k == MED_ATMOSPHERE for k in settings.med_kinds):
+        prm = scene.med_exp_params[mi]
+        sa = prm[..., 0]
+        c = prm[..., 1:4]
+        r = prm[..., 4]
+        dist_sq = jnp.sum((p - c) ** 2, axis=-1)
+        rho_a = jnp.exp(-sa * sa * (dist_sq - r * r))
+        rho = jnp.where(kind == MED_ATMOSPHERE, rho_a, rho)
     for g in range(len(scene.grid_density)):
         sel = (kind == MED_VOXEL) & (scene.med_grid[mi] == g)
         rho_g = trilinear(scene.grid_density[g], _to_grid(scene, g, p))
@@ -171,6 +222,11 @@ def unit_tau(scene, settings, mi, o, d, t_max):
         x, dx = _exp_xdx(scene, mi, o, d)
         tau = jnp.where(kind == MED_EXPONENTIAL,
                         _exp_density_integral(x, dx, t_max), tau)
+    if any(k == MED_ATMOSPHERE for k in settings.med_kinds):
+        sa, r, t0, h_sq = _atmo_hu(scene, mi, o, d)
+        u1 = jnp.where(t_max >= INF, INF, t0 + t_max)
+        tau_a = _atmo_integral(sa, r, t0, h_sq, t0, u1)
+        tau = jnp.where(kind == MED_ATMOSPHERE, tau_a, tau)
     for g in range(len(scene.grid_density)):
         sel = (kind == MED_VOXEL) & (scene.med_grid[mi] == g)
         t0, t1 = _grid_segment(scene, g, o, d, jnp.minimum(t_max, INF))
@@ -209,6 +265,20 @@ def inverse_unit_tau(scene, settings, mi, o, d, t_max, tau_c):
         t_out = jnp.where(is_e, t_e, t_out)
         rho_out = jnp.where(is_e, rho_e, rho_out)
         tau_tot = jnp.where(is_e, tot_e, tau_tot)
+
+    if any(k == MED_ATMOSPHERE for k in settings.med_kinds):
+        sa, r, t0, h_sq = _atmo_hu(scene, mi, o, d)
+        u = _atmo_inverse(sa, r, t0, h_sq, tau_c)
+        t_a = jnp.where(u >= INF, INF, u - t0)
+        u_clip = jnp.minimum(jnp.where(u >= INF, 0.0, u),
+                             t0 + jnp.minimum(t_max, INF))
+        rho_a = jnp.exp(-sa * sa * (h_sq - r * r + u_clip * u_clip))
+        u1 = jnp.where(t_max >= INF, INF, t0 + t_max)
+        tot_a = _atmo_integral(sa, r, t0, h_sq, t0, u1)
+        is_a = kind == MED_ATMOSPHERE
+        t_out = jnp.where(is_a, t_a, t_out)
+        rho_out = jnp.where(is_a, rho_a, rho_out)
+        tau_tot = jnp.where(is_a, tot_a, tau_tot)
 
     for g in range(len(scene.grid_density)):
         sel = (kind == MED_VOXEL) & (scene.med_grid[mi] == g)

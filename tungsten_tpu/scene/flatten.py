@@ -573,10 +573,11 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         return [float(x) for x in v]
 
     from tungsten_tpu.media.grid import (
-        MED_EXPONENTIAL, MED_HOMOGENEOUS, MED_VOXEL)
+        MED_ATMOSPHERE, MED_EXPONENTIAL, MED_HOMOGENEOUS, MED_VOXEL)
     MED_KINDS = {"homogeneous": MED_HOMOGENEOUS,
                  "exponential": MED_EXPONENTIAL,
-                 "voxel": MED_VOXEL}
+                 "voxel": MED_VOXEL,
+                 "atmosphere": MED_ATMOSPHERE}
 
     med_sigma_a, med_sigma_s = [], []
     med_phase, med_g = [], []
@@ -602,6 +603,21 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
                             np.float64)
             fd = fd / max(np.linalg.norm(fd), 1e-20)
             ep[4:7] = [float(x) for x in fd]
+        if kind == MED_ATMOSPHERE:
+            # ref AtmosphericMedium: effective scale = falloff / radius;
+            # center may bind to a named primitive's position
+            radius = float(m.get("radius", 1.0))
+            ep[0] = float(m.get("falloff_scale", 1.0)) / max(radius, 1e-9)
+            center = m.get("center", [0.0, 0.0, 0.0])
+            if "primitive" in m:
+                for pr in desc.primitives:
+                    if pr.get("name") == m["primitive"]:
+                        pm = xform.parse_transform(pr.get("transform"))
+                        center = xform.transform_point(
+                            pm, [0.0, 0.0, 0.0]).tolist()
+                        break
+            ep[1:4] = vec3(center)
+            ep[4] = radius
         med_exp_params.append(ep)
         if kind == MED_VOXEL:
             dens, emis, w2g = _load_grid(m["grid"], desc.resolve_path)
