@@ -50,8 +50,10 @@ def main():
     spp = 16
     value = 0.0
     try:
-        # warmup / compile (same program shape as the timed run)
-        render(flat, settings, spp=1, spp_chunk=1)
+        # warmup / compile: MUST cover the same wavefront widths as the
+        # timed run (the spp-batched wave + every compaction width),
+        # otherwise compiles land inside the timed region
+        render(flat, settings, spp=4, spp_chunk=4)
         img, stats = render(flat, settings, spp=spp, spp_chunk=spp,
                             return_stats=True)
         if bool(np.isfinite(img).all() and img.mean() > 0):

@@ -51,7 +51,8 @@ MIN_WAVE = 4096
 def _jit_init(scene, settings, pixel, sample_idx, seed):
     from tungsten_tpu.integrators.path_tracer import init_wave
     return init_wave(scene, settings, pixel,
-                     jnp.full(pixel.shape, sample_idx, jnp.uint32),
+                     jnp.broadcast_to(jnp.asarray(sample_idx, jnp.uint32),
+                                      pixel.shape),
                      jnp.uint32(seed))
 
 
@@ -80,10 +81,15 @@ def _trace_chunk_staged(scene, settings, pixel, sample_idx, seed, n_total):
     fb = None
     width = pixel.shape[0]
     bounce = 0
+    seg = BOUNCE_SEGMENT
     while True:
         state = _jit_run(scene, settings, seed, state,
-                         min(bounce + BOUNCE_SEGMENT, settings.max_bounces))
-        bounce += BOUNCE_SEGMENT
+                         min(bounce + seg, settings.max_bounces))
+        bounce += seg
+        # geometric segment growth: long specular tails (mirror paths
+        # living to max_bounces) otherwise pay one host sync every few
+        # bounces; the in-device while_loop exits early when all rays die
+        seg = min(seg * 2, 32)
         if bounce >= settings.max_bounces:
             break
         alive = int(jnp.sum(state["alive"]))
@@ -228,15 +234,26 @@ def render_pass(scene: FlatScene, settings: RenderSettings, sample_start,
     acc = jnp.zeros((n + pad, 3))
     rays = 0
     if not splatting:
-        # path tracer: staged wavefronts with host-driven compaction
+        # path tracer: staged wavefronts with host-driven compaction.
+        # Small frames batch several spp into one wide wave — kernel
+        # throughput rises steeply with wavefront width (the cluster
+        # traversal is ~1.7x faster at 256k rays than at 64k).
         fb = jnp.zeros((n, 3))
-        for i in range(spp_chunk):
+        spp_batch = max(1, min(WAVEFRONT_CHUNK * 4 // max(C, 1), spp_chunk))
+        i = 0
+        while i < spp_chunk:
+            k = min(spp_batch, spp_chunk - i)
             for ci in range(pixels.shape[0]):
+                pix = np.tile(pixels[ci], k)
+                smp = np.repeat(np.arange(int(sample_start) + i,
+                                          int(sample_start) + i + k,
+                                          dtype=np.uint32), C)
                 part, r = _trace_chunk_staged(
-                    scene, settings, jnp.asarray(pixels[ci]),
-                    np.uint32(int(sample_start) + i), np.uint32(seed), n)
+                    scene, settings, jnp.asarray(pix), jnp.asarray(smp),
+                    np.uint32(seed), n)
                 fb = fb + part
                 rays += r
+            i += k
         return fb.reshape(h, w, 3), rays
     outs = []
     for i in range(spp_chunk):

@@ -674,8 +674,39 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
     caps = []
     points = []
 
-    prim_id = -1
+    # ---- instances expansion (ref Instance.cpp:16-93): each entry of
+    # `instances` stamps one master primitive with the instance's
+    # rotation + translation (scale comes from the master's own
+    # transform, as in the reference) ----
+    expanded_prims = []
     for prim in desc.primitives:
+        if prim.get("type") != "instances":
+            expanded_prims.append(prim)
+            continue
+        masters = prim.get("masters", [])
+        for inst in prim.get("instances", []):
+            mid = int(inst.get("id", 0))
+            if not 0 <= mid < len(masters):
+                continue
+            master = dict(masters[mid])
+            mi = xform.parse_transform(master.get("transform"))
+            it = xform.parse_transform(inst.get("transform"))
+            R = it[:3, :3]
+            # drop scale from the instance rotation (reference keeps
+            # only position + quaternion)
+            R = R / np.maximum(np.linalg.norm(R, axis=0, keepdims=True),
+                               1e-30)
+            comp = np.eye(4)
+            comp[:3, :3] = R @ mi[:3, :3]
+            comp[:3, 3] = R @ mi[:3, 3] + it[:3, 3]
+            master["transform"] = comp.reshape(-1).tolist()
+            if master.get("bsdf_index") is None and \
+                    prim.get("bsdf_index") is not None:
+                master["bsdf_index"] = prim["bsdf_index"]
+            expanded_prims.append(master)
+
+    prim_id = -1
+    for prim in expanded_prims:
         ptype = prim.get("type", "mesh")
         m = xform.parse_transform(prim.get("transform"))
         prim_id += 1
@@ -731,6 +762,32 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
             spheres_c.append(center)
             spheres_r.append(radius)
             spheres_p.append(prim_id)
+        elif ptype == "cylinder":
+            # y-aligned unit cylinder (radius 1, half-height 1 in local
+            # space, ref Cylinder.cpp:56-81), triangulated tube + caps
+            segs = 64
+            capped = bool(prim.get("capped", True))
+            ang = np.linspace(0, 2 * np.pi, segs, endpoint=False)
+            ring = np.stack([np.cos(ang), np.zeros(segs), np.sin(ang)], 1)
+            local_v = np.concatenate([ring + [0, -1, 0], ring + [0, 1, 0],
+                                      [[0, -1, 0], [0, 1, 0]]])
+            world = xform.transform_points(m, local_v).astype(np.float32)
+            nrm_local = np.concatenate([ring, ring,
+                                        [[0, -1, 0], [0, 1, 0]]])
+            nrm = xform.transform_normals(m, nrm_local).astype(np.float32)
+            nrm /= np.maximum(
+                np.linalg.norm(nrm, axis=1, keepdims=True), 1e-30)
+            tris = []
+            for i in range(segs):
+                j = (i + 1) % segs
+                tris.append((i, segs + i, segs + j))
+                tris.append((i, segs + j, j))
+                if capped:
+                    tris.append((2 * segs, j, i))
+                    tris.append((2 * segs + 1, segs + i, segs + j))
+            uvs = np.zeros((len(local_v), 2), np.float32)
+            geom.add_tris(world, uvs, nrm, np.asarray(tris, np.int32),
+                          prim_id)
         elif ptype == "mesh":
             mesh = mesh_io.load_mesh(desc.resolve_path(prim["file"]))
             if bool(prim.get("recompute_normals", False)) or not np.any(mesh.normal):

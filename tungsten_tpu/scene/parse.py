@@ -93,6 +93,12 @@ def load_scene(path) -> SceneDesc:
         prim["bsdf_index"] = bsdfs.resolve(prim.get("bsdf"))
         prim["int_medium_index"] = media.resolve(prim.get("int_medium"))
         prim["ext_medium_index"] = media.resolve(prim.get("ext_medium"))
+        # instances carry nested master primitive dicts (ref Instance::
+        # fromJson "masters") whose bsdf refs resolve the same way
+        if prim.get("type") == "instances":
+            prim["masters"] = [dict(m) for m in prim.get("masters", [])]
+            for m in prim["masters"]:
+                m["bsdf_index"] = bsdfs.resolve(m.get("bsdf"))
         primitives.append(prim)
 
     # Media and bsdfs may themselves reference others (smooth_coat substrate,
