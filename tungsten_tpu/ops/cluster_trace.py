@@ -38,6 +38,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK = 1024        # rays per grid step: (8, 128)
+# One lockstep drain loop per block (lax.cond-gated warps) vs 8
+# sequential per-warp loops.  Measured on v5e: lockstep loses ~15-30%
+# (Mosaic's cond costs more than the saved loop latching), so per-warp
+# stays the default; the flag is kept for future hardware.
+LOCKSTEP = False
 CLUSTER = 128       # triangles per cluster (padded)
 ATTR_ROWS = 16      # rows per cluster attr block (9 used: v0,e1,e2)
 MAX_NCP = 2048      # lane-chunk unroll cap (== 256k tris at CLUSTER=128)
@@ -216,8 +221,7 @@ def _make_kernel(ncp: int, any_hit: bool, debug_phase: int = 2):
         # idle warps.  Each warp's while body processes exactly one
         # pending cluster and advances a lexicographic (entry, id)
         # cursor — no conds, no scratch mutation, scalar cursor carry.
-        t_cols, tri_cols, u_cols, v_cols = [], [], [], []
-        for w in range(8):
+        def make_warp(w):
             e_row = entry_ref[w:w + 1, :]                 # (1, NCp)
             rox = oxt[:, w:w + 1]                         # (128,1)
             roy = oyt[:, w:w + 1]
@@ -234,11 +238,6 @@ def _make_kernel(ncp: int, any_hit: bool, debug_phase: int = 2):
                 m = jnp.min(em)                           # scalar
                 idx = jnp.min(jnp.where(em == m, cid_row, BIGI))
                 return m, idx
-
-            def wcond(s):
-                m = s[0]
-                tb = s[2]
-                return m <= jnp.max(tb)
 
             def leaf_once(s, rox=rox, roy=roy, roz=roz, rdx=rdx, rdy=rdy,
                           rdz=rdz, rtmin=rtmin, next_pending=next_pending):
@@ -299,31 +298,63 @@ def _make_kernel(ncp: int, any_hit: bool, debug_phase: int = 2):
                 m2, cw2 = next_pending(m, cw)
                 return m2, cw2, tb2, tr2, uu2, vv2
 
-            def wbody(s, leaf_once=leaf_once):
-                # two clusters per iteration to amortize while-loop
-                # latching; a past-the-end second leaf is a safe no-op
-                return leaf_once(leaf_once(s))
-
             tb0 = tmaxt[:, w:w + 1]                       # (128,1)
             m0, c0 = next_pending(jnp.float32(-INF), jnp.int32(-1))
             init = (m0, c0, tb0,
                     jnp.full((128, 1), -1, jnp.int32),
                     jnp.zeros((128, 1), jnp.float32),
                     jnp.zeros((128, 1), jnp.float32))
-            if debug_phase >= 2:
-                _, _, tbf, trf, uf, vf = jax.lax.while_loop(
-                    wcond, wbody, init)
-            else:
-                _, _, tbf, trf, uf, vf = init
-            t_cols.append(tbf)
-            tri_cols.append(trf)
-            u_cols.append(uf)
-            v_cols.append(vf)
+            return init, leaf_once
 
-        t_ref[:] = jnp.concatenate(t_cols, axis=1).T
-        tri_ref[:] = jnp.concatenate(tri_cols, axis=1).T
-        u_ref[:] = jnp.concatenate(u_cols, axis=1).T
-        v_ref[:] = jnp.concatenate(v_cols, axis=1).T
+        inits, leafs = zip(*[make_warp(w) for w in range(8)])
+
+        if LOCKSTEP:
+            # ONE while loop per block: every iteration advances each
+            # still-pending warp by one cluster under a lax.cond, so the
+            # loop count is max(V_w), not sum(V_w) — incoherent blocks
+            # (deep-bounce wavefronts) were paying 8x the loop latching.
+            def pending(s):
+                return s[0] <= jnp.max(s[2])
+
+            def cond(carry):
+                live = pending(carry[0])
+                for w in range(1, 8):
+                    live = live | pending(carry[w])
+                return live
+
+            def body(carry):
+                out = []
+                for w in range(8):
+                    s2 = jax.lax.cond(pending(carry[w]), leafs[w],
+                                      lambda s: s, carry[w])
+                    out.append(s2)
+                return tuple(out)
+
+            if debug_phase >= 2:
+                finals = jax.lax.while_loop(cond, body, tuple(inits))
+            else:
+                finals = tuple(inits)
+        else:
+            finals = []
+            for w in range(8):
+                def wcond(s):
+                    return s[0] <= jnp.max(s[2])
+
+                def wbody(s, leaf=leafs[w]):
+                    # two clusters per iteration amortize loop latching;
+                    # a past-the-end second leaf is a safe no-op
+                    return leaf(leaf(s))
+
+                if debug_phase >= 2:
+                    finals.append(jax.lax.while_loop(wcond, wbody,
+                                                     inits[w]))
+                else:
+                    finals.append(inits[w])
+
+        t_ref[:] = jnp.concatenate([f[2] for f in finals], axis=1).T
+        tri_ref[:] = jnp.concatenate([f[3] for f in finals], axis=1).T
+        u_ref[:] = jnp.concatenate([f[4] for f in finals], axis=1).T
+        v_ref[:] = jnp.concatenate([f[5] for f in finals], axis=1).T
 
     return kernel
 
