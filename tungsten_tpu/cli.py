@@ -105,6 +105,28 @@ def render_scene(path, args):
         save_resume_state(resume_file, shash, acc, done)
     _write_outputs(acc / max(done, 1), settings, out_dir,
                    output_file, hdr_output)
+
+    # AOV output_buffers (ref RendererSettings::renderOutputs +
+    # OutputBufferSettings: depth/normal/albedo files alongside color)
+    aov_specs = [b for b in rjson.get("output_buffers", [])
+                 if b.get("type") in ("depth", "normal", "albedo")]
+    if aov_specs:
+        from tungsten_tpu.render import render_aovs
+        from tungsten_tpu.io import image as im2
+        aovs = render_aovs(scene, settings, seed=np.uint32(settings.seed))
+        for spec in aov_specs:
+            buf = np.asarray(aovs[spec["type"]])
+            if buf.ndim == 2:
+                buf = np.repeat(buf[..., None], 3, axis=-1)
+            fn = spec.get("hdr_output_file") or spec.get("output_file")
+            if not fn:
+                fn = f"{spec['type']}.pfm"
+            target = os.path.join(out_dir, fn)
+            if im2.is_hdr(target):
+                im2.save_hdr(target, buf.astype(np.float32))
+            else:
+                im2.save_ldr(target, np.clip(buf, 0, 1))
+            print(f"Wrote AOV {spec['type']} -> {target}")
     print(f"Finished render. Render time {time.time() - t_start:.1f}s")
 
 
