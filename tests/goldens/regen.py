@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Regenerate golden PFMs with the ORIGINAL Tungsten binary.
+
+Provenance: every golden in this directory is produced by this script
+running the reference renderer (tunabrain/tungsten, built from
+/root/reference with CMake Release; see VERDICT r1 item 7).  Usage:
+
+    cmake -S /root/reference -B /tmp/tungsten_build -DCMAKE_BUILD_TYPE=Release
+    make -C /tmp/tungsten_build -j tungsten
+    python tests/goldens/regen.py [--bin /tmp/tungsten_build/tungsten]
+
+Each fixture scene is copied to a temp dir, patched to 128x72 and the
+golden spp, rendered with the reference's default seed (0xBA5EBA11,
+ref src/tungsten/Shared.hpp:246), and the HDR output is converted to PFM
+here.  Scene-relative resources are resolved by copying the whole scene
+directory.
+"""
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+DATA = "/root/reference/data"
+
+# (golden name, scene path, spp, extra renderer/integrator patches)
+GOLDENS = [
+    ("materialtest_128x72_512spp.pfm",
+     f"{DATA}/materialtest/materialtest.json", 512, {}),
+    ("cornell_128x72_512spp.pfm",
+     f"{DATA}/example-scenes/cornell-box/scene.json", 512, {}),
+    ("nonexp_128x72_512spp.pfm",
+     f"{DATA}/example-scenes/non-exponential/scene.json", 512, {}),
+    ("volcaustic_128x72_512spp.pfm",
+     f"{DATA}/example-scenes/volumetric-caustic/scene.json", 512, {}),
+    ("watercaustic_128x72_256spp.pfm",
+     f"{DATA}/example-scenes/water-caustic/scene.json", 256, {}),
+]
+
+
+def regen(bin_path, name, scene_path, spp, patches, width=128, height=72):
+    src_dir = os.path.dirname(scene_path)
+    with tempfile.TemporaryDirectory() as tmp:
+        work = os.path.join(tmp, "scene")
+        shutil.copytree(src_dir, work)
+        sp = os.path.join(work, os.path.basename(scene_path))
+        with open(sp) as f:
+            desc = json.load(f)
+        desc["camera"]["resolution"] = [width, height]
+        r = desc.setdefault("renderer", {})
+        r["spp"] = spp
+        r["output_file"] = "out.pfm"
+        r["hdr_output_file"] = "out.pfm"
+        r["adaptive_sampling"] = False
+        r["checkpoint_interval"] = "0"
+        r["enable_resume_render"] = False
+        r.update(patches)
+        with open(sp, "w") as f:
+            json.dump(desc, f)
+        subprocess.run([bin_path, "--seed", str(0xBA5EBA11),
+                        os.path.basename(sp)],
+                       cwd=work, check=True,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT)
+        out = os.path.join(work, "out.pfm")
+        if not os.path.exists(out):
+            raise RuntimeError(f"{name}: renderer produced no out.pfm")
+        shutil.copy(out, os.path.join(HERE, name))
+        print(f"wrote {name}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bin", default="/tmp/tungsten_build/tungsten")
+    ap.add_argument("--only", default=None,
+                    help="substring filter on golden name")
+    args = ap.parse_args()
+    for name, scene, spp, patches in GOLDENS:
+        if args.only and args.only not in name:
+            continue
+        try:
+            regen(args.bin, name, scene, spp, patches)
+        except Exception as e:
+            print(f"FAILED {name}: {e}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

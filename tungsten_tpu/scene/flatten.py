@@ -307,11 +307,7 @@ def _load_grid(g: dict, resolve_path):
     """
     gtype = g.get("type", "dense")
     if gtype == "vdb":
-        raise NotImplementedError(
-            "OpenVDB grids: no VDB reader is available in this build "
-            "(pyopenvdb not installed). Re-export the grid as a dense "
-            ".npy volume and reference it as "
-            '{"type": "dense", "file": "grid.npy", ...}.')
+        return _load_vdb_grid(g, resolve_path)
     if gtype != "dense":
         raise NotImplementedError(f"grid type not supported: {gtype}")
 
@@ -347,6 +343,92 @@ def _load_grid(g: dict, resolve_path):
     b = (minv[:3, 3] + 0.5) * (n - 1) + 1.0
     w2g = np.concatenate([a, b[:, None]], axis=1).astype(np.float32)
     return dens, emis, w2g
+
+
+def _host_trilinear(vol, pts):
+    """Host-side trilinear sample of vol (nx,ny,nz,C) at pts (N,3);
+    out-of-range clamps (the brick is zero-padded so clamps read 0)."""
+    n = np.asarray(vol.shape[:3])
+    p = np.clip(pts, 0.0, n - 1.0 - 1e-6)
+    i0 = np.floor(p).astype(np.int64)
+    f = (p - i0)[..., None]
+    i1 = np.minimum(i0 + 1, n - 1)
+    c = 0.0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                ix = (i1 if dx else i0)[:, 0]
+                iy = (i1 if dy else i0)[:, 1]
+                iz = (i1 if dz else i0)[:, 2]
+                w = ((f[:, 0] if dx else 1 - f[:, 0])
+                     * (f[:, 1] if dy else 1 - f[:, 1])
+                     * (f[:, 2] if dz else 1 - f[:, 2]))
+                c = c + vol[ix, iy, iz] * w
+    return c
+
+
+def _load_vdb_grid(g: dict, resolve_path):
+    """OpenVDB grid -> (density (padded), emission|None, w2g).
+
+    Mirrors ref src/core/grids/VdbGrid.cpp loadResources (lines 173-265):
+    density values scaled in place, medium-local frame built from either
+    normalize_size (unit-box the active bbox: scale = 1/diag.max, center
+    = minP*scale + (diag.x, 0, diag.z)*0.5) or the grid's own voxel
+    spacing (scale = spacing.min, center = -indexToWorld(0)), emission
+    resampled at density coords + emissionIndexOffset, scaled and
+    optionally multiplied by density.  The sparse tree is densified by
+    the reader (io/vdb.py) with a one-voxel zero pad, which also covers
+    the reference's exact_linear one-voxel dilation."""
+    from tungsten_tpu.io.vdb import read_vdb
+
+    grids = read_vdb(resolve_path(g["file"]))
+    dname = g.get("density_name", g.get("grid_name", "density"))
+    if dname not in grids:
+        raise ValueError(f"vdb: no grid named '{dname}' in {g['file']} "
+                         f"(has {list(grids)})")
+    gd = grids[dname]
+    dens = gd.values * float(g.get("density_scale", 1.0))
+
+    # active-region bbox in the grid's own index space (strip the pad)
+    min_p = gd.ijk_min + 1
+    diag = np.asarray(dens.shape, np.float64) - 2.0
+    spacing = np.abs(np.diag(gd.transform[:3, :3]))
+    spacing = np.where(spacing <= 0, 1.0, spacing)
+    d_center = gd.transform[3, :3]
+    if g.get("normalize_size", True):
+        scale = 1.0 / diag.max()
+        center = min_p * scale + np.asarray(
+            [diag[0] * scale, 0.0, diag[2] * scale]) * 0.5
+    else:
+        scale = spacing.min()
+        center = -d_center
+
+    emis = None
+    ename = g.get("emission_name", "Cd")
+    if ename in grids:
+        ge = grids[ename]
+        e_spacing = np.abs(np.diag(ge.transform[:3, :3]))
+        e_spacing = np.where(e_spacing <= 0, 1.0, e_spacing)
+        e_offset = (d_center - ge.transform[3, :3]) / e_spacing
+        # resample emission onto the density brick lattice
+        nx, ny, nz = dens.shape
+        ii, jj, kk = np.meshgrid(np.arange(nx), np.arange(ny),
+                                 np.arange(nz), indexing="ij")
+        ijk = np.stack([ii, jj, kk], -1).reshape(-1, 3) + gd.ijk_min
+        pts = ijk + e_offset - ge.ijk_min
+        emis = _host_trilinear(ge.values, pts).reshape(nx, ny, nz, 3)
+        emis = emis.astype(np.float32) * float(g.get("emission_scale", 1.0))
+        if g.get("scale_emission_by_density", True):
+            emis = emis * dens[..., None]
+
+    # w2g: world -> config-local -> vdb index -> padded brick coords
+    m_cfg = xform.parse_transform(g.get("transform"))
+    minv = np.linalg.inv(m_cfg)
+    # index = (local + center) / scale;  brick = index - ijk_min
+    a = minv[:3, :3] / scale
+    b = (minv[:3, 3] + center) / scale - gd.ijk_min
+    w2g = np.concatenate([a, b[:, None]], axis=1).astype(np.float32)
+    return dens.astype(np.float32), emis, w2g
 
 
 def _flatten_curves(prim: dict, m: np.ndarray, resolve_path, prim_id: int):
