@@ -496,12 +496,8 @@ def _sample_light_root(scene, settings, R, seed, pixel, sample_idx):
 
     u1, u2 = rng.random_2d(seed, pixel, sample_idx, base + 1)
     u_tri = rng.random_1d(seed, pixel, sample_idx, base + 3)
-    from tungsten_tpu.integrators.lights import jax_searchsorted_rows
-    cdf = scene.light_cdf[li]
-    k = jnp.clip(jax_searchsorted_rows(cdf, u_tri) - 1, 0,
-                 scene.light_tris.shape[1] - 1)
-    tri = jnp.clip(jnp.take_along_axis(scene.light_tris[li], k[..., None],
-                                       axis=-1)[..., 0], 0,
+    from tungsten_tpu.integrators.lights import alias_pick_tri
+    tri = jnp.clip(alias_pick_tri(scene, li, u_tri), 0,
                    scene.tri_v0.shape[0] - 1)
     su = jnp.sqrt(jnp.maximum(u1, 0.0))
     b1 = 1.0 - su

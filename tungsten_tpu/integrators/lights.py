@@ -124,6 +124,67 @@ def _searchsorted_rows_gather(cdf, row, u):
 
 # -------------------------------------------------------------- area light
 
+def alias_pick_tri(scene, light_idx, u):
+    """O(1) area-proportional triangle pick from light `light_idx`'s
+    alias table; any emitter size (ref TriangleMesh.cpp:396-460 builds a
+    per-triangle Distribution1D — this is the gather-count-optimal TPU
+    equivalent: two gathers per ray, no CDF walk)."""
+    off = scene.light_tri_off[light_idx]
+    cnt = jnp.maximum(scene.light_tri_cnt[light_idx], 1)
+    x = u * cnt
+    k = jnp.minimum(x.astype(jnp.int32), cnt - 1)
+    f = x - k
+    j = off + k
+    keep = f < scene.lt_prob[j]
+    slot = jnp.where(keep, j, off + scene.lt_alias[j])
+    return scene.lt_tri[slot]
+
+
+def choose_light(scene, settings, p, u_sel):
+    """Radiance-weighted light selection (ref TraceBase::chooseLight,
+    TraceBase.cpp:416-459): per-light approximateRadiance at the shading
+    point drives the pick; returns (light index (R,), weight (R,) =
+    total/pdf_of_pick).  Area lights use their bounding sphere's solid
+    angle x peak emission (the reference returns -1 for meshes and falls
+    back to uniform; a sphere bound is strictly more informative and
+    exact for sphere emitters)."""
+    from tungsten_tpu.scene.flatten import (LIGHT_AREA, LIGHT_CAP,
+                                            LIGHT_POINT)
+    nl = settings.num_lights
+    if nl <= 1:
+        R = p.shape[0]
+        return jnp.zeros((R,), jnp.int32), jnp.ones((R,))
+    lt = scene.light_type[:nl]                       # (L,)
+    # area: bounding-sphere solid angle 2pi(1 - sqrt(1 - (r/d)^2))
+    c = scene.light_bsr[:nl, :3]
+    r = scene.light_bsr[:nl, 3]
+    dvec = c[None, :, :] - p[:, None, :]             # (R, L, 3)
+    dsq = jnp.sum(dvec * dvec, axis=-1)
+    sin2 = jnp.clip(r[None, :] ** 2 / jnp.maximum(dsq, 1e-12), 0.0, 1.0)
+    sa = 2.0 * jnp.pi * (1.0 - jnp.sqrt(1.0 - sin2))
+    w_area = sa * scene.light_lum[None, :nl]
+    # point: INV_FOUR_PI * power.max / r^2; emission tables store
+    # radiant intensity, so the 1/r^2 falloff is what matters here
+    pvec = scene.light_aux[None, :nl, :3] - p[:, None, :]
+    w_point = INV_FOUR_PI * scene.light_lum[None, :nl] / \
+        jnp.maximum(jnp.sum(pvec * pvec, axis=-1), 1e-12)
+    # env / cap: position-independent, baked into light_lum at flatten
+    w = jnp.where(lt[None, :] == LIGHT_AREA, w_area,
+                  jnp.where(lt[None, :] == LIGHT_POINT, w_point,
+                            scene.light_lum[None, :nl]))
+    total = jnp.sum(w, axis=-1)
+    # all-zero rows fall back to uniform (ref: numNonNegative == 0)
+    w = jnp.where(total[..., None] > 0.0, w, 1.0)
+    total = jnp.where(total > 0.0, total, jnp.float32(nl))
+    cdf = jnp.cumsum(w, axis=-1)
+    x = u_sel * total
+    li = jnp.minimum(jnp.sum((cdf <= x[..., None]).astype(jnp.int32),
+                             axis=-1), nl - 1)
+    w_i = jnp.take_along_axis(w, li[..., None], axis=-1)[..., 0]
+    weight = total / jnp.maximum(w_i, 1e-30)
+    return li.astype(jnp.int32), weight
+
+
 def area_light_sample(scene, light_idx, p, u_tri, u1, u2):
     """Sample a point on area light `light_idx` (R,) as seen from p (R,3).
 
@@ -137,11 +198,7 @@ def area_light_sample(scene, light_idx, p, u_tri, u1, u2):
         return dict(d=jnp.zeros((R, 3)).at[:, 2].set(1.0), dist=z,
                     pdf=z, emission=jnp.zeros((R, 3)),
                     valid=jnp.zeros((R,), bool))
-    cdf = scene.light_cdf[light_idx]            # (R, M+1)
-    k = jnp.clip(jax_searchsorted_rows(cdf, u_tri) - 1, 0,
-                 scene.light_tris.shape[1] - 1)
-    tri = jnp.take_along_axis(scene.light_tris[light_idx], k[..., None],
-                              axis=-1)[..., 0]
+    tri = alias_pick_tri(scene, light_idx, u_tri)
     tri_c = jnp.clip(tri, 0, scene.tri_v0.shape[0] - 1)
 
     # uniform point in triangle (ref SampleWarp::uniformTriangleUv)

@@ -256,17 +256,28 @@ def _shadow_transmittance(scene, settings, o, d, dist, medium,
 # ----------------------------------------------------------------- NEE
 
 def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
-         detach=False):
+         detach=False, extra_ray=None):
     """Next-event estimation with both MIS strategies toward one chosen
     light, at surface vertices (bsdf) or medium vertices (phase).
     ctx: p, is_volume, sp/frame/wi_local (surface), ray_d/phase params
     (volume), medium (for shadow transmittance).
-    Returns (R,3) contribution (excluding path throughput)."""
+    extra_ray: optional (o, d, t_max) continuation rays traced in the
+    SAME batched traversal as the two NEE strategies (3R rays per
+    kernel call — the Pallas traversal's fixed cost amortizes ~3x).
+    Returns (R,3) contribution (excluding path throughput), or
+    (contribution, extra_res) when extra_ray is given."""
     p = ctx["p"]
     R = p.shape[0]
     nl = settings.num_lights
     if nl == 0:
-        return jnp.zeros((R, 3))
+        z = jnp.zeros((R, 3))
+        if extra_ray is not None:
+            res_x = bvh_intersect(scene, extra_ray[0], extra_ray[1], 0.0,
+                                  extra_ray[2])
+            if detach:
+                res_x = _detach(res_x)
+            return z, res_x
+        return z
     is_vol = ctx["is_volume"]
     sp = ctx["sp"]
     wi_local = ctx["wi_local"]
@@ -274,8 +285,9 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
 
     u_sel = rng.random_1d(seed, pixel, sample_idx,
                           bounce_dim_base + rng.BounceDims.LIGHT_SELECT)
-    li = jnp.minimum((u_sel * nl).astype(jnp.int32), nl - 1)
-    sel_weight = jnp.float32(nl)
+    # radiance-weighted pick (ref TraceBase::chooseLight); single-light
+    # scenes take the weight-1 shortcut inside
+    li, sel_weight = L.choose_light(scene, settings, p, u_sel)
     ltype = scene.light_type[li]
 
     def eval_f_pdf(d_world):
@@ -360,21 +372,31 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
         ok_b = jnp.where(is_vol, ppdf > 0, ok_b)
 
     simple = not settings.has_media and not _has_forward_types(settings)
+    res_extra = None
     if simple:
-        # one batched traversal for both MIS strategies: shadow segment
-        # + bsdf-strategy closest hit (2R rays amortize the kernel's
-        # fixed cost and sort overhead far better than two R-ray calls)
+        # one batched traversal for both MIS strategies (+ optionally
+        # the continuation ray): shadow segment + bsdf-strategy closest
+        # hit — 2R/3R rays amortize the kernel's fixed cost and sort
+        # overhead far better than separate R-ray calls
         far = jnp.where(do_shadow,
                         jnp.where(dist >= INF, INF, dist * SHADOW_FUDGE),
                         0.0)
-        o_all = jnp.concatenate([shadow_o, p + wd * EPSILON], axis=0)
-        d_all = jnp.concatenate([d, wd], axis=0)
-        t_all = jnp.concatenate([far, jnp.full((R,), INF)], axis=0)
-        res_all = bvh_intersect(scene, o_all, d_all, 0.0, t_all)
+        parts_o = [shadow_o, p + wd * EPSILON]
+        parts_d = [d, wd]
+        parts_t = [far, jnp.full((R,), INF)]
+        if extra_ray is not None:
+            parts_o.append(extra_ray[0])
+            parts_d.append(extra_ray[1])
+            parts_t.append(extra_ray[2])
+        res_all = bvh_intersect(scene, jnp.concatenate(parts_o, axis=0),
+                                jnp.concatenate(parts_d, axis=0), 0.0,
+                                jnp.concatenate(parts_t, axis=0))
         if detach:
             res_all = _detach(res_all)
         res_sh = {k: v[:R] for k, v in res_all.items()}
-        res_b = {k: v[R:] for k, v in res_all.items()}
+        res_b = {k: v[R:2 * R] for k, v in res_all.items()}
+        if extra_ray is not None:
+            res_extra = {k: v[2 * R:] for k, v in res_all.items()}
         occ = res_sh["hit"] & (_hit_prim(scene, res_sh) != endcap)
         tr = jnp.where((do_shadow & ~occ)[..., None], 1.0, 0.0)
     else:
@@ -385,6 +407,11 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
         res_b = bvh_intersect(scene, p + wd * EPSILON, wd, 0.0, INF)
         if detach:
             res_b = _detach(res_b)
+        if extra_ray is not None:
+            res_extra = bvh_intersect(scene, extra_ray[0], extra_ray[1],
+                                      0.0, extra_ray[2])
+            if detach:
+                res_extra = _detach(res_extra)
 
     mis_l = L.power_heuristic(pdf, pdf_counter)
     mis_l = jnp.where(is_dirac, 1.0, mis_l)  # Dirac lights skip MIS
@@ -437,7 +464,10 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
     contrib_b = jnp.where(
         (ok_b & got)[..., None], wt_b * tr_b * e_b * mis_b[..., None], 0.0)
 
-    return (contrib_l + contrib_b) * sel_weight
+    out = (contrib_l + contrib_b) * sel_weight[..., None]
+    if extra_ray is not None:
+        return out, res_extra
+    return out
 
 
 # ------------------------------------------------------------ hit expand
@@ -749,49 +779,11 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
             fwd_weight = None
         shade = active & ~take_forward
 
-        # ---- NEE (surface + medium vertices together) ----
-        if settings.enable_light_sampling and settings.num_lights > 0:
-            ctx = dict(
-                p=jnp.where(vol_scatter[..., None], med_point, info["p"])
-                if settings.has_media else info["p"],
-                is_volume=vol_scatter,
-                sp=sp, frame=(tan, bit, ns), wi_local=wi_local,
-                ray_d=s["d"],
-                medium=s.get("medium", None) if settings.has_media else None,
-            )
-            if settings.has_media:
-                mi2 = jnp.clip(s["medium"], 0, scene.med_phase.shape[0] - 1)
-                ctx["phase_type"] = scene.med_phase[mi2]
-                ctx["phase_g"] = scene.med_g[mi2]
-            nee = _nee(scene, settings, ctx, seed, pixel, sample_idx,
-                       dim_base, detach=detach)
-            do_nee = (shade | vol_scatter) & \
-                (bounce < settings.max_bounces - 1)
-            if settings.mlt_path_length >= 0:
-                do_nee = do_nee & (bounce + 2 == settings.mlt_path_length)
-            emission = emission + jnp.where(
-                do_nee[..., None], nee * throughput, 0.0)
-
-        # ---- direct emitter hit ----
-        etex = scene.prim_emission_tex[info["prim"]]
-        is_emissive = etex >= 0
-        samplable = scene.prim_light[info["prim"]] >= 0
-        guard = (~jnp.bool_(settings.enable_light_sampling)) | \
-            s["was_specular"] | ~samplable
-        front = jnp.sum(info["ng"] * s["d"], axis=-1) < 0.0
-        li = jnp.clip(scene.prim_light[info["prim"]], 0,
-                      max(scene.light_emission.shape[0] - 1, 0))
-        e_val = scene.light_emission[li]
-        e_tex = scene.tex_const[jnp.clip(etex, 0, scene.tex_const.shape[0] - 1)]
-        e_hit = jnp.where(samplable[..., None], e_val, e_tex)
-        take_emit = shade & is_emissive & front & \
-            (bounce >= settings.min_bounces) & guard
-        if settings.mlt_path_length >= 0:
-            take_emit = take_emit & (bounce + 1 == settings.mlt_path_length)
-        emission = emission + jnp.where(
-            take_emit[..., None], throughput * e_hit, 0.0)
-
         # ---- continuation: bsdf sample / phase sample / forward ----
+        # (computed BEFORE NEE so the continuation ray joins the NEE
+        # strategies in one batched traversal; `throughput` stays the
+        # at-vertex value for the NEE/emitter terms, the continuation
+        # carries thr_next)
         ul = rng.random_1d(seed, pixel, sample_idx,
                            dim_base + rng.BounceDims.BSDF_LOBE)
         u1, u2 = rng.random_2d(seed, pixel, sample_idx,
@@ -820,8 +812,8 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
             ok = jnp.where(vol_scatter, True, ok)
             wt = jnp.where(vol_scatter[..., None], 1.0, wt)
 
-        throughput = jnp.where(((active | vol_scatter) & ok)[..., None],
-                               throughput * wt, throughput)
+        thr_next = jnp.where(((active | vol_scatter) & ok)[..., None],
+                             throughput * wt, throughput)
         was_specular = jnp.where(shade & ok, (flags & FLAG_SPECULAR) != 0,
                                  s["was_specular"])
         if settings.has_media:
@@ -843,24 +835,72 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
             med_bounce = jnp.where(active & ok, 0, med_bounce)
 
         # ---- russian roulette (ref PathTracer.cpp:111-117) ----
-        r_pdf = jnp.max(jnp.abs(throughput), axis=-1)
+        r_pdf = jnp.max(jnp.abs(thr_next), axis=-1)
         do_rr = alive2 & (bounce > 2) & (r_pdf < 0.1)
         u_rr = rng.random_1d(seed, pixel, sample_idx,
                              dim_base + rng.BounceDims.ROULETTE)
         survive = u_rr < r_pdf
-        throughput = jnp.where((do_rr & survive)[..., None],
-                               throughput / jnp.maximum(r_pdf, 1e-20)[..., None],
-                               throughput)
+        thr_next = jnp.where((do_rr & survive)[..., None],
+                             thr_next / jnp.maximum(r_pdf, 1e-20)[..., None],
+                             thr_next)
         alive2 = alive2 & (~do_rr | survive)
-        alive2 = alive2 & (jnp.max(throughput, axis=-1) > 0.0)
+        alive2 = alive2 & (jnp.max(thr_next, axis=-1) > 0.0)
 
-        # ---- next intersection ----
         o2 = vm.where3(alive2, new_o + new_d * EPSILON, s["o"])
         d2 = vm.where3(alive2, new_d, s["d"])
-        res = bvh_intersect(scene, o2, d2, 0.0,
-                            jnp.where(alive2, INF, 0.0))
-        if detach:
-            res = _detach(res)
+        cont_ray = (o2, d2, jnp.where(alive2, INF, 0.0))
+
+        # ---- NEE (surface + medium vertices together) ----
+        res = None
+        if settings.enable_light_sampling and settings.num_lights > 0:
+            ctx = dict(
+                p=jnp.where(vol_scatter[..., None], med_point, info["p"])
+                if settings.has_media else info["p"],
+                is_volume=vol_scatter,
+                sp=sp, frame=(tan, bit, ns), wi_local=wi_local,
+                ray_d=s["d"],
+                medium=s.get("medium", None) if settings.has_media else None,
+            )
+            if settings.has_media:
+                mi2 = jnp.clip(s["medium"], 0, scene.med_phase.shape[0] - 1)
+                ctx["phase_type"] = scene.med_phase[mi2]
+                ctx["phase_g"] = scene.med_g[mi2]
+            nee, res = _nee(scene, settings, ctx, seed, pixel, sample_idx,
+                            dim_base, detach=detach, extra_ray=cont_ray)
+            do_nee = (shade | vol_scatter) & \
+                (bounce < settings.max_bounces - 1)
+            if settings.mlt_path_length >= 0:
+                do_nee = do_nee & (bounce + 2 == settings.mlt_path_length)
+            emission = emission + jnp.where(
+                do_nee[..., None], nee * throughput, 0.0)
+
+        # ---- direct emitter hit ----
+        etex = scene.prim_emission_tex[info["prim"]]
+        is_emissive = etex >= 0
+        samplable = scene.prim_light[info["prim"]] >= 0
+        guard = (~jnp.bool_(settings.enable_light_sampling)) | \
+            s["was_specular"] | ~samplable
+        front = jnp.sum(info["ng"] * s["d"], axis=-1) < 0.0
+        li = jnp.clip(scene.prim_light[info["prim"]], 0,
+                      max(scene.light_emission.shape[0] - 1, 0))
+        e_val = scene.light_emission[li]
+        e_tex = scene.tex_const[jnp.clip(etex, 0, scene.tex_const.shape[0] - 1)]
+        e_hit = jnp.where(samplable[..., None], e_val, e_tex)
+        take_emit = shade & is_emissive & front & \
+            (bounce >= settings.min_bounces) & guard
+        if settings.mlt_path_length >= 0:
+            take_emit = take_emit & (bounce + 1 == settings.mlt_path_length)
+        emission = emission + jnp.where(
+            take_emit[..., None], throughput * e_hit, 0.0)
+
+        throughput = thr_next
+
+        # ---- next intersection (fused into the NEE traversal above
+        # when light sampling ran; standalone otherwise) ----
+        if res is None:
+            res = bvh_intersect(scene, o2, d2, 0.0, cont_ray[2])
+            if detach:
+                res = _detach(res)
 
         # ray accounting: continuation + (shadow + bsdf-MIS when NEE ran)
         rays = s["rays"] + jnp.sum(alive2.astype(jnp.int32))

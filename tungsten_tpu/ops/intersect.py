@@ -70,14 +70,14 @@ def ray_sphere(o, d, center, radius, t_min, t_max):
 MAX_LEAF = 4  # must match bvh.build_bvh max_leaf_size
 
 # When True, triangle traversal (closest-hit AND any-hit) runs through
-# the Pallas cluster kernel (ops/cluster_trace.py) instead of the
+# the Pallas wave kernel (ops/wave_trace.py) instead of the
 # XLA-gather loop.  Enabled automatically at scene-flatten time on TPU
 # backends for scenes whose cluster tables fit in VMEM.
 USE_PALLAS = False
 
 
 def enable_pallas_if_suitable(scene) -> bool:
-    """Turn the Pallas cluster traversal on when running on a TPU backend
+    """Turn the Pallas wave traversal on when running on a TPU backend
     and the cluster tables fit comfortably in VMEM (~12 MB budget)."""
     global USE_PALLAS
     import jax
@@ -85,7 +85,7 @@ def enable_pallas_if_suitable(scene) -> bool:
         platform = jax.devices()[0].platform
     except Exception:
         platform = "cpu"
-    size = scene.ck_attr.size * 4
+    size = scene.wk_attr.size * 4
     USE_PALLAS = platform != "cpu" and size < 13 * 1024 * 1024
     return USE_PALLAS
 
@@ -305,29 +305,35 @@ def _tri_sph_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
                     u=jnp.zeros((R,)), v=jnp.zeros((R,)), hit=hit)
 
     if USE_PALLAS:
-        from tungsten_tpu.ops.cluster_trace import BLOCK, cluster_intersect
-        # Sort rays by (dead, direction octant, origin morton) so each
-        # 128-ray warp shares origin region and direction octant — the
-        # drain's per-warp cluster union shrinks accordingly.  XLA's TPU
-        # sort is cheap (~30us for 64k keys).
+        from tungsten_tpu.ops.wave_trace import BLOCK, wave_intersect
+        # Sort rays by (dead, direction octant, origin morton, direction
+        # morton) so each 128-ray warp shares an origin region and a
+        # direction cone — the traversal's warp-interval cull tightness
+        # depends directly on this.  The direction bits break ties for
+        # shared-origin rays (primaries: all origins equal, so without
+        # them the unstable sort scrambles pixels within an octant).
         lo = scene.bvh_min[0]
         hi = scene.bvh_max[0]
         q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0)
-        q = (q * 255).astype(jnp.uint32)  # 8 bits/axis
+        q = (q * 63).astype(jnp.uint32)  # 6 bits/axis
 
-        def spread(x):  # interleave 8 bits -> 24-bit morton component
+        def spread6(x):  # interleave 6 bits -> 18-bit morton component
             x = (x | (x << 8)) & jnp.uint32(0x00F00F)
             x = (x | (x << 4)) & jnp.uint32(0x0C30C3)
             x = (x | (x << 2)) & jnp.uint32(0x249249)
             return x
 
-        morton = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | \
-            (spread(q[:, 2]) << 2)
+        morton = spread6(q[:, 0]) | (spread6(q[:, 1]) << 1) | \
+            (spread6(q[:, 2]) << 2)
+        qd = ((jnp.clip(d, -1.0, 1.0) + 1.0) * 3.999).astype(jnp.uint32)
+        dmorton = spread6(qd[:, 0]) | (spread6(qd[:, 1]) << 1) | \
+            (spread6(qd[:, 2]) << 2)  # 2 bits/axis -> 6 bits
         octant = ((d[:, 0] > 0).astype(jnp.uint32)
                   | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
                   | ((d[:, 2] > 0).astype(jnp.uint32) << 2))
         dead = (best_t <= 0.0).astype(jnp.uint32)
-        sort_key = (dead << 31) | (octant << 24) | morton
+        sort_key = (dead << 31) | (octant << 28) | (morton << 10) | \
+            (dmorton & jnp.uint32(0x3F))
         # one multi-operand sort moves all ray payloads with the key —
         # cheaper than argsort + 8 permutation gathers on TPU
         ridx = jnp.arange(R, dtype=jnp.int32)
@@ -350,9 +356,9 @@ def _tri_sph_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
                                        (pad, 3))], axis=0)
             tmin_s = jnp.concatenate([tmin_s, jnp.zeros((pad,))])
             tmax_s = jnp.concatenate([tmax_s, jnp.zeros((pad,))])
-        t, tri, u, v = cluster_intersect(
-            scene.ck_boxes, scene.ck_sboxes, scene.ck_attr, scene.ck_remap,
-            o_s, d_s, tmin_s, tmax_s, ncp=scene.ck_boxes.shape[1],
+        t, tri, u, v = wave_intersect(
+            scene.wk_boxes, scene.wk_cbox, scene.wk_attr, scene.wk_remap,
+            o_s, d_s, tmin_s, tmax_s, ncp=scene.wk_boxes.shape[1],
             any_hit=any_hit)
         # un-permute by sorting results back on the original ray index
         _, t, tri, u, v = jax.lax.sort(

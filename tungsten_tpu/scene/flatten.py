@@ -31,7 +31,25 @@ LIGHT_INFINITE = 1
 LIGHT_CAP = 2
 LIGHT_POINT = 3
 
-MAX_LIGHT_TRIS = 32  # padded per-light CDF width for area lights
+def _build_alias(p):
+    """Walker/Vose alias table for probabilities p (sum ~1).  Returns
+    (prob (n,) f32 keep-probability, alias (n,) i32 local index)."""
+    n = len(p)
+    if n == 0:
+        return np.zeros(0, np.float32), np.zeros(0, np.int32)
+    scaled = np.asarray(p, np.float64) * n
+    prob = np.ones(n, np.float32)
+    alias = np.arange(n, dtype=np.int32)
+    small = [i for i in range(n) if scaled[i] < 1.0]
+    large = [i for i in range(n) if scaled[i] >= 1.0]
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        prob[s] = scaled[s]
+        alias[s] = l
+        scaled[l] = (scaled[l] + scaled[s]) - 1.0
+        (small if scaled[l] < 1.0 else large).append(l)
+    return prob, alias
 
 # curve render modes (ref Curves.cpp:20-25)
 CURVE_MODE_CYLINDER = 0
@@ -67,11 +85,11 @@ class FlatScene:
     bvh_max: Any
     bvh_meta: Any       # (N,2) i32
     bvh_skip: Any       # (N,) i32
-    # --- cluster tables for the Pallas traversal kernel (ops/cluster_trace) ---
-    ck_boxes: Any       # (8, NCp) attr-major cluster AABBs
-    ck_attr: Any        # (NCp*16, 128) cluster triangle SoA blocks
-    ck_remap: Any       # (NCp*128,) i32 (cluster*128+lane) -> tri id
-    ck_sboxes: Any      # (8, 128) supercluster AABBs (one per 128-chunk)
+    # --- cluster tables for the Pallas traversal kernel (ops/wave_trace) ---
+    wk_boxes: Any       # (16, NCp) attr-major cluster AABBs (+valid)
+    wk_cbox: Any        # (NCp, 8) cluster-major AABBs (drain gate)
+    wk_attr: Any        # (NCp*16, 128) cluster triangle SoA blocks
+    wk_remap: Any       # (NCp*128,) i32 (cluster*128+lane) -> tri id
     # --- analytic spheres ---
     sph_center: Any     # (S,3)
     sph_radius: Any     # (S,)
@@ -124,10 +142,15 @@ class FlatScene:
     light_type: Any     # (L,) i32
     light_prim: Any     # (L,) i32
     light_emission: Any  # (L,3) constant emission (area lights)
-    light_tris: Any     # (L, MAX_LIGHT_TRIS) i32 triangle ids (-1 pad)
-    light_cdf: Any      # (L, MAX_LIGHT_TRIS+1) normalized area cdf
+    lt_prob: Any        # (S,) f32 flat per-light triangle alias tables
+    lt_alias: Any       # (S,) i32 alias slot (light-local index)
+    lt_tri: Any         # (S,) i32 global triangle id
+    light_tri_off: Any  # (L,) i32 offset of this light's alias rows
+    light_tri_cnt: Any  # (L,) i32 triangle count (any size — no cap)
     light_area: Any     # (L,) total area
     light_aux: Any      # (L, 4) cap: dir(3)+cos_cap; point: pos(3)
+    light_bsr: Any      # (L, 4) bounding sphere center+radius (area)
+    light_lum: Any      # (L,) approximateRadiance luminance scale
     # --- infinite-cap emitters (sun), hit on escape ---
     cap_dir: Any        # (C, 3)
     cap_cos: Any        # (C,)
@@ -991,10 +1014,13 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
     light_type = np.zeros(max(L, 1), np.int32)
     light_prim = np.full(max(L, 1), -1, np.int32)
     light_emission = np.zeros((max(L, 1), 3), np.float32)
-    light_tris = np.full((max(L, 1), MAX_LIGHT_TRIS), -1, np.int32)
-    light_cdf = np.zeros((max(L, 1), MAX_LIGHT_TRIS + 1), np.float32)
     light_area = np.zeros(max(L, 1), np.float32)
     light_aux = np.zeros((max(L, 1), 4), np.float32)
+    light_bsr = np.zeros((max(L, 1), 4), np.float32)
+    light_lum = np.zeros(max(L, 1), np.float32)
+    light_tri_off = np.zeros(max(L, 1), np.int32)
+    light_tri_cnt = np.zeros(max(L, 1), np.int32)
+    lt_prob_l, lt_alias_l, lt_tri_l = [], [], []
     prim_light = np.full(max(num_prims, 1), -1, np.int32)
 
     tri_cross = np.cross(tri_e1, tri_e2)
@@ -1008,24 +1034,36 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
             power / (np.pi * max(area, 1e-20))).astype(np.float32)
 
     for li, (light, (t0, t1)) in enumerate(zip(lights, light_tri_ranges)):
-        ids = np.nonzero((tri_prim >= 0))[0]
         # triangles of this prim (they were permuted; select by prim id)
         ids = np.nonzero(tri_prim == light["prim"])[0]
-        if len(ids) > MAX_LIGHT_TRIS:
-            raise NotImplementedError(
-                f"area light with {len(ids)} tris exceeds MAX_LIGHT_TRIS")
         areas = tri_area[ids]
         total = float(areas.sum())
         light_type[li] = LIGHT_AREA
         light_prim[li] = light["prim"]
         # constant emission color from its texture table entry
         light_emission[li] = textures.const[light["tex"]]
-        light_tris[li, :len(ids)] = ids
-        cdf = np.zeros(MAX_LIGHT_TRIS + 1, np.float32)
-        cdf[1:len(ids) + 1] = np.cumsum(areas / max(total, 1e-30))
-        cdf[len(ids) + 1:] = 1.0
-        light_cdf[li] = cdf
+        # O(1) alias table over triangle areas — any emitter size
+        # (replaces the reference's per-triangle Distribution1D,
+        # TriangleMesh.cpp:396-460, without the old 32-tri cap)
+        prob, alias = _build_alias(areas / max(total, 1e-30))
+        light_tri_off[li] = sum(len(x) for x in lt_tri_l)
+        light_tri_cnt[li] = len(ids)
+        lt_prob_l.append(prob)
+        lt_alias_l.append(alias)
+        lt_tri_l.append(ids.astype(np.int32))
         light_area[li] = total
+        # bounding sphere + luminance for chooseLight's
+        # approximateRadiance (ref TraceBase.cpp:416-459; meshes return
+        # -1 there — this build approximates every area light by its
+        # bounding sphere's solid angle, which is strictly more
+        # informative than the reference's uniform fallback)
+        if len(ids):
+            v0 = tri_v0[ids]
+            pts = np.concatenate([v0, v0 + tri_e1[ids], v0 + tri_e2[ids]])
+            c = 0.5 * (pts.min(0) + pts.max(0))
+            light_bsr[li, :3] = c
+            light_bsr[li, 3] = np.linalg.norm(pts - c, axis=-1).max()
+        light_lum[li] = float(np.max(textures.const[light["tex"]]))
         prim_light[light["prim"]] = li
 
     env_light_index = -1
@@ -1073,6 +1111,9 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
             light_emission[li] = cap["emission"]
             light_aux[li, :3] = cap["dir"]
             light_aux[li, 3] = cap["cos"]
+            # ref InfiniteSphereCap::approximateRadiance
+            light_lum[li] = 2.0 * np.pi * (1.0 - cap["cos"]) * \
+                float(np.max(cap["emission"]))
             prim_light[cap["prim"]] = li
     for pt in points:
         li = li_next
@@ -1081,7 +1122,15 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         light_prim[li] = pt["prim"]
         light_emission[li] = pt["emission"]
         light_aux[li, :3] = pt["pos"]
+        # ref Point::approximateRadiance = INV_FOUR_PI*power.max/r^2;
+        # power = 4*pi^2*emission (Point.cpp power convention)
+        light_lum[li] = float(np.max(pt["emission"]))
         prim_light[pt["prim"]] = li
+    if env_light_index >= 0:
+        # ref InfiniteSphere::approximateRadiance = TWO_PI * avg().max()
+        light_lum[env_light_index] = 2.0 * np.pi * float(
+            np.max(env_image.reshape(-1, 3).mean(axis=0)) *
+            (env_scale if np.isscalar(env_scale) else 1.0))
 
     # ---- camera ----
     cam = desc.camera
@@ -1143,8 +1192,8 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
 
     tex_type, tex_const, tex_params, tex_bitmap_id, bitmaps = textures.finalize()
 
-    from tungsten_tpu.ops.cluster_trace import build_clusters
-    ck_boxes, ck_attr, ck_remap, ck_sboxes = build_clusters(
+    from tungsten_tpu.ops.wave_trace import build_wave_tables
+    wk_boxes, wk_cbox, wk_attr, wk_remap = build_wave_tables(
         tri_v0, tri_e1, tri_e2)
 
     def dev(x, dtype=None):
@@ -1157,8 +1206,8 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         tri_prim=dev(tri_prim),
         bvh_min=dev(bvh.bounds_min), bvh_max=dev(bvh.bounds_max),
         bvh_meta=dev(bvh.meta), bvh_skip=dev(bvh.skip),
-        ck_boxes=dev(ck_boxes), ck_attr=dev(ck_attr), ck_remap=dev(ck_remap),
-        ck_sboxes=dev(ck_sboxes),
+        wk_boxes=dev(wk_boxes), wk_cbox=dev(wk_cbox), wk_attr=dev(wk_attr),
+        wk_remap=dev(wk_remap),
         sph_center=dev(np.asarray(spheres_c, np.float32).reshape(-1, 3)),
         sph_radius=dev(np.asarray(spheres_r, np.float32)),
         sph_prim=dev(np.asarray(spheres_p, np.int32)),
@@ -1175,9 +1224,17 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         tex_params=dev(tex_params), tex_bitmap_id=dev(tex_bitmap_id),
         bitmaps=tuple(bitmaps),
         light_type=dev(light_type), light_prim=dev(light_prim),
-        light_emission=dev(light_emission), light_tris=dev(light_tris),
-        light_cdf=dev(light_cdf), light_area=dev(light_area),
-        light_aux=dev(light_aux),
+        light_emission=dev(light_emission), light_area=dev(light_area),
+        light_aux=dev(light_aux), light_bsr=dev(light_bsr),
+        light_lum=dev(light_lum),
+        lt_prob=dev(np.concatenate(lt_prob_l).astype(np.float32)
+                    if lt_prob_l else np.zeros(1, np.float32)),
+        lt_alias=dev(np.concatenate(lt_alias_l).astype(np.int32)
+                     if lt_alias_l else np.zeros(1, np.int32)),
+        lt_tri=dev(np.concatenate(lt_tri_l).astype(np.int32)
+                   if lt_tri_l else np.zeros(1, np.int32)),
+        light_tri_off=dev(light_tri_off),
+        light_tri_cnt=dev(light_tri_cnt),
         cap_dir=dev(cap_dir_arr), cap_cos=dev(cap_cos_arr),
         cap_emission=dev(cap_em_arr), cap_samplable=dev(cap_samp_arr),
         med_sigma_a=dev(np.asarray(med_sigma_a, np.float32).reshape(-1, 3)),
