@@ -84,3 +84,50 @@ def test_grad_matches_fd_emission(cornell):
     assert rel < 2e-2, f"emission grad: ad={g[0, 0]} fd={fd}"
     # emission enters linearly: gradient must be > 0
     assert g[0, 0] > 0
+
+
+def test_replay_deep_bounces_flat_memory():
+    """Path replay must handle reference-scale depth (the round-1 tape
+    OOM'd past 3 bounces; replay is O(1) memory in bounce count).
+    FD-checks an albedo gradient at max_bounces=16 on a 64x36 wavefront
+    with russian roulette active (decisions detached, replay-exact)."""
+    scene, settings = load_flat_scene(SCENE_PATH)
+    settings = replace(settings, width=64, height=36, max_bounces=16)
+    n = settings.width * settings.height
+
+    def loss_fn(tex_const):
+        sc = scene.replace(tex_const=tex_const)
+        return _loss(sc, settings, n)
+
+    g = np.asarray(jax.grad(loss_fn)(scene.tex_const))
+    assert np.isfinite(g).all()
+    base = np.asarray(scene.tex_const)
+    fi = int(np.argsort(-np.abs(g).ravel())[0])
+    i, c = divmod(fi, 3)
+    eps = 1e-3
+    tp = base.copy(); tp[i, c] += eps
+    tm = base.copy(); tm[i, c] -= eps
+    fd = (float(loss_fn(jnp.asarray(tp))) -
+          float(loss_fn(jnp.asarray(tm)))) / (2 * eps)
+    rel = abs(fd - g[i, c]) / max(abs(fd), 1e-6)
+    assert rel < 5e-2, f"deep replay grad: ad={g[i, c]} fd={fd}"
+
+
+def test_replay_emission_deep():
+    scene, settings = load_flat_scene(SCENE_PATH)
+    settings = replace(settings, width=48, height=27, max_bounces=16)
+    n = settings.width * settings.height
+
+    def loss_fn(emission):
+        sc = scene.replace(light_emission=emission)
+        return _loss(sc, settings, n)
+
+    g = np.asarray(jax.grad(loss_fn)(scene.light_emission))
+    base = np.asarray(scene.light_emission)
+    eps = 1e-2
+    tp = base.copy(); tp[0, 0] += eps
+    tm = base.copy(); tm[0, 0] -= eps
+    fd = (float(loss_fn(jnp.asarray(tp))) -
+          float(loss_fn(jnp.asarray(tm)))) / (2 * eps)
+    rel = abs(fd - g[0, 0]) / max(abs(fd), 1e-6)
+    assert rel < 5e-2, f"emission grad: ad={g[0, 0]} fd={fd}"

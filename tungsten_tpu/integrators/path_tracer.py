@@ -949,16 +949,113 @@ def trace_wave(scene, settings, pixel, sample_idx, seed, with_stats=False):
     return final["emission"]
 
 
-def trace_wave_diff(scene, settings, pixel, sample_idx, seed):
-    """Differentiable radiance estimate: same estimator, but a static
-    bounce count (lax.fori_loop, reverse-differentiable) and detached
-    intersections/sampling decisions, so gradients flow through the
-    shading chain (albedo/emission/roughness/ior/textures) only."""
-    state = _init_state(scene, settings, pixel, sample_idx, seed, True)
-    body = _make_bounce_body(scene, settings, seed, detach=True)
-    final = jax.lax.fori_loop(0, settings.max_bounces,
-                              lambda i, s: body(s), state)
-    return final["emission"]
+def _zero_cotangent(x):
+    """Zero cotangent for a leaf: float0 for non-inexact dtypes."""
+    if jnp.issubdtype(jnp.result_type(x), jnp.inexact):
+        return jnp.zeros_like(x)
+    import numpy as _np
+    return _np.zeros(jnp.shape(x), jax.dtypes.float0)
+
+
+def _cot_add(a, b):
+    if isinstance(a, jnp.ndarray) or hasattr(a, "dtype"):
+        if a.dtype == jax.dtypes.float0:
+            return a
+    return a + b
+
+
+_REPLAY_CACHE = {}
+
+
+def _replay_tracer(settings):
+    """Path-replay backprop (BASELINE north star; Vicini et al. 2021
+    style, detached-sampling variant).  Forward saves NOTHING per
+    bounce; backward re-traces the identical path — the
+    (pixel, sample, bounce, dim)-keyed counter RNG (utils/rng.py)
+    reproduces every decision bit-exactly — and accumulates per-bounce
+    VJPs with O(1) memory in path length:
+
+        L = e_0 + w_0 (e_1 + w_1 (e_2 + ...)),  all decisions detached
+        dL = sum_b T_b (de_b + dw_b . S_{b+1}),
+        S_{b+1} = (L - prefix_{b+1}) / T_{b+1}   (suffix radiance)
+
+    In state terms: the bounce body maps a DETACHED state to cumulative
+    (emission', throughput') = (prefix + T_b e_b(theta),
+    T_b w_b(theta)), so passing cotangents (g, g * S_{b+1}) to one
+    bounce's VJP yields exactly the two summands.  Replaces the round-1
+    whole-wavefront reverse-AD tape (which OOM'd past ~3 bounces)."""
+    if settings in _REPLAY_CACHE:
+        return _REPLAY_CACHE[settings]
+
+    @jax.custom_vjp
+    def trace(scene, pixel, sample_idx, seed):
+        state = _init_state(scene, settings, pixel, sample_idx, seed, True)
+        body = _make_bounce_body(scene, settings, seed, detach=True)
+
+        def cond(s):
+            return (s["bounce"] < settings.max_bounces) & jnp.any(s["alive"])
+
+        return jax.lax.while_loop(cond, body, state)["emission"]
+
+    def fwd(scene, pixel, sample_idx, seed):
+        L = trace(scene, pixel, sample_idx, seed)
+        return L, (scene, pixel, sample_idx, seed, L)
+
+    def bwd(res, g):
+        scene, pixel, sample_idx, seed, L = res
+        sc_det = jax.lax.stop_gradient(scene)
+        state0 = _init_state(sc_det, settings, pixel, sample_idx, seed,
+                             True)
+        grads0 = jax.tree.map(_zero_cotangent, scene)
+
+        def body_grad(carry):
+            state, grads = carry
+            state_det = jax.lax.stop_gradient(state)
+
+            def f_local(sc):
+                out = _make_bounce_body(sc, settings, seed,
+                                        detach=True)(state_det)
+                return out
+
+            out, vjp_fn = jax.vjp(f_local, scene)
+            thr = out["throughput"]
+            suffix = jnp.where(jnp.abs(thr) > 1e-12,
+                               (L - out["emission"]) /
+                               jnp.where(jnp.abs(thr) > 1e-12, thr, 1.0),
+                               0.0)
+            cot = {k: _zero_cotangent(v) for k, v in out.items()}
+            cot["emission"] = g
+            cot["throughput"] = g * suffix
+            (g_scene,) = vjp_fn(cot)
+            grads = jax.tree.map(_cot_add, grads, g_scene)
+            return jax.lax.stop_gradient(out), grads
+
+        def cond(carry):
+            s = carry[0]
+            return (s["bounce"] < settings.max_bounces) & \
+                jnp.any(s["alive"])
+
+        _, grads = jax.lax.while_loop(cond, body_grad, (state0, grads0))
+        return (grads, _zero_cotangent(pixel),
+                _zero_cotangent(sample_idx), _zero_cotangent(seed))
+
+    trace.defvjp(fwd, bwd)
+    _REPLAY_CACHE[settings] = trace
+    return trace
+
+
+def trace_wave_replay(scene, settings, pixel, sample_idx, seed):
+    """Differentiable radiance estimate via path-replay backprop: flat
+    memory in bounce count, full `max_bounces` depth (see
+    _replay_tracer).  Gradients flow through the shading chain
+    (albedo/emission/roughness/ior/textures); sampling decisions and
+    intersections are detached (interior derivatives only)."""
+    return _replay_tracer(settings)(scene, pixel, sample_idx, seed)
+
+
+# Backward-compatible name: round 1's taped reverse-AD implementation
+# is superseded by the replay tracer.
+trace_wave_diff = trace_wave_replay
 
 
 # ------------------------------------------------ staged wavefront API

@@ -24,7 +24,7 @@ from tungsten_tpu.scene.flatten import FlatScene, RenderSettings, load_flat_scen
 # Wavefront chunk size: the TPU backend in this environment kills
 # long-running device programs, so each device call traces one bounded
 # chunk of rays for one sample index; the spp/chunk loops run host-side.
-WAVEFRONT_CHUNK = 65536
+WAVEFRONT_CHUNK = 262144
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))
