@@ -68,12 +68,25 @@ def render_scene(path, args):
     timeout_s = parse_duration(args.timeout or rjson.get("timeout", "0"))
 
     shash = scene_hash(sjson)
+    buf_specs = [b for b in rjson.get("output_buffers", [])
+                 if b.get("type") in ("color", "depth", "normal",
+                                      "albedo", "visibility")]
+    # output buffers requested: trace through the AOV-tracking wavefront
+    # so color and AOVs come from the SAME samples, with Welford
+    # variance + parity half-buffers — reference semantics
+    # (PathTracer::_trackOutputValues, OutputBuffer::addSample)
+    use_buffers = bool(buf_specs) and \
+        settings.integrator_type == "path_tracer"
+
     acc = np.zeros((settings.height, settings.width, 3))
+    raw_acc = None
     start_spp = 0
     if enable_resume and not args.restart and os.path.exists(resume_file):
         st = load_resume_state(resume_file, shash)
         if st is not None:
             acc, start_spp = st["framebuffer"], st["current_spp"]
+            if st["buffers"]:
+                raw_acc = st["buffers"]
             print(f"Resuming render from {resume_file} at {start_spp} spp")
 
     spp = settings.spp
@@ -81,19 +94,30 @@ def render_scene(path, args):
     t_start = time.time()
     t_checkpoint = time.time()
     done = start_spp
+    bufs = None
     while done < spp:
         chunk = min(step, spp - done)
         t0 = time.time()
-        out, rays = render_pass(scene, settings, np.uint32(done),
-                                np.uint32(settings.seed), spp_chunk=chunk)
-        out.block_until_ready()
-        acc += np.asarray(out)
+        if use_buffers:
+            from tungsten_tpu.render import render_with_aovs
+            bufs, raw_acc = render_with_aovs(
+                scene, settings, spp=done + chunk,
+                seed=settings.seed, acc=raw_acc, sample_start=done)
+            acc = bufs["color"] * (done + chunk)
+            rays = 0
+        else:
+            out, rays = render_pass(scene, settings, np.uint32(done),
+                                    np.uint32(settings.seed),
+                                    spp_chunk=chunk)
+            out.block_until_ready()
+            acc += np.asarray(out)
         done += chunk
         dt = time.time() - t0
         print(f"Completed {done}/{spp} spp "
               f"({dt:.2f}s, {int(rays)/dt/1e6:.1f} Mrays/s)")
         if checkpoint_s and time.time() - t_checkpoint > checkpoint_s:
-            save_resume_state(resume_file, shash, acc, done)
+            save_resume_state(resume_file, shash, acc, done,
+                              buffers=raw_acc)
             _write_outputs(acc / done, settings, out_dir,
                            output_file, hdr_output, suffix="_checkpoint")
             t_checkpoint = time.time()
@@ -102,32 +126,55 @@ def render_scene(path, args):
             break
 
     if enable_resume:
-        save_resume_state(resume_file, shash, acc, done)
+        save_resume_state(resume_file, shash, acc, done, buffers=raw_acc)
     _write_outputs(acc / max(done, 1), settings, out_dir,
                    output_file, hdr_output)
 
-    # AOV output_buffers (ref RendererSettings::renderOutputs +
-    # OutputBufferSettings: depth/normal/albedo files alongside color)
-    aov_specs = [b for b in rjson.get("output_buffers", [])
-                 if b.get("type") in ("depth", "normal", "albedo")]
-    if aov_specs:
-        from tungsten_tpu.render import render_aovs
-        from tungsten_tpu.io import image as im2
-        aovs = render_aovs(scene, settings, seed=np.uint32(settings.seed))
-        for spec in aov_specs:
-            buf = np.asarray(aovs[spec["type"]])
-            if buf.ndim == 2:
-                buf = np.repeat(buf[..., None], 3, axis=-1)
-            fn = spec.get("hdr_output_file") or spec.get("output_file")
-            if not fn:
-                fn = f"{spec['type']}.pfm"
-            target = os.path.join(out_dir, fn)
-            if im2.is_hdr(target):
-                im2.save_hdr(target, buf.astype(np.float32))
-            else:
-                im2.save_ldr(target, np.clip(buf, 0, 1))
-            print(f"Wrote AOV {spec['type']} -> {target}")
+    if buf_specs and bufs is None:
+        # splat/MLT integrators don't run the AOV wavefront: render the
+        # feature buffers in a small separate pass
+        from tungsten_tpu.render import render_with_aovs
+        from dataclasses import replace as _replace
+        bufs, _ = render_with_aovs(
+            scene, _replace(settings, integrator_type="path_tracer"),
+            spp=min(spp, 8), seed=settings.seed)
+    if buf_specs:
+        _write_output_buffers(bufs, buf_specs, settings, out_dir)
     print(f"Finished render. Render time {time.time() - t_start:.1f}s")
+
+
+def _write_output_buffers(bufs, buf_specs, settings, out_dir):
+    """Per-buffer files (ref OutputBuffer::save): mean image, optional
+    `Variance` (sample_variance), optional `A`/`B` half buffers for the
+    color buffer (two_buffer_variance; AOV A/B splits are not tracked)."""
+    import numpy as np
+    from tungsten_tpu.io import image as im2
+
+    def write(name, img):
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, axis=-1)
+        target = os.path.join(out_dir, name)
+        if im2.is_hdr(target):
+            im2.save_hdr(target, img.astype(np.float32))
+        else:
+            im2.save_ldr(target, np.clip(img, 0, 1))
+        print(f"Wrote output buffer -> {target}")
+
+    def with_tag(fn, tag):
+        base, ext = os.path.splitext(fn)
+        return base + tag + ext
+
+    for spec in buf_specs:
+        typ = spec["type"]
+        fn = spec.get("hdr_output_file") or spec.get("output_file") \
+            or f"{typ}.pfm"
+        write(fn, np.asarray(bufs[typ]))
+        if spec.get("sample_variance"):
+            write(with_tag(fn, "Variance"),
+                  np.asarray(bufs[typ + "_variance"]))
+        if spec.get("two_buffer_variance") and typ == "color":
+            write(with_tag(fn, "A"), np.asarray(bufs["color_a"]))
+            write(with_tag(fn, "B"), np.asarray(bufs["color_b"]))
 
 
 def _write_outputs(hdr, settings, out_dir, output_file, hdr_output,

@@ -256,7 +256,7 @@ def _shadow_transmittance(scene, settings, o, d, dist, medium,
 # ----------------------------------------------------------------- NEE
 
 def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
-         detach=False, extra_ray=None):
+         detach=False, extra_ray=None, want_tr=False):
     """Next-event estimation with both MIS strategies toward one chosen
     light, at surface vertices (bsdf) or medium vertices (phase).
     ctx: p, is_volume, sp/frame/wi_local (surface), ray_d/phase params
@@ -264,20 +264,28 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
     extra_ray: optional (o, d, t_max) continuation rays traced in the
     SAME batched traversal as the two NEE strategies (3R rays per
     kernel call — the Pallas traversal's fixed cost amortizes ~3x).
-    Returns (R,3) contribution (excluding path throughput), or
-    (contribution, extra_res) when extra_ray is given."""
+    want_tr additionally returns (tr (R,3), tr_valid (R,)) — the
+    light-strategy shadow transmittance, valid only where the shadow ray
+    was actually traced (ref TraceBase::lightSample only writes
+    *transmittance after a valid light sample with f > 0; feeds the
+    visibility AOV, PathTracer.cpp:92-93).
+    Returns (R,3) contribution (excluding path throughput), plus
+    extra_res when extra_ray is given, plus (tr, tr_valid) with want_tr."""
     p = ctx["p"]
     R = p.shape[0]
     nl = settings.num_lights
     if nl == 0:
         z = jnp.zeros((R, 3))
+        out = (z,)
         if extra_ray is not None:
             res_x = bvh_intersect(scene, extra_ray[0], extra_ray[1], 0.0,
                                   extra_ray[2])
             if detach:
                 res_x = _detach(res_x)
-            return z, res_x
-        return z
+            out = out + (res_x,)
+        if want_tr:
+            out = out + ((jnp.zeros((R, 3)), jnp.zeros((R,), bool)),)
+        return out if len(out) > 1 else z
     is_vol = ctx["is_volume"]
     sp = ctx["sp"]
     wi_local = ctx["wi_local"]
@@ -465,9 +473,12 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
         (ok_b & got)[..., None], wt_b * tr_b * e_b * mis_b[..., None], 0.0)
 
     out = (contrib_l + contrib_b) * sel_weight[..., None]
+    rets = (out,)
     if extra_ray is not None:
-        return out, res_extra
-    return out
+        rets = rets + (res_extra,)
+    if want_tr:
+        rets = rets + ((tr, do_shadow),)
+    return rets if len(rets) > 1 else out
 
 
 # ------------------------------------------------------------ hit expand
@@ -614,6 +625,17 @@ def _init_state(scene, settings, pixel, sample_idx, seed, detach):
         state["medium"] = jnp.full((R,), scene.cam_medium, jnp.int32)
         state["med_first"] = jnp.ones((R,), bool)
         state["med_bounce"] = jnp.zeros((R,), jnp.int32)
+    if settings.track_aovs:
+        # output-value tracking (ref PathTracer.cpp:43-44,78-96):
+        # recorded once per path at the first non-specular (or
+        # terminating) surface vertex; hit distance accumulates across
+        # the leading specular chain
+        state["aov_recorded"] = jnp.zeros((R,), bool)
+        state["aov_dist"] = jnp.zeros((R,))
+        state["aov_depth"] = jnp.zeros((R, 2))    # (value, count)
+        state["aov_normal"] = jnp.zeros((R, 4))   # (xyz, count)
+        state["aov_albedo"] = jnp.zeros((R, 4))   # (rgb, count)
+        state["aov_vis"] = jnp.zeros((R, 2))      # (value, count)
     return state
 
 
@@ -865,8 +887,15 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
                 mi2 = jnp.clip(s["medium"], 0, scene.med_phase.shape[0] - 1)
                 ctx["phase_type"] = scene.med_phase[mi2]
                 ctx["phase_g"] = scene.med_g[mi2]
-            nee, res = _nee(scene, settings, ctx, seed, pixel, sample_idx,
-                            dim_base, detach=detach, extra_ray=cont_ray)
+            if settings.track_aovs:
+                nee, res, (tr_nee, tr_valid) = _nee(
+                    scene, settings, ctx, seed, pixel, sample_idx,
+                    dim_base, detach=detach, extra_ray=cont_ray,
+                    want_tr=True)
+            else:
+                nee, res = _nee(scene, settings, ctx, seed, pixel,
+                                sample_idx, dim_base, detach=detach,
+                                extra_ray=cont_ray)
             do_nee = (shade | vol_scatter) & \
                 (bounce < settings.max_bounces - 1)
             if settings.mlt_path_length >= 0:
@@ -892,6 +921,42 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
             take_emit = take_emit & (bounce + 1 == settings.mlt_path_length)
         emission = emission + jnp.where(
             take_emit[..., None], throughput * e_hit, 0.0)
+
+        # ---- output-value capture (ref PathTracer.cpp:78-96,133-140):
+        # depth/normal/albedo/visibility at the first non-specular or
+        # terminating surface vertex; escapes record normal/env-albedo ----
+        if settings.track_aovs:
+            aov_dist = s["aov_dist"] + jnp.where(active, s["t"], 0.0)
+            terminate = active & ~ok
+            rec = shade & ~s["aov_recorded"] & (~was_specular | terminate)
+            esc = escaped & ~s["aov_recorded"]
+            one = jnp.ones((R,))
+
+            def add(buf, val, cnt_mask):
+                c = cnt_mask.astype(jnp.float32)
+                if val.ndim == 1:
+                    val = val[..., None]
+                return buf + jnp.concatenate(
+                    [val * c[..., None], c[..., None]], axis=-1) * 1.0
+
+            aov_depth = add(s["aov_depth"], aov_dist, rec)
+            # escaped primaries record depth 0 (PathTracer.cpp:134-135)
+            aov_depth = add(aov_depth, jnp.zeros((R,)),
+                            esc & (bounce == 0))
+            aov_normal = add(s["aov_normal"], info["ns"], rec)
+            aov_normal = add(aov_normal, -s["d"], esc)
+            alb = sp.albedo + jnp.where(is_emissive[..., None], e_hit, 0.0)
+            aov_albedo = add(s["aov_albedo"], alb, rec)
+            if settings.has_env:
+                aov_albedo = add(aov_albedo, L.env_eval(scene, s["d"]), esc)
+            if settings.enable_light_sampling and settings.num_lights > 0:
+                vis_ok = rec & tr_valid
+                aov_vis = add(s["aov_vis"], jnp.mean(tr_nee, axis=-1),
+                              vis_ok)
+            else:
+                aov_vis = s["aov_vis"]
+            aov_recorded = s["aov_recorded"] | rec | esc
+            del one
 
         throughput = thr_next
 
@@ -926,6 +991,13 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
             out["medium"] = medium
             out["med_first"] = med_first
             out["med_bounce"] = med_bounce
+        if settings.track_aovs:
+            out["aov_recorded"] = aov_recorded
+            out["aov_dist"] = aov_dist
+            out["aov_depth"] = aov_depth
+            out["aov_normal"] = aov_normal
+            out["aov_albedo"] = aov_albedo
+            out["aov_vis"] = aov_vis
         return out
 
     return body
@@ -947,6 +1019,27 @@ def trace_wave(scene, settings, pixel, sample_idx, seed, with_stats=False):
     if with_stats:
         return final["emission"], final["rays"]
     return final["emission"]
+
+
+def trace_wave_aovs(scene, settings, pixel, sample_idx, seed):
+    """Trace one sample per entry with output-value tracking.  Returns
+    (radiance (R,3), aovs) where aovs maps depth/normal/albedo/
+    visibility to (value, count) arrays — count is 0 or 1 per sample,
+    mirroring the reference's per-AOV OutputBuffer::addSample counting
+    (OutputBuffer.hpp:88-130: AOVs average over the samples that
+    recorded them, not over spp)."""
+    from dataclasses import replace as _replace
+    settings = _replace(settings, track_aovs=True)
+    state = _init_state(scene, settings, pixel, sample_idx, seed, False)
+    body = _make_bounce_body(scene, settings, seed)
+
+    def cond(s):
+        return (s["bounce"] < settings.max_bounces) & jnp.any(s["alive"])
+
+    final = jax.lax.while_loop(cond, body, state)
+    aovs = dict(depth=final["aov_depth"], normal=final["aov_normal"],
+                albedo=final["aov_albedo"], visibility=final["aov_vis"])
+    return final["emission"], aovs
 
 
 def _zero_cotangent(x):

@@ -5,9 +5,11 @@ Four-kernel interface parity with ref src/core/transmittances/
 Transmittance.hpp:49-57: surfaceSurface / surfaceMedium / mediumSurface /
 mediumMedium over optical depth tau, plus sigmaBar and the two samplers.
 Laws: exponential, double_exponential, linear, quadratic, erlang, davis,
-davis_weinstein, pulse (ref TransmittanceFactory.cpp:15-25).
+davis_weinstein, pulse, interpolated (ref TransmittanceFactory.cpp:15-25).
 
-Params layout (med_trans_params (M,4)):
+Params layout (med_trans_params (M,4), widened to (M,16) only when a
+scene uses `interpolated` — the wrappers detect the width statically so
+scenes without it pay nothing):
   exponential:        —
   linear/quadratic:   [max_t]
   double_exponential: [sigma_a, sigma_b]
@@ -15,6 +17,10 @@ Params layout (med_trans_params (M,4)):
   davis:              [alpha]
   davis_weinstein:    [h, c]
   pulse:              [a, b, num_pulses]
+  interpolated:       cols [4]=type_a [5]=type_b [6]=ratio
+                      [8:12]=params_a [12:16]=params_b
+                      (ref InterpolatedTransmittance.cpp: lerp of two
+                      child laws; children are never interpolated)
 """
 from __future__ import annotations
 
@@ -28,6 +34,7 @@ T_ERLANG = 4
 T_DAVIS = 5
 T_DAVIS_WEINSTEIN = 6
 T_PULSE = 7
+T_INTERPOLATED = 8
 
 NAMES = {
     "exponential": T_EXPONENTIAL,
@@ -38,7 +45,22 @@ NAMES = {
     "davis": T_DAVIS,
     "davis_weinstein": T_DAVIS_WEINSTEIN,
     "pulse": T_PULSE,
+    "interpolated": T_INTERPOLATED,
 }
+
+# laws whose mediumMedium is a dirac / sum of diracs (ref
+# LinearTransmittance.cpp:65, PulseTransmittance.cpp:39)
+_DIRAC_LAWS = (T_LINEAR, T_PULSE)
+
+
+def _interp_parts(p):
+    """Child (type, params, ratio) columns of an interpolated row."""
+    ta = p[..., 4].astype(jnp.int32)
+    tb = p[..., 5].astype(jnp.int32)
+    u = p[..., 6:7]
+    return ta, tb, u, p[..., 8:12], p[..., 12:16]
+
+
 
 MAX_PULSES = 8  # static unroll bound for pulse sampling
 
@@ -54,7 +76,7 @@ def _dispatch(ttype, tau, p, fns):
     return out
 
 
-def surface_surface(ttype, tau, p):
+def _surface_surface_base(ttype, tau, p):
     def exp_(tau, p):
         return jnp.exp(-tau)
 
@@ -102,7 +124,7 @@ def surface_surface(ttype, tau, p):
         T_DAVIS_WEINSTEIN: dw, T_PULSE: pulse})
 
 
-def surface_medium(ttype, tau, p):
+def _surface_medium_base(ttype, tau, p):
     def exp_(tau, p):
         return jnp.exp(-tau)
 
@@ -153,7 +175,7 @@ def _pulse_medium_surface(tau, p):
     return 1.0 - idx / n
 
 
-def medium_surface(ttype, tau, p):
+def _medium_surface_base(ttype, tau, p):
     def exp_(tau, p):
         return jnp.exp(-tau)
 
@@ -183,12 +205,12 @@ def medium_surface(ttype, tau, p):
     out = _dispatch(ttype, tau, p, fns)
     dw_mask = ttype[..., None] == T_DAVIS_WEINSTEIN
     if True:  # davis_weinstein mediumSurface == surfaceMedium
-        out = jnp.where(dw_mask, surface_medium(
+        out = jnp.where(dw_mask, _surface_medium_base(
             jnp.full_like(ttype, T_DAVIS_WEINSTEIN), tau, p), out)
     return out
 
 
-def medium_medium(ttype, tau, p):
+def _medium_medium_base(ttype, tau, p):
     def exp_(tau, p):
         return jnp.exp(-tau)
 
@@ -215,7 +237,8 @@ def medium_medium(ttype, tau, p):
     def dw(tau, p):
         # full second-derivative form is lengthy; Davis-Weinstein media are
         # start-on-surface in practice (camera/surface segments)
-        return surface_medium(jnp.full_like(ttype, T_DAVIS_WEINSTEIN), tau, p)
+        return _surface_medium_base(
+            jnp.full_like(ttype, T_DAVIS_WEINSTEIN), tau, p)
 
     def pulse(tau, p):
         a, b, n = p[..., 0:1], p[..., 1:2], p[..., 2:3]
@@ -229,7 +252,7 @@ def medium_medium(ttype, tau, p):
         T_DAVIS_WEINSTEIN: dw, T_PULSE: pulse})
 
 
-def sigma_bar(ttype, p):
+def _sigma_bar_base(ttype, p):
     out = jnp.ones(ttype.shape, jnp.float32)
     out = jnp.where(ttype == T_DOUBLE_EXPONENTIAL,
                     0.5 * (p[..., 0] + p[..., 1]), out)
@@ -239,6 +262,77 @@ def sigma_bar(ttype, p):
     out = jnp.where(ttype == T_PULSE,
                     2.0 / jnp.maximum(p[..., 1] - p[..., 0], 1e-20), out)
     return out
+
+
+# ---- public four-kernel wrappers: interpolated = lerp of two child laws
+# (ref InterpolatedTransmittance.cpp:44-70).  Active only when the param
+# table carries the 16-column interpolated layout.
+
+def _is_dirac(ttype):
+    out = jnp.zeros(ttype.shape, bool)
+    for t in _DIRAC_LAWS:
+        out = out | (ttype == t)
+    return out
+
+
+def sigma_bar(ttype, p):
+    out = _sigma_bar_base(ttype, p)
+    if p.shape[-1] < 16:
+        return out
+    u = p[..., 6]
+    sa = _sigma_bar_base(p[..., 4].astype(jnp.int32), p[..., 8:12])
+    sb = _sigma_bar_base(p[..., 5].astype(jnp.int32), p[..., 12:16])
+    # sigmaBar = 1 / lerp(1/A.sigmaBar, 1/B.sigmaBar, u)
+    mix = 1.0 / ((1.0 - u) / sa + u / sb)
+    return jnp.where(ttype == T_INTERPOLATED, mix, out)
+
+
+def surface_surface(ttype, tau, p):
+    out = _surface_surface_base(ttype, tau, p)
+    if p.shape[-1] < 16:
+        return out
+    ta, tb, u, pa, pb = _interp_parts(p)
+    sa = _sigma_bar_base(ta, pa)[..., None]
+    sb = _sigma_bar_base(tb, pb)[..., None]
+    sbar = sigma_bar(ttype, p)[..., None]
+    mix = sbar * ((1.0 - u) * _surface_surface_base(ta, tau, pa) / sa
+                  + u * _surface_surface_base(tb, tau, pb) / sb)
+    return jnp.where(ttype[..., None] == T_INTERPOLATED, mix, out)
+
+
+def medium_surface(ttype, tau, p):
+    out = _medium_surface_base(ttype, tau, p)
+    if p.shape[-1] < 16:
+        return out
+    ta, tb, u, pa, pb = _interp_parts(p)
+    mix = ((1.0 - u) * _medium_surface_base(ta, tau, pa)
+           + u * _medium_surface_base(tb, tau, pb))
+    return jnp.where(ttype[..., None] == T_INTERPOLATED, mix, out)
+
+
+def surface_medium(ttype, tau, p):
+    out = _surface_medium_base(ttype, tau, p)
+    if p.shape[-1] < 16:
+        return out
+    # interpolated surfaceMedium = mediumSurface * sigmaBar
+    mix = medium_surface(ttype, tau, p) * sigma_bar(ttype, p)[..., None]
+    return jnp.where(ttype[..., None] == T_INTERPOLATED, mix, out)
+
+
+def medium_medium(ttype, tau, p):
+    out = _medium_medium_base(ttype, tau, p)
+    if p.shape[-1] < 16:
+        return out
+    ta, tb, u, pa, pb = _interp_parts(p)
+    mma = _medium_medium_base(ta, tau, pa)
+    mmb = _medium_medium_base(tb, tau, pb)
+    # dirac exception: if exactly one child is dirac with mass here, its
+    # density dominates the lerp (InterpolatedTransmittance.cpp:58-68)
+    da = _is_dirac(ta)[..., None] & (mma > 0.0)
+    db = _is_dirac(tb)[..., None] & (mmb > 0.0)
+    lerped = (1.0 - u) * mma + u * mmb
+    mix = jnp.where(da ^ db, jnp.where(da, mma, mmb), lerped)
+    return jnp.where(ttype[..., None] == T_INTERPOLATED, mix, out)
 
 
 def eval_tr(ttype, tau, p, start_on_surface, end_on_surface):
@@ -266,7 +360,7 @@ def medium_pdf(ttype, tau, p, start_on_surface):
                      medium_medium(ttype, tau, p))
 
 
-def sample_distance(ttype, p, start_on_surface, u1, u2):
+def _sample_distance_base(ttype, p, start_on_surface, u1, u2):
     """Sample unit-optical-depth free flight (ref sampleSurface /
     sampleMedium per law; u2 feeds two-branch laws)."""
     u1 = jnp.minimum(u1, 1.0 - 1e-7)
@@ -336,3 +430,23 @@ def sample_distance(ttype, p, start_on_surface, u1, u2):
     out = jnp.where(ttype == T_DAVIS_WEINSTEIN, pick(davis_surf, davis_med), out)
     out = jnp.where(ttype == T_PULSE, pick(pulse_surf, pulse_med), out)
     return out
+
+
+def sample_distance(ttype, p, start_on_surface, u1, u2):
+    out = _sample_distance_base(ttype, p, start_on_surface, u1, u2)
+    if p.shape[-1] < 16:
+        return out
+    # interpolated: child B with probability ratio, else A (ref
+    # InterpolatedTransmittance::sampleSurface/sampleMedium); u2 is
+    # rescaled after the discrete choice so two-branch children keep an
+    # independent uniform
+    ta = p[..., 4].astype(jnp.int32)
+    tb = p[..., 5].astype(jnp.int32)
+    r = p[..., 6]
+    pick_b = u2 < r
+    u2r = jnp.where(pick_b, u2 / jnp.maximum(r, 1e-7),
+                    (u2 - r) / jnp.maximum(1.0 - r, 1e-7))
+    da = _sample_distance_base(ta, p[..., 8:12], start_on_surface, u1, u2r)
+    db = _sample_distance_base(tb, p[..., 12:16], start_on_surface, u1, u2r)
+    mix = jnp.where(pick_b, db, da)
+    return jnp.where(ttype == T_INTERPOLATED, mix, out)

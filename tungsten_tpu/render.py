@@ -463,10 +463,11 @@ def render_denoise_buffers(scene: FlatScene, settings: RenderSettings,
     """
     spp = spp if spp is not None else settings.spp
     seed = seed if seed is not None else settings.seed
-    half = max(spp // 2, 1)
-    color_a = render(scene, settings, spp=half, seed=seed)
-    color_b = render(scene, settings, spp=half, seed=int(seed) + 1)
-    color_var = (color_b - color_a) ** 2 * 0.25
+    # A/B half buffers split by sample parity + Welford variance, from
+    # one pass (ref OutputBuffer::addSample two-buffer path)
+    bufs, _ = render_with_aovs(scene, settings, spp=max(spp, 2), seed=seed)
+    color_a, color_b = bufs["color_a"], bufs["color_b"]
+    color_var = bufs["color_variance"]
 
     def feats(sd):
         aov = render_aovs(scene, settings, seed=np.uint32(sd))
@@ -499,41 +500,115 @@ def render_file(scene_path, output=None, spp=None, resolution=None,
     return hdr
 
 
-@functools.partial(jax.jit, static_argnames=("settings",))
-def render_aovs(scene: FlatScene, settings: RenderSettings, seed=0):
-    """AOV buffers from primary hits: depth, shading normal, albedo
-    (+ emission, ref PathTracer.cpp:78-96), visibility (NEE shadow
-    transmittance).  The reference records AOVs at the first
-    *non-specular* vertex; this pass records the primary hit (equal for
-    all-diffuse first hits) — specular-chain walk is follow-up work.
-    Returns dict of (H, W, C) arrays."""
-    from tungsten_tpu.bsdf.eval import ShadePoint
-    from tungsten_tpu.cameras.camera import generate_rays
-    from tungsten_tpu.integrators.path_tracer import (
-        EPSILON, INF, _expand_hit, _nee)
-    from tungsten_tpu.ops.intersect import bvh_intersect
-    from tungsten_tpu.utils import vecmath as vm
+# ------------------------- output buffers (AOVs + variance) -----------
+# ref OutputBuffer<T> (src/core/cameras/OutputBuffer.hpp:88-130): per-AOV
+# sample counting, Welford sample_variance (saved as M2/(n*max(n-1,1))),
+# two-buffer A/B split by sample parity.  AOVs are captured inside the
+# path-trace bounce loop at the first non-specular vertex
+# (integrators/path_tracer.py trace_wave_aovs).
 
+@functools.partial(jax.jit, static_argnames=("settings", "n_total"))
+def _trace_chunk_aov(scene, settings, pixel, sample_idx, seed,
+                     n_total: int):
+    from tungsten_tpu.integrators.path_tracer import trace_wave_aovs
+    rad, aovs = trace_wave_aovs(scene, settings, pixel, sample_idx,
+                                jnp.uint32(seed))
+    rad = jnp.where(jnp.isfinite(rad), rad, 0.0)
+    ok = pixel < n_total
+    rad = jnp.where(ok[..., None], rad, 0.0)
+    pix = jnp.clip(pixel.astype(jnp.int32), 0, n_total - 1)
+    parity = (sample_idx % 2) == 1
+    zc = jnp.zeros((n_total, 3))
+    out = {
+        "color_sum": zc.at[pix].add(rad),
+        "color_sumsq": zc.at[pix].add(rad * rad),
+        "color_a": zc.at[pix].add(
+            jnp.where(parity[..., None], 0.0, rad)),
+        "color_b": zc.at[pix].add(
+            jnp.where(parity[..., None], rad, 0.0)),
+        "color_n": jnp.zeros((n_total,)).at[pix].add(
+            ok.astype(jnp.float32)),
+    }
+    for k, v in aovs.items():
+        v = jnp.where(ok[..., None], v, 0.0)
+        val, cnt = v[..., :-1], v[..., -1]
+        c = val.shape[-1]
+        out[k + "_sum"] = jnp.zeros((n_total, c)).at[pix].add(val)
+        # count is 0/1 per sample so val*val == raw^2 * count
+        out[k + "_sumsq"] = jnp.zeros((n_total, c)).at[pix].add(val * val)
+        out[k + "_n"] = jnp.zeros((n_total,)).at[pix].add(cnt)
+    return out
+
+
+def _finalize_buffers(acc, spp, w, h):
+    """Raw accumulators -> mean / A / B / variance-of-the-mean images."""
+    def vom(s, sq, n):
+        n = np.maximum(n, 1.0)[..., None]
+        m2 = np.maximum(sq - s * s / n, 0.0)
+        return m2 / (n * np.maximum(n - 1.0, 1.0))
+
+    n_color = np.maximum(acc["color_n"], 1.0)[..., None]
+    out = {
+        "color": acc["color_sum"] / n_color,
+        "color_a": acc["color_a"] / np.maximum((spp + 1) // 2, 1),
+        "color_b": acc["color_b"] / np.maximum(spp // 2, 1),
+        "color_variance": vom(acc["color_sum"], acc["color_sumsq"],
+                              acc["color_n"]),
+    }
+    for k in ("depth", "normal", "albedo", "visibility"):
+        n = np.maximum(acc[k + "_n"], 1.0)[..., None]
+        out[k] = acc[k + "_sum"] / n
+        out[k + "_variance"] = vom(acc[k + "_sum"], acc[k + "_sumsq"],
+                                   acc[k + "_n"])
+        out[k + "_n"] = acc[k + "_n"]
+
+    def shape(img):
+        if img.shape[-1] == 1:
+            return img.reshape(h, w)
+        return img.reshape(h, w, img.shape[-1])
+
+    return {k: shape(np.asarray(v, np.float32)) if v.ndim == 2
+            else np.asarray(v, np.float32).reshape(h, w)
+            for k, v in out.items()}
+
+
+def render_with_aovs(scene: FlatScene, settings: RenderSettings,
+                     spp: int | None = None, seed: int | None = None,
+                     acc: dict | None = None, sample_start: int = 0):
+    """Render with the full output-buffer set: color (+ A/B half
+    buffers by sample parity + Welford variance) and depth/normal/
+    albedo/visibility AOVs captured at the first non-specular vertex
+    (+ per-AOV variance and sample counts).  Returns (buffers, raw_acc);
+    raw_acc round-trips through checkpoint save/load for resume."""
+    spp = spp if spp is not None else settings.spp
+    seed = seed if seed is not None else settings.seed
+    settings = replace(settings, spp=0, seed=0, track_aovs=True)
+    from tungsten_tpu.utils import rng as _rng
+    _rng.set_sampler(settings.stratified_sampler)
     w, h = settings.width, settings.height
     n = w * h
-    pixel = jnp.arange(n, dtype=jnp.uint32)
-    sample = jnp.zeros((n,), jnp.uint32)
-    o, d = generate_rays(scene, settings, pixel, sample, jnp.uint32(seed))
-    res = bvh_intersect(scene, o, d, 0.0, INF)
-    info = _expand_hit(scene, o, d, res)
-    hit = res["hit"]
+    C = min(WAVEFRONT_CHUNK, n)
+    pad = (-n) % C
+    pixels = np.arange(n + pad, dtype=np.uint32).reshape(-1, C)
+    for i in range(sample_start, spp):
+        for ci in range(pixels.shape[0]):
+            part = _trace_chunk_aov(scene, settings,
+                                    jnp.asarray(pixels[ci]),
+                                    jnp.full((C,), i, jnp.uint32),
+                                    np.uint32(seed), n)
+            part = {k: np.asarray(v, np.float64) for k, v in part.items()}
+            if acc is None:
+                acc = part
+            else:
+                acc = {k: acc[k] + part[k] for k in acc}
+    return _finalize_buffers(acc, spp, w, h), acc
 
-    depth = jnp.where(hit, res["t"], 0.0)
-    normal = jnp.where(hit[..., None], info["ns"], -d)
-    sp = ShadePoint(scene, info["bsdf"], info["uv"])
-    albedo = jnp.where(hit[..., None], sp.albedo, 0.0)
-    # emissive surfaces add their radiance to the albedo AOV (ref)
-    etex = scene.prim_emission_tex[info["prim"]]
-    e_val = scene.tex_const[jnp.clip(etex, 0, scene.tex_const.shape[0] - 1)]
-    albedo = albedo + jnp.where((hit & (etex >= 0))[..., None], e_val, 0.0)
 
-    return {
-        "depth": depth.reshape(h, w),
-        "normal": normal.reshape(h, w, 3),
-        "albedo": albedo.reshape(h, w, 3),
-    }
+def render_aovs(scene: FlatScene, settings: RenderSettings, seed=0,
+                spp: int = 4):
+    """AOV means only (depth / normal / albedo), captured at the first
+    non-specular vertex (ref PathTracer.cpp:78-96).  Thin wrapper over
+    render_with_aovs for callers that just want feature buffers."""
+    bufs, _ = render_with_aovs(scene, settings, spp=spp, seed=seed)
+    return {"depth": bufs["depth"], "normal": bufs["normal"],
+            "albedo": bufs["albedo"], "visibility": bufs["visibility"]}

@@ -162,7 +162,7 @@ class FlatScene:
     med_phase: Any       # (M,) i32
     med_g: Any           # (M,)
     med_trans_type: Any  # (M,) i32
-    med_trans_params: Any  # (M,4)
+    med_trans_params: Any  # (M,4); (M,16) when any law is interpolated
     med_max_bounce: Any  # (M,) i32
     # --- heterogeneous media (ref VoxelMedium/ExponentialMedium) ---
     med_kind: Any        # (M,) i32: 0 homogeneous / 1 exponential / 2 voxel
@@ -238,6 +238,10 @@ class RenderSettings:
     mlt_chains: int = 8192           # parallel chains per batch
     mlt_strategy_prob: float = 0.05  # strategy_perturbation_probability
     mlt_path_length: int = -1        # MMLT: restrict to one path length
+    # output buffers (ref OutputBufferSettings): when True the wavefront
+    # tracks depth/normal/albedo/visibility at the first non-specular
+    # vertex (PathTracer.cpp:78-96) alongside the radiance
+    track_aovs: bool = False
 
 
 _UNIT_QUAD_UV = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
@@ -744,28 +748,55 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         tr = m.get("transmittance", {"type": "exponential"})
         if isinstance(tr, str):
             tr = {"type": tr}
-        med_trans_type.append(TRANS_NAMES.get(tr.get("type", "exponential"), 0))
-        tp = [0.0, 0.0, 0.0, 0.0]
-        tt = tr.get("type", "exponential")
-        if tt in ("linear", "quadratic"):
-            tp[0] = float(tr.get("max_t", 1.0 if tt == "linear" else 0.75))
-        elif tt == "double_exponential":
-            tp[0] = float(tr.get("sigma_a", 0.5))
-            tp[1] = float(tr.get("sigma_b", 10.0))
-        elif tt == "erlang":
-            tp[0] = float(tr.get("rate", 5.0))
-        elif tt == "davis":
-            tp[0] = max(float(tr.get("alpha", 1.1)), 1.0 + 1e-6)
-        elif tt == "davis_weinstein":
-            tp[0] = min(max(float(tr.get("h", 0.75)), 0.5), 1.0)
-            tp[1] = float(tr.get("c", 1.0))
-        elif tt == "pulse":
-            tp[0] = float(tr.get("min", 0.0))
-            tp[1] = float(tr.get("max", 1.0))
-            tp[2] = float(tr.get("num_pulses", 4))
-        med_trans_params.append(tp)
+
+        def trans_row(tr):
+            """(type_id, 4 base params) for one non-interpolated law."""
+            tt = tr.get("type", "exponential")
+            tp = [0.0, 0.0, 0.0, 0.0]
+            if tt in ("linear", "quadratic"):
+                tp[0] = float(tr.get("max_t", 1.0 if tt == "linear" else 0.75))
+            elif tt == "double_exponential":
+                tp[0] = float(tr.get("sigma_a", 0.5))
+                tp[1] = float(tr.get("sigma_b", 10.0))
+            elif tt == "erlang":
+                tp[0] = float(tr.get("rate", 5.0))
+            elif tt == "davis":
+                tp[0] = max(float(tr.get("alpha", 1.1)), 1.0 + 1e-6)
+            elif tt == "davis_weinstein":
+                tp[0] = min(max(float(tr.get("h", 0.75)), 0.5), 1.0)
+                tp[1] = float(tr.get("c", 1.0))
+            elif tt == "pulse":
+                tp[0] = float(tr.get("min", 0.0))
+                tp[1] = float(tr.get("max", 1.0))
+                tp[2] = float(tr.get("num_pulses", 4))
+            return TRANS_NAMES.get(tt, 0), tp
+
+        if tr.get("type") == "interpolated":
+            # ref InterpolatedTransmittance: lerp(tr_a, tr_b, ratio);
+            # defaults linear/erlang at ratio 0.5.  16-col layout (see
+            # media/transmittance.py module docstring).
+            ta = tr.get("tr_a", {"type": "linear"})
+            tb = tr.get("tr_b", {"type": "erlang"})
+            ta = {"type": ta} if isinstance(ta, str) else ta
+            tb = {"type": tb} if isinstance(tb, str) else tb
+            ida, pa = trans_row(ta)
+            idb, pb = trans_row(tb)
+            from tungsten_tpu.media.transmittance import T_INTERPOLATED
+            med_trans_type.append(T_INTERPOLATED)
+            med_trans_params.append(
+                [0.0] * 4 + [float(ida), float(idb),
+                             float(tr.get("ratio", 0.5)), 0.0] + pa + pb)
+        else:
+            tid, tp = trans_row(tr)
+            med_trans_type.append(tid)
+            med_trans_params.append(tp)
         med_max_bounce.append(int(m.get("max_bounces", 1024)))
     num_media = len(med_sigma_a)
+    # widen every row to 16 cols iff any medium is interpolated (the
+    # transmittance wrappers key on the static column count)
+    if any(len(r) > 4 for r in med_trans_params):
+        med_trans_params = [r + [0.0] * (16 - len(r))
+                            for r in med_trans_params]
 
     geom = _GeomAccum()
     curve_segs = []  # per-curves-prim dicts of segment arrays
@@ -1242,8 +1273,10 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         med_phase=dev(np.asarray(med_phase, np.int32)),
         med_g=dev(np.asarray(med_g, np.float32)),
         med_trans_type=dev(np.asarray(med_trans_type, np.int32)),
-        med_trans_params=dev(np.asarray(med_trans_params,
-                                        np.float32).reshape(-1, 4)),
+        med_trans_params=dev(np.asarray(med_trans_params, np.float32)
+                             .reshape(len(med_trans_type) or 1, -1)
+                             if med_trans_type else
+                             np.zeros((0, 4), np.float32)),
         med_max_bounce=dev(np.asarray(med_max_bounce, np.int32)),
         med_kind=dev(np.asarray(med_kind, np.int32)),
         med_grid=dev(np.asarray(med_grid_idx, np.int32)),
