@@ -59,3 +59,62 @@ def test_gradient_psum(cornell):
     assert np.isfinite(float(loss)) and float(loss) > 0
     g = np.asarray(grads["light_emission"])
     assert np.isfinite(g).all() and g[0].max() > 0
+
+
+def test_staged_rebalanced_matches_plain(cornell):
+    # the all_to_all deal-rebalance must not change the image: ray
+    # identity (pixel, sample) travels with the ray and partials psum
+    scene, settings = cornell
+    from tungsten_tpu.parallel.sharded import render_pass_sharded_staged
+    mesh = make_mesh(8)
+    img_p, _ = render_pass_sharded(scene, settings, mesh, spp_chunk=2)
+    img_s, rays = render_pass_sharded_staged(scene, settings, mesh,
+                                             spp_chunk=2, segment=1)
+    assert int(rays) > 0
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_p),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_rebalance_wave_balances_and_preserves():
+    # after the deal-exchange each device holds an even share of alive
+    # rays, and the (pixel, alive, value) multiset is globally unchanged
+    from tungsten_tpu.parallel.distributed import rebalance_wave
+    from jax.sharding import Mesh, PartitionSpec as P
+    import functools
+
+    ndev, per = 8, 32
+    R = ndev * per
+    rng = np.random.default_rng(3)
+    # device i gets alive counts wildly imbalanced: device 0 all alive,
+    # device 7 none
+    alive = np.zeros((R,), bool)
+    for i in range(ndev):
+        alive[i * per:i * per + (per * (ndev - i)) // ndev] = True
+    val = rng.random((R, 3)).astype(np.float32)
+    pix = np.arange(R, dtype=np.uint32)
+    mesh = Mesh(np.array(jax.devices()[:ndev]), ("dp",))
+
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=(P("dp"),) * 3,
+                       out_specs=(P("dp"),) * 3 + (P(),), check_vma=False)
+    def go(alive, val, pix):
+        s = dict(alive=alive, emission=val, pixel=pix,
+                 bounce=jnp.int32(0))
+        s = rebalance_wave(s, "dp", ndev)
+        cnt = jnp.sum(s["alive"].astype(jnp.int32))
+        cnts = jax.lax.all_gather(cnt, "dp")
+        return s["alive"], s["emission"], s["pixel"], cnts
+
+    a2, v2, p2, cnts = jax.jit(go)(jnp.asarray(alive), jnp.asarray(val),
+                                   jnp.asarray(pix))
+    cnts = np.asarray(cnts)[:, 0] if np.asarray(cnts).ndim > 1 \
+        else np.asarray(cnts)
+    total = int(alive.sum())
+    assert int(cnts.sum()) == total
+    assert cnts.max() - cnts.min() <= ndev  # even to within the deal
+    # multiset preservation: every (pixel, alive, value) row survives
+    order0 = np.argsort(np.asarray(pix))
+    order2 = np.argsort(np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(pix)[order0],
+                                  np.asarray(p2)[order2])
+    np.testing.assert_array_equal(alive[order0], np.asarray(a2)[order2])
+    np.testing.assert_allclose(val[order0], np.asarray(v2)[order2])

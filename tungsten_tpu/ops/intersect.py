@@ -356,10 +356,14 @@ def _tri_sph_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
                                        (pad, 3))], axis=0)
             tmin_s = jnp.concatenate([tmin_s, jnp.zeros((pad,))])
             tmax_s = jnp.concatenate([tmax_s, jnp.zeros((pad,))])
+        # gradients never flow through the discrete traversal (detached
+        # sampling, interior derivatives only) — cut the tape at the
+        # kernel inputs so AD never tries to linearize pallas_call
+        sg = jax.lax.stop_gradient
         t, tri, u, v = wave_intersect(
-            scene.wk_boxes, scene.wk_cbox, scene.wk_attr, scene.wk_remap,
-            o_s, d_s, tmin_s, tmax_s, ncp=scene.wk_boxes.shape[1],
-            any_hit=any_hit)
+            sg(scene.wk_boxes), sg(scene.wk_cbox), sg(scene.wk_attr),
+            scene.wk_remap, sg(o_s), sg(d_s), sg(tmin_s), sg(tmax_s),
+            ncp=scene.wk_boxes.shape[1], any_hit=any_hit)
         # un-permute by sorting results back on the original ray index
         _, t, tri, u, v = jax.lax.sort(
             [order, t[:R], tri[:R], u[:R], v[:R]], num_keys=1,

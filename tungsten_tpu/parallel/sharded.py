@@ -70,6 +70,101 @@ def render_pass_sharded(scene, settings, mesh: Mesh, sample_start=0, seed=0,
     return acc[:n].reshape(h, w, 3), rays
 
 
+def render_pass_sharded_staged(scene, settings, mesh: Mesh,
+                               sample_start=0, seed=0, spp_chunk: int = 1,
+                               axis: str = "dp", segment: int = 4,
+                               rebalance: bool = True):
+    """Sharded render with the staged-wavefront treatment: the bounce
+    loop runs in segments; between segments the alive rays are
+    redistributed across the mesh with all_to_all (deal-rebalance,
+    parallel/distributed.py) so drained devices pick up the busy
+    devices' tails instead of idling — the multi-chip analog of the
+    single-chip width schedule in render.py.  The loop exits when the
+    GLOBAL wavefront is extinct (psum'd alive count), not per device.
+
+    Because rays migrate between devices, every device banks radiance
+    into a full-frame buffer and the partials psum at the end — the
+    deterministic splat-merge pattern (SURVEY §2.10).
+    Returns ((H, W, 3) radiance sum, total rays traced)."""
+    from tungsten_tpu.integrators.path_tracer import (
+        bank_emission, init_wave, run_bounces)
+    from tungsten_tpu.parallel.distributed import rebalance_wave
+
+    w, h = settings.width, settings.height
+    n = w * h
+    ndev = mesh.devices.size
+    pad = (-n) % ndev
+    pixels = jnp.arange(n + pad, dtype=jnp.uint32)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis),),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def shard_fn(pixel_shard):
+        fb = jnp.zeros((n, 3))
+        rays = jnp.int32(0)
+
+        def spp_body(i, carry):
+            fb, rays = carry
+            state = init_wave(
+                scene, settings, pixel_shard,
+                jnp.full(pixel_shard.shape, sample_start + i, jnp.uint32),
+                jnp.uint32(seed))
+
+            def seg_cond(s):
+                alive = jax.lax.psum(
+                    jnp.sum(s["alive"].astype(jnp.int32)), axis)
+                return (s["bounce"] < settings.max_bounces) & (alive > 0)
+
+            def seg_body(s):
+                s = run_bounces(scene, settings, jnp.uint32(seed), s,
+                                s["bounce"] + segment)
+                if rebalance:
+                    s = rebalance_wave(s, axis, ndev)
+                return s
+
+            state = jax.lax.while_loop(seg_cond, seg_body, state)
+            return fb + bank_emission(state, n), rays + state["rays"]
+
+        fb, rays = jax.lax.fori_loop(0, spp_chunk, spp_body, (fb, rays))
+        return jax.lax.psum(fb, axis), jax.lax.psum(rays, axis)
+
+    fb, rays = jax.jit(shard_fn)(pixels)
+    return fb[:n].reshape(h, w, 3), rays
+
+
+def measure_scaling(scene, settings, device_counts, spp: int = 1,
+                    seed: int = 0, staged: bool = True):
+    """Rays/s scaling efficiency over mesh sizes (the north-star gate:
+    >= 80% rays/s efficiency at N >= 2).  Returns {n_devices: {rays,
+    seconds, mrays_per_s, efficiency}} with efficiency relative to the
+    smallest mesh's per-device throughput."""
+    import time
+
+    results = {}
+    base_per_dev = None
+    for nd in device_counts:
+        mesh = make_mesh(nd)
+        fn = render_pass_sharded_staged if staged else render_pass_sharded
+        img, rays = fn(scene, settings, mesh, seed=seed, spp_chunk=spp)
+        np.asarray(img)  # sync
+        t0 = time.time()
+        img, rays = fn(scene, settings, mesh, seed=seed, spp_chunk=spp)
+        np.asarray(img)
+        dt = time.time() - t0
+        mrps = int(rays) / dt / 1e6
+        per_dev = mrps / nd
+        if base_per_dev is None:
+            base_per_dev = per_dev
+        results[nd] = {
+            "rays": int(rays), "seconds": dt, "mrays_per_s": mrps,
+            "efficiency": per_dev / base_per_dev,
+        }
+    return results
+
+
 def train_step_sharded(scene, settings, mesh: Mesh, param_fn, loss_fn,
                        params, sample_start=0, seed=0, axis: str = "dp"):
     """One differentiable render step: pixels sharded over the mesh,
