@@ -18,12 +18,19 @@ Reference parity (and deliberate deltas):
     (MultiplexedMltIntegrator.cpp:88-125).  Here the "technique" axis of
     MMLT collapses to the path length (the PT base sampler has one
     strategy family), selected per chain group.
-  * reversible_jump_mlt — ref reversible_jump_mlt/: adds strategy
+  * reversible_jump_mlt — ref reversible_jump_mlt/: strategy
     perturbations between sampling techniques via path inversion
-    (ReversibleJumpMltTracer.cpp:128-196).  Here a strategy perturbation
-    re-randomizes one bounce's strategy dims while freezing the rest of
-    the tape (a technique-local jump in PSS); full analytic inversion of
-    every BSDF/light pair is not implemented.
+    (ReversibleJumpMltTracer.cpp:128-196).  The jump re-traces the
+    current path, inverts its bounce-b NEE connection direction into
+    the continuation sampler's primary-sample coordinates
+    (bsdf/invert.py — the Bsdf::invert machinery), and proposes the
+    tape that re-expresses the same geometric connection as a bsdf-hit
+    path.  Vertices whose BSDF lacks an inversion (coats, mixed,
+    fibers) fall back to re-randomizing the bounce's dim block.
+    Acceptance stays the Kelemen luminance ratio: the inverted warps
+    are the measure-preserving inverses of the sampling warps, so the
+    PSS proposal density is symmetric up to the discrete
+    technique-choice probabilities (approximated symmetric here).
 
 Estimator: for a batch of S = chains x steps mutations with bootstrap
 normalization b (mean path luminance over uniform PSS), every step
@@ -40,7 +47,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tungsten_tpu.integrators.path_tracer import trace_wave
+from tungsten_tpu.integrators.path_tracer import trace_wave, trace_wave_rj
 from tungsten_tpu.utils import rng
 
 LUM = jnp.asarray([0.2126, 0.7152, 0.0722])
@@ -72,6 +79,28 @@ def _mutate(tape, u):
     v = jnp.where(v < 0.0, v + 1.0, v)
     v = jnp.where(v >= 1.0, v - 1.0, v)
     return v
+
+
+def trace_tape_rj(scene, settings, tape, b_pick, seed):
+    """Trace the CURRENT chain state while inverting, at each chain's
+    chosen bounce, the NEE connection direction back to continuation-
+    sampler coordinates (Bsdf::invert via trace_wave_rj).  Returns
+    (rj_dims (R,4), rj_valid (R,))."""
+    R = tape.shape[0]
+    w, h = settings.width, settings.height
+    x = jnp.minimum((tape[:, 0] * w), w - 1e-3)
+    y = jnp.minimum((tape[:, 1] * h), h - 1e-3)
+    px = x.astype(jnp.int32)
+    py = y.astype(jnp.int32)
+    pixel = (py * w + px).astype(jnp.uint32)
+    t2 = tape.at[:, 0].set(x - px).at[:, 1].set(y - py)
+    mlt_settings = replace(settings, filter="box",
+                           integrator_type="path_tracer")
+    with rng.tape_mode(t2):
+        _, rj_dims, rj_valid = trace_wave_rj(
+            scene, mlt_settings, pixel, jnp.zeros((R,), jnp.uint32),
+            jnp.uint32(seed), b_pick)
+    return rj_dims, rj_valid
 
 
 def trace_tape(scene, settings, tape, seed):
@@ -129,17 +158,34 @@ def _mlt_batch(scene, settings, seed, batch, R: int, n_steps: int,
         fresh = u_mut  # a large step IS a fresh uniform tape
         small = _mutate(tape, u_mut)
         if strategy_prob > 0.0:
-            # reversible-jump-style strategy perturbation: re-randomize
-            # one bounce's strategy dims, freeze everything else
+            # reversible-jump technique swap (ref ReversibleJumpMlt-
+            # Tracer.cpp:128-196): re-trace the current path while
+            # inverting its bounce-b NEE connection direction into the
+            # CONTINUATION sampler's coordinates (Bsdf::invert), then
+            # propose the tape whose bsdf-sample slots aim the
+            # continuation ray at that light point — the same geometric
+            # path re-expressed under the bsdf-hit technique.  Chains
+            # whose vertex BSDF has no inversion (coats/fibers) fall
+            # back to re-randomizing the bounce block.
             strat = (~large) & (u_strat < strategy_prob)
             b_pick = jnp.minimum(
                 (u_bounce * settings.max_bounces).astype(jnp.int32),
                 settings.max_bounces - 1)
+            rj_dims, rj_valid = trace_tape_rj(scene, settings, tape,
+                                              b_pick, seed)
             dim0 = rng.DIMS_CAMERA + b_pick * rng.DIMS_PER_BOUNCE
             dcol = jnp.arange(D, dtype=jnp.int32)[None, :]
             in_block = (dcol >= dim0[:, None]) & \
                 (dcol < dim0[:, None] + rng.DIMS_PER_BOUNCE)
-            strat_tape = jnp.where(in_block, u_mut, tape)
+            swap_tape = tape
+            for j, slot in enumerate((rng.BounceDims.BSDF_LOBE,
+                                      rng.BounceDims.BSDF_SAMPLE,
+                                      rng.BounceDims.BSDF_SAMPLE + 1,
+                                      rng.BounceDims.BSDF_LOBE2)):
+                swap_tape = jnp.where(dcol == (dim0 + slot)[:, None],
+                                      rj_dims[:, j:j + 1], swap_tape)
+            rerand = jnp.where(in_block, u_mut, tape)
+            strat_tape = jnp.where(rj_valid[:, None], swap_tape, rerand)
             small = jnp.where(strat[:, None], strat_tape, small)
         prop_tape = jnp.where(large[:, None], fresh, small)
 

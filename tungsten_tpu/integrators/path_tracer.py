@@ -256,7 +256,7 @@ def _shadow_transmittance(scene, settings, o, d, dist, medium,
 # ----------------------------------------------------------------- NEE
 
 def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
-         detach=False, extra_ray=None, want_tr=False):
+         detach=False, extra_ray=None, want_tr=False, want_dir=False):
     """Next-event estimation with both MIS strategies toward one chosen
     light, at surface vertices (bsdf) or medium vertices (phase).
     ctx: p, is_volume, sp/frame/wi_local (surface), ray_d/phase params
@@ -284,6 +284,8 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
                 res_x = _detach(res_x)
             out = out + (res_x,)
         if want_tr:
+            out = out + ((jnp.zeros((R, 3)), jnp.zeros((R,), bool)),)
+        if want_dir:
             out = out + ((jnp.zeros((R, 3)), jnp.zeros((R,), bool)),)
         return out if len(out) > 1 else z
     is_vol = ctx["is_volume"]
@@ -478,6 +480,11 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
         rets = rets + (res_extra,)
     if want_tr:
         rets = rets + ((tr, do_shadow),)
+    if want_dir:
+        # the light-strategy direction + whether a shadow ray was traced
+        # and reached the light (feeds RJ technique-swap inversion)
+        visible = do_shadow & (jnp.max(tr, axis=-1) > 0.0)
+        rets = rets + ((d, visible),)
     return rets if len(rets) > 1 else out
 
 
@@ -887,15 +894,18 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
                 mi2 = jnp.clip(s["medium"], 0, scene.med_phase.shape[0] - 1)
                 ctx["phase_type"] = scene.med_phase[mi2]
                 ctx["phase_g"] = scene.med_g[mi2]
+            want_dir = "rj_dims" in s
+            rets = _nee(scene, settings, ctx, seed, pixel, sample_idx,
+                        dim_base, detach=detach, extra_ray=cont_ray,
+                        want_tr=settings.track_aovs, want_dir=want_dir)
+            rets = list(rets)
+            nee, res = rets[0], rets[1]
+            k = 2
             if settings.track_aovs:
-                nee, res, (tr_nee, tr_valid) = _nee(
-                    scene, settings, ctx, seed, pixel, sample_idx,
-                    dim_base, detach=detach, extra_ray=cont_ray,
-                    want_tr=True)
-            else:
-                nee, res = _nee(scene, settings, ctx, seed, pixel,
-                                sample_idx, dim_base, detach=detach,
-                                extra_ray=cont_ray)
+                tr_nee, tr_valid = rets[k]
+                k += 1
+            if want_dir:
+                nee_dir, nee_dir_ok = rets[k]
             do_nee = (shade | vol_scatter) & \
                 (bounce < settings.max_bounces - 1)
             if settings.mlt_path_length >= 0:
@@ -958,6 +968,30 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
             aov_recorded = s["aov_recorded"] | rec | esc
             del one
 
+        # ---- RJ technique-swap inversion (ref ReversibleJumpMlt-
+        # Tracer.cpp:128-196): at the chain's chosen bounce, map the
+        # NEE-strategy connection direction back to the CONTINUATION
+        # sampler's primary-sample coordinates via Bsdf::invert, so the
+        # MLT proposal can re-express this path as a bsdf-hit path ----
+        if "rj_dims" in s:
+            from tungsten_tpu.bsdf.invert import bsdf_invert
+            at_b = shade & (bounce == s["rj_b"])
+            if settings.enable_light_sampling and settings.num_lights > 0:
+                wo_l = vm.to_local(tan, bit, ns, nee_dir)
+                mu = jnp.stack(rng.untracked_4d(
+                    seed ^ jnp.uint32(0x52A11CE), pixel, sample_idx,
+                    dim_base), axis=-1)
+                inv = bsdf_invert(sp, wi_local, wo_l,
+                                  settings.present_bsdf_types, mu)
+                take = at_b & nee_dir_ok & inv["valid"]
+                new_dims = jnp.stack([inv["lobe"], inv["u1"],
+                                      inv["u2"], inv["lobe2"]], axis=-1)
+                rj_dims = jnp.where(take[..., None], new_dims,
+                                    s["rj_dims"])
+                rj_valid = s["rj_valid"] | take
+            else:
+                rj_dims, rj_valid = s["rj_dims"], s["rj_valid"]
+
         throughput = thr_next
 
         # ---- next intersection (fused into the NEE traversal above
@@ -998,6 +1032,10 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
             out["aov_normal"] = aov_normal
             out["aov_albedo"] = aov_albedo
             out["aov_vis"] = aov_vis
+        if "rj_dims" in s:
+            out["rj_b"] = s["rj_b"]
+            out["rj_dims"] = rj_dims
+            out["rj_valid"] = rj_valid
         return out
 
     return body
@@ -1019,6 +1057,27 @@ def trace_wave(scene, settings, pixel, sample_idx, seed, with_stats=False):
     if with_stats:
         return final["emission"], final["rays"]
     return final["emission"]
+
+
+def trace_wave_rj(scene, settings, pixel, sample_idx, seed, rj_b):
+    """Trace one sample per entry while recording, at per-ray bounce
+    rj_b, the inverted continuation-sampler coordinates that would aim
+    the bounce's BSDF sample at the NEE-chosen light direction (see the
+    rj block in _make_bounce_body).  Returns (radiance, rj_dims (R,4),
+    rj_valid (R,)) — the raw material for a reversible-jump
+    technique-swap proposal (NEE-connection path -> bsdf-hit path)."""
+    state = _init_state(scene, settings, pixel, sample_idx, seed, False)
+    R = pixel.shape[0]
+    state["rj_b"] = jnp.broadcast_to(jnp.asarray(rj_b, jnp.int32), (R,))
+    state["rj_dims"] = jnp.zeros((R, 4))
+    state["rj_valid"] = jnp.zeros((R,), bool)
+    body = _make_bounce_body(scene, settings, seed)
+
+    def cond(s):
+        return (s["bounce"] < settings.max_bounces) & jnp.any(s["alive"])
+
+    final = jax.lax.while_loop(cond, body, state)
+    return final["emission"], final["rj_dims"], final["rj_valid"]
 
 
 def trace_wave_aovs(scene, settings, pixel, sample_idx, seed):

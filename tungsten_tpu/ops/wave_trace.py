@@ -1,34 +1,32 @@
-"""Pallas TPU ray traversal v3: interval cull + slab-gated MT drain.
+"""Pallas TPU ray traversal v4: interval cull + block-parallel MXU drain.
 
-Replaces the v2 cluster kernel (ops/cluster_trace.py).  Profiling v2 on
-materialtest (80k tris / 640 clusters, 256k coherent rays, v5e) found
-three structural costs, each fixed here:
+v3's drain ran 8 sequential per-warp while-loops, each visiting pending
+clusters with a dense 128x128 VPU Möller-Trumbore leaf.  Profiling on
+the real chip (materialtest, 80k tris, v5e) measured 693 ms / 1M
+coherent rays with the drain accounting for ~670 ms — the VPU leaf is
+the wall, and 7 of 8 warps idle while one drains.
 
-  1. **Cull 7.6 ms**: v2 slab-tests every (ray, cluster) pair — 23k VPU
-     flops/ray.  v3 summarizes each 128-ray warp as an *interval ray*
-     (o in [olo,ohi], d in [dlo,dhi]) and runs ONE conservative
-     interval slab test per (warp, cluster), vectorized (8, NC):
-     ~55 flops per pair, ~100x less cull work.  Conservative: never
-     rejects a cluster any live ray could enter.
-  2. **Per-step IO ~29 us**: v2 re-fetches the cluster tables and 9
-     separate ray blocks every grid step (measured: 9 x 4 KB block
-     DMAs cost ~6 us/step; the 5 MB attr table re-fetch several ms per
-     call).  v3 DMAs all tables into persistent VMEM scratch ONCE at
-     step 0 and packs the 8 per-ray arrays into a single (64, 128)
-     input block and the 4 results into two output blocks.
-  3. **Loose-pending waste**: the interval cull over-approximates per
-     warp, so each drain visit first runs a cheap exact slab test of
-     the 128 rays against the cluster AABB (~4.6k flops) and skips the
-     ~1M-flop Möller-Trumbore leaf when no ray can enter.  This
-     recovers exact-cull work efficiency while keeping the cheap cull.
+v4 keys on the observation that every Möller-Trumbore quantity is
+LINEAR in a 10-dim ray feature vector F = [o, d, m=o x d, 1]:
 
-The drain itself keeps v2's proven shape: per-warp ordered sweeps of
-pending clusters by ascending (entry, id) with a monotone lexicographic
-cursor, early exit when the next entry exceeds every ray's current best
-hit, dense 128-ray x 128-tri Möller-Trumbore leaves (rays on sublanes,
-tris on lanes).  An MXU Plücker-matmul leaf variant was measured
-(ops history: plucker_trace.py): with the f32-faithful HIGHEST matmul
-passes it is no faster than the VPU leaf at K=8, so the VPU leaf stays.
+    det    = -n . d                      (n = e1 x e2)
+    u*det  =  e2 . m - (e2 x v0) . d
+    v*det  = -e1 . m + (e1 x v0) . d
+    t*det  =  n . o  -  n . v0
+
+so one (1024, 16) @ (16, 512) matmul on the MXU — f32-faithful via
+precision HIGHEST — evaluates all four quantities for the whole
+1024-ray block against a 128-triangle cluster at once: the drain
+becomes a single block-level ordered sweep, ~17 MFLOP of MXU work per
+visit instead of ~1 MFLOP of *sequential* VPU work per warp-visit.
+Hit classification is division-free (sign-multiplied comparisons);
+u, v, t divide only where a hit exists.
+
+Phase A (warp-interval cull) is unchanged from v3: each 128-ray warp
+is summarized as an interval ray and slab-tested against every cluster
+conservatively; the block's pending set is the min-entry union over
+its 8 warps.  Each visit is additionally gated by an exact 1024-ray
+slab test against the cluster AABB (cheap: (1024, 1) VPU columns).
 
 This is the embree replacement (ref src/thirdparty/embree rtcIntersect/
 rtcOccluded, used via src/core/renderer/TraceableScene.hpp:112-134).
@@ -43,9 +41,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK = 1024        # rays per grid step: (8, 128)
+BLOCK = 1024        # rays per grid step
 CLUSTER = 128       # triangles per cluster (padded)
 ATTR_ROWS = 16      # rows per cluster attr block (9 used: v0,e1,e2)
+FCOLS = 16          # ray feature columns: o d m 1 tmin tmax pad
 INF = 3.0e38
 NPINF = np.float32(3.0e38)
 BIGI = 1 << 30
@@ -112,55 +111,43 @@ def build_wave_tables(tri_v0, tri_e1, tri_e2):
 
 def _make_kernel(ncp: int, any_hit: bool, debug_phase: int = 2):
 
-    def kernel(rays_ref,                       # (64, 128) packed rays
+    def kernel(f_ref,                          # (1024, 16) ray features
+               w_ref,                          # (8, 16) warp intervals
                boxes_ref,                      # (16, NCp) VMEM
                cbox_ref,                       # (NCp, 8) VMEM
                attr_ref,                       # (NCp*16, 128) VMEM
-               res_ref,                        # (24, 128) packed t,u,v
-               tri_ref,                        # (8, 128) i32
+               res_ref,                        # (1024, 8) f32 t,u,v
+               tri_ref,                        # (1024, 8) i32
+               bmat_ref,                       # (16, 512) scratch
                entry_ref):                     # (8, NCp) f32 scratch
         # tables are full-array VMEM inputs with constant index maps:
-        # Pallas fetches them once and keeps them resident across the
-        # sequential grid steps (measured: a 10.5 MB resident input
-        # costs ~0 per call)
-        ox = rays_ref[0:8, :]
-        oy = rays_ref[8:16, :]
-        oz = rays_ref[16:24, :]
-        dx = rays_ref[24:32, :]
-        dy = rays_ref[32:40, :]
-        dz = rays_ref[40:48, :]
-        tmin = rays_ref[48:56, :]
-        # clamp below the INF miss sentinel so an exhausted warp's
+        # fetched once, resident across the sequential grid steps
+        rtmin = f_ref[:, 10:11]
+        # clamp below the INF miss sentinel so an exhausted block's
         # pending-minimum (INF) can never satisfy `pending <= bound`
-        tmax = jnp.minimum(rays_ref[56:64, :], 1e37)
+        tmax = jnp.minimum(f_ref[:, 11:12], 1e37)
 
         if debug_phase == 0:    # ablation: IO only (isolates DMA/launch)
-            res_ref[0:8, :] = tmax
-            res_ref[8:16, :] = ox
-            res_ref[16:24, :] = attr_ref[0:8, 0:128]
-            tri_ref[:] = jnp.full((8, 128), -1, jnp.int32)
+            res_ref[:, 0:1] = tmax
+            res_ref[:, 1:2] = f_ref[:, 0:1]
+            res_ref[:, 2:3] = attr_ref[0:1024, 0:1]
+            res_ref[:, 3:8] = jnp.zeros((BLOCK, 5), jnp.float32)
+            tri_ref[:] = jnp.full((BLOCK, 8), -1, jnp.int32)
             entry_ref[:, :] = jnp.zeros((8, ncp), jnp.float32)
             return
 
-        live = tmax > 0.0
-
         # ------------- phase A: warp-interval cull -> entry_ref -------
-        def wmin(x):
-            return jnp.min(jnp.where(live, x, INF), axis=1,
-                           keepdims=True)         # (8, 1)
-
-        def wmax(x):
-            return jnp.max(jnp.where(live, x, -INF), axis=1,
-                           keepdims=True)
-
-        olo = (wmin(ox), wmin(oy), wmin(oz))
-        ohi = (wmax(ox), wmax(oy), wmax(oz))
-        dlo = (wmin(dx), wmin(dy), wmin(dz))
-        dhi = (wmax(dx), wmax(dy), wmax(dz))
-        tmin_lo = wmin(tmin)
-        tmax_hi = wmax(tmax)
-        any_live = jnp.max(live.astype(jnp.float32), axis=1,
-                           keepdims=True) > 0.0   # (8, 1)
+        # warp w = rows [w*128, (w+1)*128); each warp is summarized as
+        # an interval ray (precomputed by the XLA wrapper into w_ref —
+        # per-warp segment reductions are awkward layouts in-kernel)
+        # and slab-tested against every cluster at once, (8, NCp)
+        olo = (w_ref[:, 0:1], w_ref[:, 1:2], w_ref[:, 2:3])
+        ohi = (w_ref[:, 3:4], w_ref[:, 4:5], w_ref[:, 5:6])
+        dlo = (w_ref[:, 6:7], w_ref[:, 7:8], w_ref[:, 8:9])
+        dhi = (w_ref[:, 9:10], w_ref[:, 10:11], w_ref[:, 11:12])
+        tmin_lo = w_ref[:, 12:13]
+        tmax_hi = jnp.minimum(w_ref[:, 13:14], 1e37)
+        any_live = w_ref[:, 14:15] > 0.0
 
         tn = jnp.broadcast_to(tmin_lo, (8, ncp))
         tf = jnp.broadcast_to(tmax_hi, (8, ncp))
@@ -198,174 +185,139 @@ def _make_kernel(ncp: int, any_hit: bool, debug_phase: int = 2):
         entry_ref[:, :] = jnp.where(pend, tn, INF)
 
         if debug_phase == 1:    # ablation: cull only, no drain
-            res_ref[0:8, :] = jnp.minimum(entry_ref[0:8, 0:128], tmax)
-            res_ref[8:24, :] = jnp.zeros((16, 128), jnp.float32)
-            tri_ref[:] = jnp.full((8, 128), -1, jnp.int32)
+            # consume the entry table without a cross-layout reshape
+            e_min = jnp.min(entry_ref[:, :])
+            res_ref[:, 0:1] = jnp.minimum(e_min, tmax)
+            res_ref[:, 1:8] = jnp.zeros((BLOCK, 7), jnp.float32)
+            tri_ref[:] = jnp.full((BLOCK, 8), -1, jnp.int32)
             return
 
-        # drain-side ray layout: column w = warp w's 128 rays
-        oxt = ox.T                            # (128, 8)
-        oyt = oy.T
-        ozt = oz.T
-        dxt = dx.T
-        dyt = dy.T
-        dzt = dz.T
-        tmint = tmin.T
-        tmaxt = tmax.T
-
-        lane_tri = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        # block pending set: min entry over the 8 warps
+        e_row = jnp.min(entry_ref[:, :], axis=0, keepdims=True)  # (1,NCp)
         cid_row = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
+        lane_tri = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 128), 1)
 
-        # ------------- phase B: per-warp ordered gated drain -----------
-        # Sequential over warps (pending counts vary wildly).  Each
-        # visit first slab-tests the warp's 128 rays against the
-        # cluster AABB exactly (cheap) and only runs the dense MT leaf
-        # when some ray can enter — the interval cull's false pendings
-        # cost ~0.1 us instead of a full leaf.
-        def make_warp(w):
-            e_row = entry_ref[w:w + 1, :]                 # (1, NCp)
-            rox = oxt[:, w:w + 1]                         # (128, 1)
-            roy = oyt[:, w:w + 1]
-            roz = ozt[:, w:w + 1]
-            rdx = dxt[:, w:w + 1]
-            rdy = dyt[:, w:w + 1]
-            rdz = dzt[:, w:w + 1]
-            rtmin = tmint[:, w:w + 1]
+        def next_pending(cur_e, cur_id):
+            mask = (e_row > cur_e) | ((e_row == cur_e)
+                                      & (cid_row > cur_id))
+            em = jnp.where(mask, e_row, INF)
+            m = jnp.min(em)                           # scalar
+            idx = jnp.min(jnp.where(em == m, cid_row, BIGI))
+            return m, idx
 
-            def safe_inv(x):
-                return 1.0 / jnp.where(jnp.abs(x) < 1e-20,
-                                       jnp.where(x >= 0, 1e-20, -1e-20), x)
+        # ------------- phase B: block-level ordered MXU drain ----------
+        # Drain state (best t/u/v/tri) lives IN the output refs and is
+        # mutated in place, sub-block by sub-block: ref side effects
+        # force sequential scheduling so only one (SUB, 512) family of
+        # temporaries is live at a time (a value-carried (1024, 512)
+        # intermediate set measured 17.3 MB and overflowed VMEM).
+        SUB = 256
+        NSUB = BLOCK // SUB
+        lane_sub = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
 
-            rix = safe_inv(rdx)
-            riy = safe_inv(rdy)
-            riz = safe_inv(rdz)
+        res_ref[:, 0:1] = tmax
+        res_ref[:, 1:8] = jnp.zeros((BLOCK, 7), jnp.float32)
+        tri_ref[:] = jnp.full((BLOCK, 8), -1, jnp.int32)
 
-            def next_pending(cur_e, cur_id, e_row=e_row):
-                mask = (e_row > cur_e) | ((e_row == cur_e)
-                                          & (cid_row > cur_id))
-                em = jnp.where(mask, e_row, INF)
-                m = jnp.min(em)                           # scalar
-                idx = jnp.min(jnp.where(em == m, cid_row, BIGI))
-                return m, idx
+        def leaf(cw):
+            """One (1024 rays) x (128 tris) visit on the MXU."""
+            blk = attr_ref[pl.ds(pl.multiple_of(cw * ATTR_ROWS,
+                                                ATTR_ROWS),
+                                 ATTR_ROWS), :]
+            v0r = blk[0:3, :]                         # (3, 128)
+            e1r = blk[3:6, :]
+            e2r = blk[6:9, :]
 
-            def leaf(cw, tb_w, tr_b, uu_b, vv_b, rox=rox, roy=roy,
-                     roz=roz, rdx=rdx, rdy=rdy, rdz=rdz, rtmin=rtmin):
-                blk = attr_ref[pl.ds(pl.multiple_of(cw * ATTR_ROWS,
-                                                    ATTR_ROWS),
-                                     ATTR_ROWS), :]
-                v0x = blk[0:1, :]                         # (1,128) tris
-                v0y = blk[1:2, :]
-                v0z = blk[2:3, :]
-                e1x = blk[3:4, :]
-                e1y = blk[4:5, :]
-                e1z = blk[5:6, :]
-                e2x = blk[6:7, :]
-                e2y = blk[7:8, :]
-                e2z = blk[8:9, :]
+            def cross_rows(a, b):
+                return jnp.concatenate([
+                    a[1:2] * b[2:3] - a[2:3] * b[1:2],
+                    a[2:3] * b[0:1] - a[0:1] * b[2:3],
+                    a[0:1] * b[1:2] - a[1:2] * b[0:1]], axis=0)
 
-                px = rdy * e2z - rdz * e2y                # (128,128)
-                py = rdz * e2x - rdx * e2z
-                pz = rdx * e2y - rdy * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                inv = jnp.where(jnp.abs(det) > 1e-16, 1.0 / det, 0.0)
-                tx = rox - v0x
-                ty = roy - v0y
-                tz = roz - v0z
-                uu = (tx * px + ty * py + tz * pz) * inv
-                qx = ty * e1z - tz * e1y
-                qy = tz * e1x - tx * e1z
-                qz = tx * e1y - ty * e1x
-                vv = (rdx * qx + rdy * qy + rdz * qz) * inv
-                tt = (e2x * qx + e2y * qy + e2z * qz) * inv
-                ok = ((uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                      & (tt > rtmin) & (tt < tb_w) & (inv != 0.0))
-                tc = jnp.where(ok, tt, INF)
-                tmin_r = jnp.min(tc, axis=1, keepdims=True)   # (128,1)
-                got = tmin_r < tb_w
+            nr = cross_rows(e1r, e2r)                 # n = e1 x e2
+            e2v0 = cross_rows(e2r, v0r)               # e2 x v0
+            e1v0 = cross_rows(e1r, v0r)               # e1 x v0
+            nv0 = jnp.sum(nr * v0r, axis=0, keepdims=True)  # (1,128)
+
+            # B (16, 512): quantity-major column groups
+            #   [0:128]=det  [128:256]=u*det  [256:384]=v*det
+            #   [384:512]=t*det, feature rows o(0:3) d(3:6) m(6:9) 1(9)
+            bmat_ref[:, :] = jnp.zeros((16, 512), jnp.float32)
+            bmat_ref[3:6, 0:128] = -nr                 # det = -n.d
+            bmat_ref[3:6, 128:256] = -e2v0             # u: -(e2 x v0).d
+            bmat_ref[6:9, 128:256] = e2r               # u: +e2.m
+            bmat_ref[3:6, 256:384] = e1v0              # v: +(e1 x v0).d
+            bmat_ref[6:9, 256:384] = -e1r              # v: -e1.m
+            bmat_ref[0:3, 384:512] = nr                # t: +n.o
+            bmat_ref[9:10, 384:512] = -nv0             # t: -n.v0
+
+            for h in range(NSUB):
+                r0 = h * SUB
+                tb_h = res_ref[pl.ds(r0, SUB), 0:1]
+                s = jax.lax.dot_general(
+                    f_ref[pl.ds(r0, SUB), :], bmat_ref[:],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)  # (SUB, 512)
+                det = s[:, 0:128]
+                u_num = s[:, 128:256]
+                v_num = s[:, 256:384]
+                t_num = s[:, 384:512]
+
+                sg = jnp.where(det >= 0.0, 1.0, -1.0)
+                ad = jnp.abs(det)
+                un = u_num * sg
+                vn = v_num * sg
+                tn_ = t_num * sg
+                ok = ((un >= 0.0) & (vn >= 0.0) & (un + vn <= ad)
+                      & (tn_ > rtmin[r0:r0 + SUB, :] * ad)
+                      & (tn_ < tb_h * ad)
+                      & (ad > 1e-16))
+                tc = jnp.where(ok, tn_ / jnp.maximum(ad, 1e-30), INF)
+                tmin_r = jnp.min(tc, axis=1, keepdims=True)  # (SUB,1)
+                got = tmin_r < tb_h
                 sel = (tc == tmin_r) & ok
-                kidx = jnp.min(jnp.where(sel, lane_tri, BIGI),
+                kidx = jnp.min(jnp.where(sel, lane_sub, BIGI),
                                axis=1, keepdims=True)
-                pick = sel & (lane_tri == kidx)
-                su = jnp.sum(jnp.where(pick, uu, 0.0), axis=1,
-                             keepdims=True)
-                sv = jnp.sum(jnp.where(pick, vv, 0.0), axis=1,
-                             keepdims=True)
+                pick = sel & (lane_sub == kidx)
+                inv_ad = jnp.where(pick,
+                                   1.0 / jnp.maximum(ad, 1e-30), 0.0)
+                su = jnp.sum(un * inv_ad, axis=1, keepdims=True)
+                sv = jnp.sum(vn * inv_ad, axis=1, keepdims=True)
                 sid = cw * CLUSTER + jnp.where(kidx == BIGI, 0, kidx)
 
                 if any_hit:
                     # occluded rays stop participating entirely
-                    tb2 = jnp.where(got, -INF, tb_w)
+                    res_ref[pl.ds(r0, SUB), 0:1] = \
+                        jnp.where(got, -INF, tb_h)
                 else:
-                    tb2 = jnp.where(got, tmin_r, tb_w)
-                tr2 = jnp.where(got, sid, tr_b)
-                uu2 = jnp.where(got, su, uu_b)
-                vv2 = jnp.where(got, sv, vv_b)
-                return tb2, tr2, uu2, vv2
+                    res_ref[pl.ds(r0, SUB), 0:1] = \
+                        jnp.where(got, tmin_r, tb_h)
+                res_ref[pl.ds(r0, SUB), 1:2] = \
+                    jnp.where(got, su, res_ref[pl.ds(r0, SUB), 1:2])
+                res_ref[pl.ds(r0, SUB), 2:3] = \
+                    jnp.where(got, sv, res_ref[pl.ds(r0, SUB), 2:3])
+                tri_ref[pl.ds(r0, SUB), 0:1] = \
+                    jnp.where(got, sid, tri_ref[pl.ds(r0, SUB), 0:1])
 
-            def visit_once(s, rox=rox, roy=roy, roz=roz, rix=rix,
-                           riy=riy, riz=riz, rtmin=rtmin,
-                           next_pending=next_pending, leaf=leaf):
-                m, cw, tb_w, tr_b, uu_b, vv_b = s
-                # clamp a past-the-end cursor to a real cluster: extra
-                # tests are wasteful but never wrong
-                cw = jnp.minimum(cw, ncp - 1)
-                # exact per-ray slab gate (the interval cull is loose)
-                lox = cbox_ref[cw, 0]
-                loy = cbox_ref[cw, 1]
-                loz = cbox_ref[cw, 2]
-                hix = cbox_ref[cw, 3]
-                hiy = cbox_ref[cw, 4]
-                hiz = cbox_ref[cw, 5]
-                t0x = (lox - rox) * rix                   # (128,1)
-                t1x = (hix - rox) * rix
-                t0y = (loy - roy) * riy
-                t1y = (hiy - roy) * riy
-                t0z = (loz - roz) * riz
-                t1z = (hiz - roz) * riz
-                stn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                              jnp.minimum(t0y, t1y)),
-                                  jnp.maximum(jnp.minimum(t0z, t1z),
-                                              rtmin))
-                stf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                              jnp.maximum(t0y, t1y)),
-                                  jnp.minimum(jnp.maximum(t0z, t1z),
-                                              tb_w))
-                enter = jnp.any(stn <= stf * 1.00000024)
+        def visit_once(s):
+            m, cw = s
+            # clamp a past-the-end cursor to a real cluster: extra
+            # tests are wasteful but never wrong.  No per-visit slab
+            # gate: the ordered sweep + loop bound already imply a
+            # block-level gate, and a per-ray (1024, 1)-column slab
+            # test measured MORE expensive than the MXU leaf it skips
+            # (column layouts use 1 of 128 VPU lanes).
+            cw = jnp.minimum(cw, ncp - 1)
+            leaf(cw)
+            return next_pending(m, cw)
 
-                tb2, tr2, uu2, vv2 = jax.lax.cond(
-                    enter, lambda a: leaf(cw, *a), lambda a: a,
-                    (tb_w, tr_b, uu_b, vv_b))
-                m2, cw2 = next_pending(m, cw)
-                return m2, cw2, tb2, tr2, uu2, vv2
+        m0, c0 = next_pending(jnp.float32(-INF), jnp.int32(-1))
 
-            tb0 = tmaxt[:, w:w + 1]                       # (128, 1)
-            m0, c0 = next_pending(jnp.float32(-INF), jnp.int32(-1))
-            init = (m0, c0, tb0,
-                    jnp.full((128, 1), -1, jnp.int32),
-                    jnp.zeros((128, 1), jnp.float32),
-                    jnp.zeros((128, 1), jnp.float32))
-            return init, visit_once
+        def wcond(s):
+            return s[0] <= jnp.max(res_ref[:, 0:1])
 
-        inits, visits = zip(*[make_warp(w) for w in range(8)])
-        finals = []
-        for w in range(8):
-            def wcond(s):
-                return s[0] <= jnp.max(s[2])
-
-            def wbody(s, visit=visits[w]):
-                # two clusters per iteration amortize loop latching;
-                # a past-the-end second visit is a safe no-op
-                return visit(visit(s))
-
-            finals.append(jax.lax.while_loop(wcond, wbody, inits[w]))
-
-        res_ref[0:8, :] = jnp.concatenate([f[2] for f in finals],
-                                          axis=1).T
-        res_ref[8:16, :] = jnp.concatenate([f[4] for f in finals],
-                                           axis=1).T
-        res_ref[16:24, :] = jnp.concatenate([f[5] for f in finals],
-                                            axis=1).T
-        tri_ref[:] = jnp.concatenate([f[3] for f in finals], axis=1).T
+        jax.lax.while_loop(wcond, visit_once, (m0, c0))
 
     return kernel
 
@@ -383,41 +335,66 @@ def wave_intersect(boxes, cbox, attr, remap, o, d, t_min, t_max,
     R = o.shape[0]
     G = R // BLOCK
 
-    def comp(x):
-        return x.reshape(G, 8, 128)
+    m = jnp.cross(o, d)
+    ones = jnp.ones((R, 1))
+    tmin_c = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32),
+                              (R,))[:, None]
+    tmax_c = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                              (R,))[:, None]
+    f = jnp.concatenate([
+        o, d, m, ones, tmin_c, tmax_c, jnp.zeros((R, 4)),
+    ], axis=1).reshape(G, BLOCK, FCOLS)
 
-    packed = jnp.concatenate([
-        comp(o[:, 0]), comp(o[:, 1]), comp(o[:, 2]),
-        comp(d[:, 0]), comp(d[:, 1]), comp(d[:, 2]),
-        comp(jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))),
-        comp(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))),
-    ], axis=1)                                    # (G, 64, 128)
+    # per-warp interval-ray summaries (dead rays excluded): the
+    # kernel's phase-A cull inputs, reduced here where segment
+    # reductions are a trivial XLA reshape
+    live = (tmax_c > 0.0).reshape(G, 8, 128, 1)
+    od = jnp.concatenate([o, d], axis=1).reshape(G, 8, 128, 6)
+    wlo = jnp.min(jnp.where(live, od, INF), axis=2)     # (G, 8, 6)
+    whi = jnp.max(jnp.where(live, od, -INF), axis=2)
+    tmin_w = jnp.min(jnp.where(live[..., 0],
+                               tmin_c.reshape(G, 8, 128), INF),
+                     axis=2, keepdims=True)
+    tmax_w = jnp.max(jnp.where(live[..., 0],
+                               tmax_c.reshape(G, 8, 128), -INF),
+                     axis=2, keepdims=True)
+    alive_w = jnp.max(live[..., 0].astype(jnp.float32), axis=2,
+                      keepdims=True)
+    w = jnp.concatenate([
+        wlo[..., 0:3], whi[..., 0:3],       # olo, ohi
+        wlo[..., 3:6], whi[..., 3:6],       # dlo, dhi
+        tmin_w, tmax_w, alive_w,
+        jnp.zeros((G, 8, 1)),
+    ], axis=-1)                              # (G, 8, 16)
 
-    rays_spec = pl.BlockSpec((None, 64, 128), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
-    res_spec = pl.BlockSpec((None, 24, 128), lambda i: (i, 0, 0),
+    f_spec = pl.BlockSpec((None, BLOCK, FCOLS), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((None, 8, 16), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    res_spec = pl.BlockSpec((None, BLOCK, 8), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    tri_spec = pl.BlockSpec((None, 8, 128), lambda i: (i, 0, 0),
+    tri_spec = pl.BlockSpec((None, BLOCK, 8), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     res, tri = pl.pallas_call(
         _make_kernel(ncp, any_hit, debug_phase),
         grid=(G,),
-        in_specs=[rays_spec, full, full, full],
+        in_specs=[f_spec, w_spec, full, full, full],
         out_specs=[res_spec, tri_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((G, 24, 128), jnp.float32),
-            jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((G, BLOCK, 8), jnp.float32),
+            jax.ShapeDtypeStruct((G, BLOCK, 8), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((8, ncp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((16, 512), jnp.float32),
+                        pltpu.VMEM((8, ncp), jnp.float32)],
         interpret=interpret,
-    )(packed, boxes, cbox, attr)
+    )(f, w, boxes, cbox, attr)
 
-    t = res[:, 0:8, :].reshape(R)
-    u = res[:, 8:16, :].reshape(R)
-    v = res[:, 16:24, :].reshape(R)
-    tri = tri.reshape(R)
+    t = res[:, :, 0].reshape(R)
+    u = res[:, :, 1].reshape(R)
+    v = res[:, :, 2].reshape(R)
+    tri = tri[:, :, 0].reshape(R)
     if any_hit:
         hit_ok = t <= -1.0
     else:

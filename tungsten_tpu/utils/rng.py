@@ -167,6 +167,21 @@ def random_1d(seed, pixel, sample_idx, dim):
     return _to_unit_float(x)
 
 
+def untracked_4d(seed, pixel, sample_idx, dim):
+    """Four uniforms that BYPASS tape mode — the reference's
+    WritablePathSampleGenerator::untracked1D analog: helper randomness
+    for inversion (discrete-branch choices, free dims) that must not
+    consume or disturb the primary-sample-space tape."""
+    x, y, z, w = _pcg4d(
+        jnp.asarray(pixel).astype(jnp.uint32),
+        jnp.asarray(sample_idx).astype(jnp.uint32),
+        jnp.asarray(dim).astype(jnp.uint32),
+        jnp.asarray(seed).astype(jnp.uint32),
+    )
+    return (_to_unit_float(x), _to_unit_float(y),
+            _to_unit_float(z), _to_unit_float(w))
+
+
 def random_2d(seed, pixel, sample_idx, dim):
     """Two uniform floats; consumes dims [dim, dim+1] in the static layout."""
     if _TAPE is not None:
