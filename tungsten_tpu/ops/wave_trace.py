@@ -111,28 +111,32 @@ def build_wave_tables(tri_v0, tri_e1, tri_e2):
 
 def _make_kernel(ncp: int, any_hit: bool, debug_phase: int = 2):
 
-    def kernel(f_ref,                          # (1024, 16) ray features
+    def kernel(ft_ref,                         # (16, 1024) ray features^T
                w_ref,                          # (8, 16) warp intervals
                boxes_ref,                      # (16, NCp) VMEM
                cbox_ref,                       # (NCp, 8) VMEM
                attr_ref,                       # (NCp*16, 128) VMEM
-               res_ref,                        # (1024, 8) f32 t,u,v
-               tri_ref,                        # (1024, 8) i32
+               res_ref,                        # (8, 1024) f32 t,u,v rows
+               tri_ref,                        # (8, 1024) i32 row 0
                bmat_ref,                       # (16, 512) scratch
                entry_ref):                     # (8, NCp) f32 scratch
         # tables are full-array VMEM inputs with constant index maps:
-        # fetched once, resident across the sequential grid steps
-        rtmin = f_ref[:, 10:11]
+        # fetched once, resident across the sequential grid steps.
+        # RAYS LIVE ON LANES: every per-ray quantity is a (rows, 1024)
+        # tile so the VPU runs at full width (column layouts like
+        # (1024, 1) use 1 of 128 lanes and measured 10x slower).
+        rtmin = ft_ref[10:11, :]
         # clamp below the INF miss sentinel so an exhausted block's
         # pending-minimum (INF) can never satisfy `pending <= bound`
-        tmax = jnp.minimum(f_ref[:, 11:12], 1e37)
+        tmax = jnp.minimum(ft_ref[11:12, :], 1e37)
 
         if debug_phase == 0:    # ablation: IO only (isolates DMA/launch)
-            res_ref[:, 0:1] = tmax
-            res_ref[:, 1:2] = f_ref[:, 0:1]
-            res_ref[:, 2:3] = attr_ref[0:1024, 0:1]
-            res_ref[:, 3:8] = jnp.zeros((BLOCK, 5), jnp.float32)
-            tri_ref[:] = jnp.full((BLOCK, 8), -1, jnp.int32)
+            res_ref[0:1, :] = tmax
+            res_ref[1:2, :] = ft_ref[0:1, :]
+            res_ref[2:3, :] = jnp.broadcast_to(attr_ref[0:1, 0:1],
+                                               (1, BLOCK))
+            res_ref[3:8, :] = jnp.zeros((5, BLOCK), jnp.float32)
+            tri_ref[:] = jnp.full((8, BLOCK), -1, jnp.int32)
             entry_ref[:, :] = jnp.zeros((8, ncp), jnp.float32)
             return
 
@@ -187,15 +191,16 @@ def _make_kernel(ncp: int, any_hit: bool, debug_phase: int = 2):
         if debug_phase == 1:    # ablation: cull only, no drain
             # consume the entry table without a cross-layout reshape
             e_min = jnp.min(entry_ref[:, :])
-            res_ref[:, 0:1] = jnp.minimum(e_min, tmax)
-            res_ref[:, 1:8] = jnp.zeros((BLOCK, 7), jnp.float32)
-            tri_ref[:] = jnp.full((BLOCK, 8), -1, jnp.int32)
+            res_ref[0:1, :] = jnp.minimum(e_min, tmax)
+            res_ref[1:8, :] = jnp.zeros((7, BLOCK), jnp.float32)
+            tri_ref[:] = jnp.full((8, BLOCK), -1, jnp.int32)
             return
 
         # block pending set: min entry over the 8 warps
         e_row = jnp.min(entry_ref[:, :], axis=0, keepdims=True)  # (1,NCp)
         cid_row = jax.lax.broadcasted_iota(jnp.int32, (1, ncp), 1)
-        lane_tri = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 128), 1)
+        # triangle ids on SUBLANES of the (128, 1024) leaf outputs
+        sub_tri = jax.lax.broadcasted_iota(jnp.int32, (128, BLOCK), 0)
 
         def next_pending(cur_e, cur_id):
             mask = (e_row > cur_e) | ((e_row == cur_e)
@@ -206,18 +211,14 @@ def _make_kernel(ncp: int, any_hit: bool, debug_phase: int = 2):
             return m, idx
 
         # ------------- phase B: block-level ordered MXU drain ----------
-        # Drain state (best t/u/v/tri) lives IN the output refs and is
-        # mutated in place, sub-block by sub-block: ref side effects
-        # force sequential scheduling so only one (SUB, 512) family of
-        # temporaries is live at a time (a value-carried (1024, 512)
-        # intermediate set measured 17.3 MB and overflowed VMEM).
-        SUB = 256
-        NSUB = BLOCK // SUB
-        lane_sub = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
-
-        res_ref[:, 0:1] = tmax
-        res_ref[:, 1:8] = jnp.zeros((BLOCK, 7), jnp.float32)
-        tri_ref[:] = jnp.full((BLOCK, 8), -1, jnp.int32)
+        # One visit = one matmul B^T(16,512) x F^T(16,1024) -> (512,
+        # 1024): rows are 4 quantity groups x 128 triangles, columns are
+        # the block's 1024 rays.  Per-ray reductions run over SUBLANES
+        # (the 128-triangle axis); drain state is (1, 1024) rows of the
+        # output refs, mutated in place.
+        res_ref[0:1, :] = tmax
+        res_ref[1:8, :] = jnp.zeros((7, BLOCK), jnp.float32)
+        tri_ref[:] = jnp.full((8, BLOCK), -1, jnp.int32)
 
         def leaf(cw):
             """One (1024 rays) x (128 tris) visit on the MXU."""
@@ -251,71 +252,69 @@ def _make_kernel(ncp: int, any_hit: bool, debug_phase: int = 2):
             bmat_ref[0:3, 384:512] = nr                # t: +n.o
             bmat_ref[9:10, 384:512] = -nv0             # t: -n.v0
 
-            for h in range(NSUB):
-                r0 = h * SUB
-                tb_h = res_ref[pl.ds(r0, SUB), 0:1]
-                s = jax.lax.dot_general(
-                    f_ref[pl.ds(r0, SUB), :], bmat_ref[:],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)  # (SUB, 512)
-                det = s[:, 0:128]
-                u_num = s[:, 128:256]
-                v_num = s[:, 256:384]
-                t_num = s[:, 384:512]
+            tb = res_ref[0:1, :]                       # (1, 1024)
+            s = jax.lax.dot_general(
+                bmat_ref[:], ft_ref[:],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)    # (512, 1024)
+            det = s[0:128, :]
+            u_num = s[128:256, :]
+            v_num = s[256:384, :]
+            t_num = s[384:512, :]
 
-                sg = jnp.where(det >= 0.0, 1.0, -1.0)
-                ad = jnp.abs(det)
-                un = u_num * sg
-                vn = v_num * sg
-                tn_ = t_num * sg
-                ok = ((un >= 0.0) & (vn >= 0.0) & (un + vn <= ad)
-                      & (tn_ > rtmin[r0:r0 + SUB, :] * ad)
-                      & (tn_ < tb_h * ad)
-                      & (ad > 1e-16))
-                tc = jnp.where(ok, tn_ / jnp.maximum(ad, 1e-30), INF)
-                tmin_r = jnp.min(tc, axis=1, keepdims=True)  # (SUB,1)
-                got = tmin_r < tb_h
-                sel = (tc == tmin_r) & ok
-                kidx = jnp.min(jnp.where(sel, lane_sub, BIGI),
-                               axis=1, keepdims=True)
-                pick = sel & (lane_sub == kidx)
-                inv_ad = jnp.where(pick,
-                                   1.0 / jnp.maximum(ad, 1e-30), 0.0)
-                su = jnp.sum(un * inv_ad, axis=1, keepdims=True)
-                sv = jnp.sum(vn * inv_ad, axis=1, keepdims=True)
-                sid = cw * CLUSTER + jnp.where(kidx == BIGI, 0, kidx)
+            sg = jnp.where(det >= 0.0, 1.0, -1.0)
+            ad = jnp.abs(det)
+            un = u_num * sg
+            vn = v_num * sg
+            tn_ = t_num * sg
+            ok = ((un >= 0.0) & (vn >= 0.0) & (un + vn <= ad)
+                  & (tn_ > rtmin * ad) & (tn_ < tb * ad)
+                  & (ad > 1e-16))
+            tc = jnp.where(ok, tn_ / jnp.maximum(ad, 1e-30), INF)
+            tmin_r = jnp.min(tc, axis=0, keepdims=True)    # (1, 1024)
+            got = tmin_r < tb
+            sel = (tc == tmin_r) & ok
+            kidx = jnp.min(jnp.where(sel, sub_tri, BIGI),
+                           axis=0, keepdims=True)
+            pick = sel & (sub_tri == kidx)
+            inv_ad = jnp.where(pick, 1.0 / jnp.maximum(ad, 1e-30), 0.0)
+            su = jnp.sum(un * inv_ad, axis=0, keepdims=True)
+            sv = jnp.sum(vn * inv_ad, axis=0, keepdims=True)
+            sid = cw * CLUSTER + jnp.where(kidx == BIGI, 0, kidx)
 
-                if any_hit:
-                    # occluded rays stop participating entirely
-                    res_ref[pl.ds(r0, SUB), 0:1] = \
-                        jnp.where(got, -INF, tb_h)
-                else:
-                    res_ref[pl.ds(r0, SUB), 0:1] = \
-                        jnp.where(got, tmin_r, tb_h)
-                res_ref[pl.ds(r0, SUB), 1:2] = \
-                    jnp.where(got, su, res_ref[pl.ds(r0, SUB), 1:2])
-                res_ref[pl.ds(r0, SUB), 2:3] = \
-                    jnp.where(got, sv, res_ref[pl.ds(r0, SUB), 2:3])
-                tri_ref[pl.ds(r0, SUB), 0:1] = \
-                    jnp.where(got, sid, tri_ref[pl.ds(r0, SUB), 0:1])
+            if any_hit:
+                # occluded rays stop participating entirely
+                res_ref[0:1, :] = jnp.where(got, -INF, tb)
+            else:
+                res_ref[0:1, :] = jnp.where(got, tmin_r, tb)
+            res_ref[1:2, :] = jnp.where(got, su, res_ref[1:2, :])
+            res_ref[2:3, :] = jnp.where(got, sv, res_ref[2:3, :])
+            tri_ref[0:1, :] = jnp.where(got, sid, tri_ref[0:1, :])
+
+        if debug_phase == 3:
+            # ablation: fixed 16-visit drain, no ordering/early-exit —
+            # isolates pure leaf throughput from sweep overhead
+            def fixed_body(i, _):
+                leaf(jnp.minimum(i, ncp - 1))
+                return 0
+            jax.lax.fori_loop(0, 16, fixed_body, 0)
+            return
 
         def visit_once(s):
             m, cw = s
             # clamp a past-the-end cursor to a real cluster: extra
-            # tests are wasteful but never wrong.  No per-visit slab
-            # gate: the ordered sweep + loop bound already imply a
-            # block-level gate, and a per-ray (1024, 1)-column slab
-            # test measured MORE expensive than the MXU leaf it skips
-            # (column layouts use 1 of 128 VPU lanes).
+            # tests are wasteful but never wrong
             cw = jnp.minimum(cw, ncp - 1)
             leaf(cw)
+            # visit counter for profiling (row 3 of the result block)
+            res_ref[3:4, :] = res_ref[3:4, :] + 1.0
             return next_pending(m, cw)
 
         m0, c0 = next_pending(jnp.float32(-INF), jnp.int32(-1))
 
         def wcond(s):
-            return s[0] <= jnp.max(res_ref[:, 0:1])
+            return s[0] <= jnp.max(res_ref[0:1, :])
 
         jax.lax.while_loop(wcond, visit_once, (m0, c0))
 
@@ -341,9 +340,11 @@ def wave_intersect(boxes, cbox, attr, remap, o, d, t_min, t_max,
                               (R,))[:, None]
     tmax_c = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
                               (R,))[:, None]
+    # transposed feature layout (G, 16, 1024): rays on lanes — the
+    # kernel's native layout (see kernel docstring)
     f = jnp.concatenate([
         o, d, m, ones, tmin_c, tmax_c, jnp.zeros((R, 4)),
-    ], axis=1).reshape(G, BLOCK, FCOLS)
+    ], axis=1).reshape(G, BLOCK, FCOLS).transpose(0, 2, 1)
 
     # per-warp interval-ray summaries (dead rays excluded): the
     # kernel's phase-A cull inputs, reduced here where segment
@@ -367,13 +368,13 @@ def wave_intersect(boxes, cbox, attr, remap, o, d, t_min, t_max,
         jnp.zeros((G, 8, 1)),
     ], axis=-1)                              # (G, 8, 16)
 
-    f_spec = pl.BlockSpec((None, BLOCK, FCOLS), lambda i: (i, 0, 0),
+    f_spec = pl.BlockSpec((None, FCOLS, BLOCK), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((None, 8, 16), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
-    res_spec = pl.BlockSpec((None, BLOCK, 8), lambda i: (i, 0, 0),
+    res_spec = pl.BlockSpec((None, 8, BLOCK), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    tri_spec = pl.BlockSpec((None, BLOCK, 8), lambda i: (i, 0, 0),
+    tri_spec = pl.BlockSpec((None, 8, BLOCK), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -383,18 +384,18 @@ def wave_intersect(boxes, cbox, attr, remap, o, d, t_min, t_max,
         in_specs=[f_spec, w_spec, full, full, full],
         out_specs=[res_spec, tri_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((G, BLOCK, 8), jnp.float32),
-            jax.ShapeDtypeStruct((G, BLOCK, 8), jnp.int32),
+            jax.ShapeDtypeStruct((G, 8, BLOCK), jnp.float32),
+            jax.ShapeDtypeStruct((G, 8, BLOCK), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((16, 512), jnp.float32),
                         pltpu.VMEM((8, ncp), jnp.float32)],
         interpret=interpret,
     )(f, w, boxes, cbox, attr)
 
-    t = res[:, :, 0].reshape(R)
-    u = res[:, :, 1].reshape(R)
-    v = res[:, :, 2].reshape(R)
-    tri = tri[:, :, 0].reshape(R)
+    t = res[:, 0, :].reshape(R)
+    u = res[:, 1, :].reshape(R)
+    v = res[:, 2, :].reshape(R)
+    tri = tri[:, 0, :].reshape(R)
     if any_hit:
         hit_ok = t <= -1.0
     else:
