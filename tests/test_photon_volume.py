@@ -1,0 +1,73 @@
+"""Volume photon map (points) tests: deposits at medium scatter events
+and camera-segment marching gather (ref src/core/integrators/photon_map/
+PhotonMapIntegrator.hpp:36-71 volume maps, PhotonTracer volume deposit).
+"""
+import numpy as np
+import jax.numpy as jnp
+from dataclasses import replace
+
+from tungsten_tpu.scene.parse import SceneDesc
+from tungsten_tpu.scene.flatten import flatten_scene
+
+
+def _fog_scene(spp=4, w=24, h=16):
+    """A lamp in homogeneous fog over a floor: single scattering makes
+    the fog glow — visible to both PT and the volume photon map."""
+    return SceneDesc(
+        path="/tmp/fog.json", json={},
+        bsdfs=[{"type": "lambert", "albedo": 0.5}],
+        primitives=[
+            # fog-room binding: every prim's exterior is the fog, so
+            # photons leave the lamp INTO the medium (root med =
+            # emitter ext_medium, ref PathVertex::sampleRootVertex)
+            {"type": "quad", "bsdf_index": 0, "emission": [20.0] * 3,
+             "ext_medium_index": 0,
+             "transform": {"position": [0, 2.2, 0], "scale": 1.0,
+                           "rotation": [0, 0, 180]}},
+            {"type": "quad", "bsdf_index": 0, "ext_medium_index": 0,
+             "transform": {"position": [0, -1, 0], "scale": [8, 1, 8]}},
+        ],
+        media=[{"type": "homogeneous", "sigma_a": 0.02,
+                "sigma_s": 0.25}],
+        camera={"type": "pinhole", "resolution": [w, h], "fov": 60,
+                "medium_index": 0,
+                "transform": {"position": [0, 0.5, 4.0],
+                              "look_at": [0, 0.5, 0]}},
+        integrator={"type": "photon_map", "max_bounces": 6,
+                    "photon_count": 1 << 16, "gather_radius": 0.25,
+                    "volume_gather_radius": 0.3,
+                    "gather_photon_count": 16},
+        renderer={"spp": spp})
+
+
+def test_volume_photons_deposited():
+    from tungsten_tpu.integrators.photon_map import trace_photons
+    scene, settings = flatten_scene(_fog_scene())
+    ph = trace_photons(scene, settings, 4096, np.uint32(7), np.uint32(0))
+    valid = np.asarray(ph["valid"])
+    vol = np.asarray(ph["vol"])
+    assert valid.any()
+    # the fog scatters a decent share of photons before any surface
+    frac_vol = (valid & vol).sum() / max(valid.sum(), 1)
+    assert frac_vol > 0.1, f"volume deposit fraction {frac_vol}"
+    # volume photons carry finite positive power
+    pw = np.asarray(ph["power"])[valid & vol]
+    assert np.isfinite(pw).all() and (pw >= 0).all() and pw.max() > 0
+
+
+def test_volume_gather_adds_fog_glow():
+    # with the volume map, pixels that look through fog ABOVE the lamp
+    # (no surface behind their path except distant floor) gain radiance
+    from tungsten_tpu.render import render
+    scene, settings = flatten_scene(_fog_scene())
+    img_pm = np.asarray(render(scene, settings, spp=2))
+    assert np.isfinite(img_pm).all()
+    assert img_pm.mean() > 0
+    # PT cross-check: same scene by path tracing at higher spp
+    s_pt = replace(settings, integrator_type="path_tracer")
+    img_pt = np.asarray(render(scene, s_pt, spp=48))
+    # global brightness parity (volume map is a biased estimator; the
+    # agreement bar is loose but meaningful: missing in-scatter would
+    # read ~0 in the fog regions)
+    ratio = img_pm.mean() / max(img_pt.mean(), 1e-9)
+    assert 0.4 < ratio < 2.5, f"photon/pt brightness ratio {ratio}"

@@ -1,7 +1,8 @@
 """Skydome: analytic sky bake + envmap integration.
 
 Reference behavior: src/core/primitives/Skydome.cpp (Hosek bake -> env
-texture; this build uses the Preetham analytic model, see scene/sky.py).
+texture; this build evaluates Hosek-Wilkie from the published RGB
+dataset with a Preetham fallback, see scene/sky.py).
 """
 import numpy as np
 import jax.numpy as jnp
@@ -23,18 +24,27 @@ def test_sky_basic_shape():
 
 
 def test_sky_sun_region_brightest():
+    # Hosek has a strong horizon glow, so the global peak may sit at
+    # the horizon UNDER the sun rather than in the aureole; assert
+    # (a) the peak shares the sun's azimuth and (b) the circumsolar
+    # direction clearly outshines the anti-solar direction at the same
+    # elevation (forward-scattering mie lobe)
     sun = np.array([0.0, 0.5, 0.866])
     img = generate_sky(sun, turbidity=2.5, width=256, height=128)
     lum = img.mean(axis=-1)
     iy, ix = np.unravel_index(np.argmax(lum[:63]), lum[:63].shape)
-    # brightest texel's direction is near the sun
-    v = 1.0 - (iy + 0.5) / 128
-    theta = v * np.pi
     phi = ((ix + 0.5) / 256 - 0.5) * 2 * np.pi
-    d = np.array([np.sin(theta) * np.cos(phi), -np.cos(theta),
-                  np.sin(theta) * np.sin(phi)])
-    sun = sun / np.linalg.norm(sun)
-    assert d @ sun > 0.9
+    sun_phi = np.arctan2(sun[2], sun[0])
+    dphi = abs((phi - sun_phi + np.pi) % (2 * np.pi) - np.pi)
+    assert dphi < 0.2, f"peak azimuth off by {dphi}"
+
+    # sun row: theta (from down) = arccos(-sun_y), v = theta/pi,
+    # row = (1 - v) * H (generate_sky's grid convention)
+    v = np.arccos(-sun[1]) / np.pi
+    iy_sun = int((1.0 - v) * 128)
+    ix_sun = int((sun_phi / (2 * np.pi) + 0.5) * 256) % 256
+    ix_anti = (ix_sun + 128) % 256
+    assert lum[iy_sun, ix_sun] > 2.0 * lum[iy_sun, ix_anti]
 
 
 def test_skydome_scene_escape_radiance():

@@ -46,8 +46,12 @@ from tungsten_tpu.bsdf.eval import (
 from tungsten_tpu.cameras.camera import generate_rays
 from tungsten_tpu.integrators.bdpt import _sample_light_root
 from tungsten_tpu.integrators.path_tracer import (
-    EPSILON, INF, _expand_hit, _has_forward_types, shading_frame)
+    EPSILON, INF, _expand_hit, _has_forward_types, _medium_tr,
+    _select_medium, shading_frame)
 from tungsten_tpu.integrators import lights as L
+from tungsten_tpu.media import grid as GR
+from tungsten_tpu.media import phase as PH
+from tungsten_tpu.media import transmittance as TR
 from tungsten_tpu.ops.intersect import bvh_intersect
 from tungsten_tpu.utils import rng
 from tungsten_tpu.utils import vecmath as vm
@@ -93,13 +97,80 @@ def trace_photons(scene, settings, n_paths: int, seed, path_offset):
         pos=jnp.zeros((R, B, 3)), dir=jnp.zeros((R, B, 3)),
         power=jnp.zeros((R, B, 3)), bounce=jnp.zeros((R, B), jnp.int32),
         valid=jnp.zeros((R, B), bool),
+        vol=jnp.zeros((R, B), bool),
     )
 
     def body(i, carry):
-        out, o, d, thr, alive = carry
+        out, o, d, thr, alive, med, med_first = carry
         dims = PHOTON_DIM_OFFSET + 16 + i * rng.DIMS_PER_BOUNCE
         res = bvh_intersect(scene, o, d, 0.0, jnp.where(alive, INF, 0.0))
         hit = res["hit"] & alive
+
+        # ---- medium flight: may scatter before the surface, depositing
+        # a VOLUME photon (ref PhotonTracer::tracePhotonPath volume
+        # deposit; PhotonMapIntegrator.hpp:36-71 volume maps) ----
+        vol_scatter = jnp.zeros((R,), bool)
+        vol_point = o
+        vol_power = thr
+        if settings.has_media:
+            in_med = alive & (med >= 0)
+            mi = jnp.clip(med, 0, scene.med_sigma_a.shape[0] - 1)
+            sigma_s = scene.med_sigma_s[mi]
+            sigma_t = scene.med_sigma_a[mi] + sigma_s
+            absorb_only = jnp.max(sigma_s, axis=-1) == 0.0
+            tt = scene.med_trans_type[mi]
+            tp = scene.med_trans_params[mi]
+            u_c, u_d, u_e = rng.random_3d(seed, pixel, sample,
+                                          dims + rng.BounceDims.MEDIUM)
+            comp = jnp.minimum((u_c * 3).astype(jnp.int32), 2)
+            sigma_tc = jnp.take_along_axis(sigma_t, comp[..., None],
+                                           axis=-1)[..., 0]
+            t_law = TR.sample_distance(tt, tp, med_first, u_d, u_e)
+            max_t = jnp.where(hit, res["t"], INF)
+            het = any(k != GR.MED_HOMOGENEOUS for k in settings.med_kinds)
+            if het:
+                tau_c = t_law / jnp.maximum(sigma_tc, 1e-20)
+                t_m, rho, tau_tot = GR.inverse_unit_tau(
+                    scene, settings, mi, o, d, max_t, tau_c)
+                exited = (t_m >= max_t) | absorb_only
+                ut_used = jnp.where(exited, tau_tot, tau_c)
+                rho = jnp.where(exited, 1.0, rho)[..., None]
+            else:
+                t_m = t_law / jnp.maximum(sigma_tc, 1e-20)
+                exited = (t_m >= max_t) | absorb_only
+                ut_used = jnp.minimum(
+                    jnp.where(absorb_only, max_t, t_m), max_t)
+                rho = 1.0
+            t_s = jnp.minimum(jnp.where(absorb_only, max_t, t_m), max_t)
+            tau = sigma_t * ut_used[..., None]
+            sbar = TR.sigma_bar(tt, tp)
+            w_exit = TR.eval_tr(tt, tau, tp, med_first,
+                                jnp.ones_like(exited))
+            p_exit = jnp.mean(
+                TR.surface_probability(tt, tau, tp, med_first), axis=-1)
+            tr_med = TR.eval_tr(tt, tau, tp, med_first,
+                                jnp.zeros_like(exited))
+            p_scat = jnp.mean(
+                rho * sigma_t * TR.medium_pdf(tt, tau, tp, med_first),
+                axis=-1)
+            # incident power at the scatter point EXCLUDES sigma_s: the
+            # volume estimate's sigma_s cancels against the in-scatter
+            # integral (Jensen's volume radiance estimate)
+            w_vol = tr_med * rho * sbar[..., None] / \
+                jnp.maximum(p_scat, 1e-20)[..., None]
+            w_scat = w_vol * sigma_s
+            w = jnp.where(exited[..., None],
+                          w_exit / jnp.maximum(p_exit, 1e-20)[..., None],
+                          w_scat)
+            w = jnp.where(absorb_only[..., None], w_exit, w)
+            vol_scatter = in_med & ~exited
+            vol_point = o + d * t_s[..., None]
+            vol_power = thr * jnp.where(in_med[..., None], w_vol, 1.0)
+            thr = thr * jnp.where(in_med[..., None], w, 1.0)
+            # a volume scatter preempts the surface this bounce
+            hit = hit & ~vol_scatter
+            med_first = jnp.where(in_med & ~absorb_only, False, med_first)
+
         info = _expand_hit(scene, o, d, res)
         backside = jnp.sum(info["ng"] * d, axis=-1) > 0.0
         ns = jnp.where(backside[..., None] & settings.two_sided_shading,
@@ -129,16 +200,21 @@ def trace_photons(scene, settings, n_paths: int, seed, path_offset):
                                  < 1e-9, 1e-9,
                                  jnp.sum(info["ng"] * d, axis=-1)))
         p_pow = thr * jnp.clip(asym, 0.0, 8.0)[..., None]
+        # one slot per bounce serves either a surface or a volume photon
+        any_dep = dep | vol_scatter
+        slot_pos = vm.where3(vol_scatter, vol_point, info["p"])
+        slot_pow = jnp.where(vol_scatter[..., None], vol_power, p_pow)
         out2 = dict(out)
         out2["pos"] = out2["pos"].at[:, i].set(
-            jnp.where(dep[..., None], info["p"], out["pos"][:, i]))
+            jnp.where(any_dep[..., None], slot_pos, out["pos"][:, i]))
         out2["dir"] = out2["dir"].at[:, i].set(
-            jnp.where(dep[..., None], d, out["dir"][:, i]))
+            jnp.where(any_dep[..., None], d, out["dir"][:, i]))
         out2["power"] = out2["power"].at[:, i].set(
-            jnp.where(dep[..., None], p_pow, out["power"][:, i]))
+            jnp.where(any_dep[..., None], slot_pow, out["power"][:, i]))
         out2["bounce"] = out2["bounce"].at[:, i].set(
-            jnp.where(dep, i + 1, out["bounce"][:, i]))
-        out2["valid"] = out2["valid"].at[:, i].set(dep)
+            jnp.where(any_dep, i + 1, out["bounce"][:, i]))
+        out2["valid"] = out2["valid"].at[:, i].set(any_dep)
+        out2["vol"] = out2["vol"].at[:, i].set(vol_scatter)
 
         # continue the walk (full BSDF sampling, ref handleSurface)
         ul = rng.random_1d(seed, pixel, sample,
@@ -157,11 +233,32 @@ def trace_photons(scene, settings, n_paths: int, seed, path_offset):
             wt = jnp.where(take_fwd[..., None], fwd_w, wt)
             ok = jnp.where(take_fwd, jnp.max(fwd_w, axis=-1) > 0, ok)
         thr2 = jnp.where(hit[..., None], thr * wt, thr)
-        alive2 = hit & ok & (jnp.max(thr2, axis=-1) > 0)
         o2 = info["p"] + new_d * EPSILON
-        return out2, o2, new_d, thr2, alive2
+        if settings.has_media:
+            # volume scatter: continue via the phase function
+            pw, _ = PH.phase_sample(
+                scene.med_phase[jnp.clip(med, 0,
+                                         scene.med_phase.shape[0] - 1)],
+                scene.med_g[jnp.clip(med, 0, scene.med_g.shape[0] - 1)],
+                d, u1, u2)
+            new_d = vm.where3(vol_scatter, pw, new_d)
+            o2 = vm.where3(vol_scatter, vol_point + pw * EPSILON, o2)
+            ok = jnp.where(vol_scatter, True, ok)
+            # medium handoff at surface crossings
+            geo_back = jnp.sum(new_d * info["ng"], axis=-1) < 0.0
+            med2 = jnp.where(hit & ok,
+                             _select_medium(scene, info["prim"], med,
+                                            geo_back), med)
+            med_first = jnp.where(hit & ok, True, med_first)
+        else:
+            med2 = med
+        alive2 = (hit | vol_scatter) & ok & (jnp.max(thr2, axis=-1) > 0)
+        return out2, o2, new_d, thr2, alive2, med2, med_first
 
     carry = (out, root["q"] + root["d0"] * EPSILON, root["d0"], thr0,
+             jnp.ones((R,), bool),
+             root.get("med", jnp.full((R,), -1, jnp.int32))
+             if settings.has_media else jnp.full((R,), -1, jnp.int32),
              jnp.ones((R,), bool))
     out, *_ = jax.lax.fori_loop(0, B, body, carry)
     return {k: v.reshape((R * B,) + v.shape[2:]) for k, v in out.items()}
@@ -259,8 +356,73 @@ def _gather_estimate(scene, settings, grid, radius, p, frame, wi_local,
 
 # ------------------------------------------------------------ camera pass
 
+VOL_MARCH_STEPS = 32   # camera-segment march steps for the volume map
+
+
+def _volume_march(scene, settings, vgrid, vradius, o, d, t1, seed,
+                  pixel, sample_idx):
+    """In-scattered radiance along the primary camera segment from the
+    VOLUME photon map: march t in (0, t1), 3D-kernel point estimate
+    L(x,w) = sum_k phase(w . w_k) power_k / (4/3 pi r^3), integrated as
+    sum dt * Tr(0,t) * L (the sigma_s of the in-scatter integral
+    cancels against Jensen's volume radiance estimate).  Ref: the
+    volume-photon branch of PhotonMapIntegrator (points mode,
+    PhotonMapSettings volumePhotonType "points")."""
+    R = o.shape[0]
+    med = jnp.full((R,), scene.cam_medium, jnp.int32)
+    in_med = med >= 0
+    u_j = rng.random_1d(seed, pixel, sample_idx, PHOTON_DIM_OFFSET + 7)
+    kernel = 3.0 / (4.0 * jnp.pi * jnp.maximum(vradius, 1e-9) ** 3)
+    mi = jnp.clip(med, 0, max(scene.med_phase.shape[0] - 1, 0))
+    ptype = scene.med_phase[mi]
+    pg = scene.med_g[mi]
+
+    dt = t1 / VOL_MARCH_STEPS
+    acc = jnp.zeros((R, 3))
+    for j in range(VOL_MARCH_STEPS):
+        t = (j + u_j) * dt
+        x = o + d * t[..., None]
+        est = _gather_volume(scene, settings, vgrid, vradius, x, -d,
+                             ptype, pg)
+        tr = _medium_tr(scene, settings, med, o, d, t,
+                        jnp.ones((R,), bool), jnp.zeros((R,), bool))
+        acc = acc + jnp.where(in_med[..., None],
+                              est * kernel * tr * dt[..., None], 0.0)
+    return acc
+
+
+def _gather_volume(scene, settings, vgrid, vradius, p, wo, ptype, pg):
+    """Sum of phase-weighted photon powers within vradius of p (R,3)."""
+    R = p.shape[0]
+    cell = jnp.clip(((p - vgrid["lo"]) * vgrid["inv_cell"])
+                    .astype(jnp.int32), 1, GRID_RES - 3)
+    keys = vgrid["key"]
+    N = keys.shape[0]
+    acc = jnp.zeros((R, 3))
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                k = ((cell[:, 0] + dx) * GRID_RES
+                     + (cell[:, 1] + dy)) * GRID_RES + (cell[:, 2] + dz)
+                start = jnp.searchsorted(keys, k, side="left")
+                end = jnp.searchsorted(keys, k, side="right")
+                end = jnp.minimum(end, start + CELL_CAP)
+                for j in range(CELL_CAP):
+                    ix = jnp.minimum(start + j, N - 1)
+                    ok = (start + j) < end
+                    dv = vgrid["pos"][ix] - p
+                    d2 = jnp.sum(dv * dv, axis=-1)
+                    ok = ok & (d2 <= vradius * vradius)
+                    ph = PH.phase_eval(ptype, pg, vgrid["dir"][ix], wo)
+                    acc = acc + jnp.where(
+                        ok[..., None], vgrid["power"][ix] * ph[..., None],
+                        0.0)
+    return acc
+
+
 @functools.partial(jax.jit, static_argnames=("settings",))
-def gather_pass(scene, settings, grid, radius, pixel, sample_idx, seed):
+def gather_pass(scene, settings, grid, radius, pixel, sample_idx, seed,
+                vgrid=None, vradius=None):
     """Specular-chain camera walk + photon gather (ref traceSensorPath).
     Returns radiance (R,3)."""
     R = pixel.shape[0]
@@ -274,6 +436,7 @@ def gather_pass(scene, settings, grid, radius, pixel, sample_idx, seed):
         g_wi=jnp.zeros((R, 3)), g_bsdf=jnp.zeros((R,), jnp.int32),
         g_uv=jnp.zeros((R, 2)), g_thr=jnp.zeros((R, 3)),
         g_bounce=jnp.zeros((R,), jnp.int32),
+        g_t1=jnp.zeros((R,)),
     )
 
     def body(i, s):
@@ -283,6 +446,13 @@ def gather_pass(scene, settings, grid, radius, pixel, sample_idx, seed):
         hit = res["hit"] & s["alive"]
         escaped = s["alive"] & ~res["hit"]
         bounce = s["bounce"] + hit.astype(jnp.int32)
+        # primary segment length for the volume-map march (escaped
+        # primaries march through the scene's bounding diagonal);
+        # i is a traced loop index, so mask instead of branching
+        diag = jnp.linalg.norm(scene.bvh_max[0] - scene.bvh_min[0])
+        s["g_t1"] = jnp.where(i == 0,
+                              jnp.where(res["hit"], res["t"], diag * 1.5),
+                              s["g_t1"])
 
         result = s["result"]
         if settings.has_env:
@@ -369,8 +539,13 @@ def gather_pass(scene, settings, grid, radius, pixel, sample_idx, seed):
     est = _gather_estimate(scene, settings, grid, radius, s["g_p"],
                            (tan, bit, s["g_ns"]), s["g_wi"], s["g_bsdf"],
                            s["g_uv"], s["g_bounce"])
-    return s["result"] + jnp.where(s["stopped"][..., None],
-                                   s["g_thr"] * est, 0.0)
+    result = s["result"] + jnp.where(s["stopped"][..., None],
+                                     s["g_thr"] * est, 0.0)
+    if vgrid is not None and settings.has_media:
+        result = result + _volume_march(scene, settings, vgrid, vradius,
+                                        o, d, s["g_t1"], seed, pixel,
+                                        sample_idx)
+    return result
 
 
 def ppm_gamma(iteration: int, alpha: float) -> float:

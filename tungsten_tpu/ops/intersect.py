@@ -315,33 +315,38 @@ def _tri_sph_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
         lo = scene.bvh_min[0]
         hi = scene.bvh_max[0]
         q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0)
-        q = (q * 63).astype(jnp.uint32)  # 6 bits/axis
+        q = (q * 31).astype(jnp.uint32)  # 5 bits/axis
 
-        def spread6(x):  # interleave 6 bits -> 18-bit morton component
+        def spread5(x):  # interleave 5 bits -> 15-bit morton component
             x = (x | (x << 8)) & jnp.uint32(0x00F00F)
             x = (x | (x << 4)) & jnp.uint32(0x0C30C3)
             x = (x | (x << 2)) & jnp.uint32(0x249249)
             return x
 
-        morton = spread6(q[:, 0]) | (spread6(q[:, 1]) << 1) | \
-            (spread6(q[:, 2]) << 2)
-        qd = ((jnp.clip(d, -1.0, 1.0) + 1.0) * 3.999).astype(jnp.uint32)
-        dmorton = spread6(qd[:, 0]) | (spread6(qd[:, 1]) << 1) | \
-            (spread6(qd[:, 2]) << 2)  # 2 bits/axis -> 6 bits
+        morton = spread5(q[:, 0]) | (spread5(q[:, 1]) << 1) | \
+            (spread5(q[:, 2]) << 2)
+        # 4 direction bits/axis -> 12-bit morton: shared-origin rays
+        # (primaries) rely ENTIRELY on direction bits for block
+        # coherence — 2 bits/axis measured ~145 pending clusters per
+        # block because a block spanned a ~45 degree cone
+        qd = ((jnp.clip(d, -1.0, 1.0) + 1.0) * 7.999).astype(jnp.uint32)
+        dmorton = spread5(qd[:, 0]) | (spread5(qd[:, 1]) << 1) | \
+            (spread5(qd[:, 2]) << 2)
         octant = ((d[:, 0] > 0).astype(jnp.uint32)
                   | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
                   | ((d[:, 2] > 0).astype(jnp.uint32) << 2))
         dead = (best_t <= 0.0).astype(jnp.uint32)
-        sort_key = (dead << 31) | (octant << 28) | (morton << 10) | \
-            (dmorton & jnp.uint32(0x3F))
+        sort_key = (dead << 31) | (octant << 28) | (morton << 13) | \
+            (dmorton & jnp.uint32(0xFFF))
         # one multi-operand sort moves all ray payloads with the key —
-        # cheaper than argsort + 8 permutation gathers on TPU
+        # cheaper than argsort + 8 permutation gathers on TPU; stable
+        # so equal-key rays keep raster/submission adjacency
         ridx = jnp.arange(R, dtype=jnp.int32)
         (_, ox_s, oy_s, oz_s, dx_s, dy_s, dz_s, tmin_v, tmax_v,
          order) = jax.lax.sort(
             [sort_key, o[:, 0], o[:, 1], o[:, 2],
              d[:, 0], d[:, 1], d[:, 2], t_min, best_t, ridx],
-            num_keys=1, is_stable=False)
+            num_keys=1, is_stable=True)
         o_srt = jnp.stack([ox_s, oy_s, oz_s], axis=-1)
         d_srt = jnp.stack([dx_s, dy_s, dz_s], axis=-1)
 

@@ -75,10 +75,50 @@ def build_wave_tables(tri_v0, tri_e1, tri_e2):
     clusters = []
     if T > 0:
         bvh = build_bvh(tlo, thi, max_leaf_size=4)
-        # bvh.order is the DFS concatenation of leaf prim ranges, so
-        # consecutive 128-slices are DFS-adjacent SAH subtrees
-        for s in range(0, T, CLUSTER):
-            clusters.append(bvh.order[s:s + CLUSTER].astype(np.int64))
+        # treelet decomposition: cut the BVH at the shallowest complete
+        # subtrees holding <= 128 prims.  Each cluster is one subtree,
+        # so its AABB is the SAH-tight node box — consecutive DFS
+        # slices (the v3 scheme) overlapped badly and measured 145
+        # pending clusters per coherent block where treelets give the
+        # cull real boxes to reject.
+        meta = bvh.meta
+        num = meta.shape[0]
+        start = np.zeros(num, np.int64)
+        count = np.zeros(num, np.int64)
+        # prim ranges per node: leaves are DFS-contiguous, an interior
+        # node's range is [left.start, right.start + right.count)
+        for node in range(num - 1, -1, -1):
+            if meta[node, 1] > 0:
+                start[node] = meta[node, 0]
+                count[node] = meta[node, 1]
+            else:
+                right = meta[node, 0]
+                start[node] = start[node + 1]
+                count[node] = count[node + 1] + count[right]
+        treelets = []
+        stack = [0]
+        while stack:
+            node = stack.pop()
+            if count[node] <= CLUSTER:
+                treelets.append((int(start[node]), int(count[node])))
+            else:
+                stack.append(int(meta[node, 0]))   # right
+                stack.append(node + 1)             # left (DFS order)
+        treelets.sort()
+        # greedy-pack ADJACENT treelets into full 128-slots: pure
+        # treelets measured MORE visits than v3 (smaller fill -> 953
+        # clusters vs 632); packing keeps subtree-aligned boxes while
+        # restoring density
+        run_start, run_count = treelets[0]
+        for s, c in treelets[1:]:
+            if run_count + c <= CLUSTER:
+                run_count += c
+            else:
+                clusters.append(bvh.order[run_start:run_start +
+                                          run_count].astype(np.int64))
+                run_start, run_count = s, c
+        clusters.append(bvh.order[run_start:run_start +
+                                  run_count].astype(np.int64))
 
     nc = len(clusters)
     ncp = -(-max(nc, 1) // 128) * 128

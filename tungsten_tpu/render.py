@@ -189,13 +189,26 @@ def _render_pass_photon(scene: FlatScene, settings: RenderSettings,
 
         gamma = ppm_gamma(it, settings.ppm_alpha) if progressive else 1.0
         radius = settings.gather_radius * float(np.sqrt(gamma))
-        grid = build_photon_grid(photons, radius)
+        surf = dict(photons)
+        surf["valid"] = photons["valid"] & ~photons["vol"]
+        grid = build_photon_grid(surf, radius)
+        vgrid = None
+        vradius = None
+        if settings.has_media:
+            # volume photon map (points): separate grid at the volume
+            # gather radius (ref PhotonMapIntegrator volume maps)
+            vradius = settings.vol_gather_radius * float(np.sqrt(gamma))
+            vol = dict(photons)
+            vol["valid"] = photons["valid"] & photons["vol"]
+            vgrid = build_photon_grid(vol, vradius)
+            vradius = np.float32(vradius)
 
         # ---- camera gather pass ----
         for ci in range(pixels.shape[0]):
             rad = gather_pass(scene, settings, grid, np.float32(radius),
                               jnp.asarray(pixels[ci]), np.uint32(it),
-                              np.uint32(seed))
+                              np.uint32(seed), vgrid=vgrid,
+                              vradius=vradius)
             rad = jnp.where(jnp.isfinite(rad), rad, 0.0)
             acc = acc.at[ci * C:(ci + 1) * C].add(rad)
             rays += C * settings.max_bounces

@@ -230,6 +230,7 @@ class RenderSettings:
     photon_count: int = 1 << 20
     gather_radius: float = 0.05
     gather_count: int = 20   # gather_photon_count (kNN k)
+    vol_gather_radius: float = 0.05  # volume_gather_radius (points map)
     ppm_alpha: float = 0.3
     # MLT family (ref KelemenMltSettings / MultiplexedMltSettings /
     # ReversibleJumpMltSettings)
@@ -1214,6 +1215,9 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         photon_count=int(integ.get("photon_count", 1 << 20)),
         gather_radius=float(integ.get("gather_radius", 0.05)),
         gather_count=int(integ.get("gather_photon_count", 20)),
+        vol_gather_radius=float(
+            integ.get("volume_gather_radius",
+                      integ.get("gather_radius", 0.05))),
         ppm_alpha=float(integ.get("alpha", 0.3)),
         mlt_large_step_prob=float(integ.get("large_step_probability", 0.1)),
         mlt_sample_pool=int(integ.get("initial_sample_pool", 10000)),

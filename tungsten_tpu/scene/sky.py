@@ -3,14 +3,20 @@
 The reference rasterizes a Hosek-Wilkie sky into a lat-long HDR envmap
 at prepareForRender and treats it as an infinite sphere
 (ref src/core/primitives/Skydome.cpp:292-317; uv convention
-Skydome.cpp:37-45 — identical to InfiniteSphere).  The Hosek model is
-driven by ~42 kLoC of fitted coefficient tables vendored in the
-reference (src/thirdparty/skylight/); those tables are data we do not
-copy, so this build uses the *Preetham et al. 1999* analytic model
-(pure closed-form Perez functions, published constants) with a
-blackbody tint for the reference's alien-world `temperature` parameter.
-The pipeline shape is identical (bake -> envmap -> 2D importance
-sampling); absolute radiometry differs from Hosek by design.
+Skydome.cpp:37-45 — identical to InfiniteSphere).
+
+Primary model: **Hosek & Wilkie 2012** evaluated from the paper's
+equations (quintic elevation bezier over the published RGB coefficient
+dataset, F(theta, gamma) with the extra mie/zenith terms — see
+_hosek_image; data via scene/hosek_data.py).  The reference drives the
+spectral alien-world variant at 10 wavelengths; this build uses the
+RGB-fitted dataset with the `temperature` handled as a blackbody tint
+and `intensity` as a radiance scale — identical for the default sun
+(5777 K) up to spectral-integration error.  When the dataset is
+unavailable the *Preetham et al. 1999* analytic model below is the
+fallback (pure closed-form Perez functions, published constants).
+The pipeline shape is identical either way (bake -> envmap -> 2D
+importance sampling).
 """
 from __future__ import annotations
 
@@ -79,6 +85,75 @@ def _blackbody_rgb(temp_k: float) -> np.ndarray:
     return tint / max(tint.max(), 1e-6) * tint.max() / max(tint[1], 1e-6)
 
 
+def _hosek_config(cfg, rad, turbidity, albedo, elevation):
+    """Cook the 9 Hosek params + radiance scale per channel (the
+    paper's quintic bezier over elevation^(1/3), bilinear over
+    turbidity/albedo; structure as ArHosekSkyModel_CookConfiguration).
+    cfg (3,2,10,6,9), rad (3,2,10,6) -> (3,9), (3,)."""
+    t = float(np.clip(turbidity, 1.0, 10.0))
+    ti = min(int(t), 10)
+    tr = t - ti
+    a = float(np.clip(albedo, 0.0, 1.0))
+    x = (max(elevation, 0.0) / (np.pi / 2.0)) ** (1.0 / 3.0)
+    bez = np.array([
+        (1 - x) ** 5, 5 * (1 - x) ** 4 * x, 10 * (1 - x) ** 3 * x * x,
+        10 * (1 - x) ** 2 * x ** 3, 5 * (1 - x) * x ** 4, x ** 5])
+
+    def cook(arr):
+        # arr (3, 2, 10, 6, P) or (3, 2, 10, 6)
+        if arr.ndim == 4:
+            arr = arr[..., None]
+        lo = np.einsum("k,acke->ace", bez, arr[:, :, ti - 1])
+        out = (1 - a) * (1 - tr) * lo[:, 0] + a * (1 - tr) * lo[:, 1]
+        if ti < 10:
+            hi = np.einsum("k,acke->ace", bez, arr[:, :, ti])
+            out = out + (1 - a) * tr * hi[:, 0] + a * tr * hi[:, 1]
+        return out
+
+    return cook(cfg), cook(rad)[:, 0]
+
+
+def _hosek_image(dirs, sun, turbidity, intensity, temperature,
+                 gamma_scale):
+    """Evaluate the Hosek-Wilkie RGB model over direction grid `dirs`
+    (H, W, 3).  F(theta, gamma) = (1 + A e^{B/(cos+0.01)}) *
+    (C + D e^{E gamma} + F cos^2 gamma + G chi(H, gamma) +
+    I sqrt(cos theta)), chi = (1 + cos^2)/(1 + H^2 - 2 H cos)^1.5
+    (the paper's eq. 3 / GetRadianceInternal)."""
+    from tungsten_tpu.scene.hosek_data import load_dataset
+    ds = load_dataset()
+    if ds is None:
+        return None
+    cfg, radd = ds
+    elevation = np.arcsin(np.clip(sun[1], -1.0, 1.0))
+    C, R = _hosek_config(cfg, radd, turbidity, 0.2, max(elevation, 0.0))
+
+    cos_t = np.clip(dirs[..., 1], 0.0, 1.0)
+    cos_g = np.clip(dirs @ sun, -1.0, 1.0)
+    gamma = np.clip(np.arccos(cos_g) * gamma_scale, 0.0, np.pi)
+    cg = np.cos(gamma)
+
+    rgb = np.zeros(dirs.shape[:-1] + (3,))
+    for c in range(3):
+        # param order per GetRadianceInternal: [0]=A [1]=B [2]=C [3]=D
+        # [4]=E (exp gamma) [5]=F (cos^2) [6]=G (mie) [7]=I (zenith)
+        # [8]=H (mie anisotropy)
+        A, B, Cc, D, E, F, G, I, Hh = C[c]
+        chi = (1.0 + cg * cg) / np.power(
+            np.maximum(1.0 + Hh * Hh - 2.0 * Hh * cg, 1e-9), 1.5)
+        f = (1.0 + A * np.exp(B / (cos_t + 0.01))) * \
+            (Cc + D * np.exp(E * gamma) + F * cg * cg + G * chi
+             + I * np.sqrt(cos_t))
+        rgb[..., c] = np.maximum(R[c] * f, 0.0)
+    # calibration into render units: the RGB dataset yields absolute
+    # spectral-radiance-integrated values; 0.015 brings the default sky
+    # (turbidity 3, intensity 2) into the envmap range the reference's
+    # XYZ-weighted bake produces
+    scale = 0.015 * float(intensity)
+    rgb = rgb * scale * _blackbody_rgb(float(temperature))[None, None, :]
+    return rgb
+
+
 def generate_sky(sun_dir, turbidity=3.0, intensity=2.0, temperature=5777.0,
                  gamma_scale=1.0, width=512, height=256) -> np.ndarray:
     """Bake a lat-long HDR sky image.
@@ -115,6 +190,15 @@ def generate_sky(sun_dir, turbidity=3.0, intensity=2.0, temperature=5777.0,
     dirs[..., 0] = sin_t[:, None] * np.cos(phi)[None, :]
     dirs[..., 1] = y[:, None]
     dirs[..., 2] = sin_t[:, None] * np.sin(phi)[None, :]
+
+    rgb_h = _hosek_image(dirs, sun, T, intensity, temperature,
+                         gamma_scale)
+    if rgb_h is not None:
+        above = dirs[..., 1] > 0.0
+        rgb_h = np.where(above[..., None], rgb_h, 0.0)
+        h2 = height // 2
+        rgb_h[h2:min(h2 + 2, height)] = rgb_h[h2 - 1]
+        return rgb_h.astype(np.float32)
 
     cos_theta_v = np.clip(dirs[..., 1], 0.0, 1.0)   # zenith angle cosine
     cos_gamma = np.clip(dirs @ sun, -1.0, 1.0)
