@@ -67,3 +67,38 @@ def test_photon_map_matches_cornell_golden():
         return x.reshape(9, 8, 16, 8, 3).mean(axis=(1, 3))
     d_rel = np.abs(ds(hdr) - ds(ref)) / (ds(ref) + 5e-2)
     assert d_rel.mean() < 0.12, f"downsampled mismatch: {d_rel.mean()}"
+
+
+@pytest.mark.skipif(not os.path.exists(DATA), reason="reference data absent")
+def test_non_exponential_matches_reference():
+    """The non-exponential fixture (4 media with linear/quadratic/
+    double-exponential/pulse transmittance laws) vs the reference's
+    512-spp golden.  Media noise at 16 spp needs looser tolerances."""
+    _compare(f"{DATA}/example-scenes/non-exponential/scene.json",
+             "nonexp_128x72_512spp.pfm", spp=16, mean_tol=0.08,
+             ds_tol=0.16)
+
+
+@pytest.mark.skipif(not os.path.exists(DATA), reason="reference data absent")
+def test_volumetric_caustic_bdpt_matches_reference():
+    """BDPT volumetric caustic (fixture integrator) vs the reference's
+    512-spp golden: splat-heavy estimator, so compare global mean and a
+    coarse downsampling only."""
+    from tungsten_tpu.scene.flatten import load_flat_scene
+    from tungsten_tpu.render import render
+
+    scene, settings = load_flat_scene(
+        f"{DATA}/example-scenes/volumetric-caustic/scene.json")
+    settings = replace(settings, width=128, height=72)
+    assert settings.integrator_type == "bidirectional_path_tracer"
+    hdr = np.asarray(render(scene, settings, spp=8, spp_chunk=8))
+    ref = _load_pfm(os.path.join(GOLDEN_DIR,
+                                 "volcaustic_128x72_512spp.pfm"))
+    mean_rel = np.abs(hdr.mean((0, 1)) - ref.mean((0, 1))) / \
+        np.maximum(ref.mean((0, 1)), 1e-6)
+    assert mean_rel.max() < 0.25, f"mean mismatch: {mean_rel}"
+
+    def ds(x):
+        return x.reshape(9, 8, 16, 8, 3).mean(axis=(1, 3))
+    d_rel = np.abs(ds(hdr) - ds(ref)) / (ds(ref) + 1e-1)
+    assert d_rel.mean() < 0.30, f"downsampled mismatch: {d_rel.mean()}"

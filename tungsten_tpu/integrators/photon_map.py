@@ -377,18 +377,24 @@ def _volume_march(scene, settings, vgrid, vradius, o, d, t1, seed,
     ptype = scene.med_phase[mi]
     pg = scene.med_g[mi]
 
-    dt = t1 / VOL_MARCH_STEPS
-    acc = jnp.zeros((R, 3))
-    for j in range(VOL_MARCH_STEPS):
-        t = (j + u_j) * dt
-        x = o + d * t[..., None]
-        est = _gather_volume(scene, settings, vgrid, vradius, x, -d,
-                             ptype, pg)
-        tr = _medium_tr(scene, settings, med, o, d, t,
-                        jnp.ones((R,), bool), jnp.zeros((R,), bool))
-        acc = acc + jnp.where(in_med[..., None],
-                              est * kernel * tr * dt[..., None], 0.0)
-    return acc
+    # all march points gathered as ONE batch: per-step gathers would
+    # unroll the 27-cell scan VOL_MARCH_STEPS times (41k-op trace)
+    M = VOL_MARCH_STEPS
+    dt = t1 / M                                        # (R,)
+    j = jnp.arange(M, dtype=jnp.float32)[None, :]      # (1, M)
+    t = (j + u_j[:, None]) * dt[:, None]               # (R, M)
+    x = (o[:, None, :] + d[:, None, :] * t[..., None]).reshape(R * M, 3)
+    est = _gather_volume(scene, settings, vgrid, vradius, x,
+                         jnp.repeat(-d, M, axis=0),
+                         jnp.repeat(ptype, M), jnp.repeat(pg, M))
+    est = est.reshape(R, M, 3)
+    tr = _medium_tr(scene, settings,
+                    jnp.repeat(med, M), jnp.repeat(o, M, axis=0),
+                    jnp.repeat(d, M, axis=0), t.reshape(R * M),
+                    jnp.ones((R * M,), bool),
+                    jnp.zeros((R * M,), bool)).reshape(R, M, 3)
+    acc = jnp.sum(est * tr, axis=1) * (kernel * dt)[:, None]
+    return jnp.where(in_med[..., None], acc, 0.0)
 
 
 def _gather_volume(scene, settings, vgrid, vradius, p, wo, ptype, pg):
