@@ -41,7 +41,7 @@ def _rays(R, seed=3):
 
 
 def test_wave_matches_bruteforce():
-    v0, e1, e2, (boxes, cbox, attr, remap) = _scene()
+    v0, e1, e2, (boxes, cbox, attr, remap, sbox) = _scene()
     R = BLOCK * 2
     o, d = _rays(R)
     tmin = np.full((R,), 1e-4, np.float32)
@@ -50,7 +50,7 @@ def test_wave_matches_bruteforce():
 
     t, tri, u, v = wave_intersect(
         jnp.asarray(boxes), jnp.asarray(cbox), jnp.asarray(attr),
-        jnp.asarray(remap), jnp.asarray(o), jnp.asarray(d),
+        jnp.asarray(remap), jnp.asarray(sbox), jnp.asarray(o), jnp.asarray(d),
         jnp.asarray(tmin), jnp.asarray(tmax), ncp=boxes.shape[1],
         interpret=True)
     t, tri, u, v = map(np.asarray, (t, tri, u, v))
@@ -69,7 +69,7 @@ def test_wave_matches_bruteforce():
 
 
 def test_wave_anyhit_and_tmax():
-    v0, e1, e2, (boxes, cbox, attr, remap) = _scene(seed=5)
+    v0, e1, e2, (boxes, cbox, attr, remap, sbox) = _scene(seed=5)
     R = BLOCK
     o, d = _rays(R, seed=5)
     tmin = np.full((R,), 1e-4, np.float32)
@@ -78,12 +78,12 @@ def test_wave_anyhit_and_tmax():
 
     _, tri_c, _, _ = wave_intersect(
         jnp.asarray(boxes), jnp.asarray(cbox), jnp.asarray(attr),
-        jnp.asarray(remap), jnp.asarray(o), jnp.asarray(d),
+        jnp.asarray(remap), jnp.asarray(sbox), jnp.asarray(o), jnp.asarray(d),
         jnp.asarray(tmin), jnp.asarray(tmax), ncp=boxes.shape[1],
         interpret=True)
     _, tri_a, _, _ = wave_intersect(
         jnp.asarray(boxes), jnp.asarray(cbox), jnp.asarray(attr),
-        jnp.asarray(remap), jnp.asarray(o), jnp.asarray(d),
+        jnp.asarray(remap), jnp.asarray(sbox), jnp.asarray(o), jnp.asarray(d),
         jnp.asarray(tmin), jnp.asarray(tmax), ncp=boxes.shape[1],
         interpret=True, any_hit=True)
     bt, bi, _, _ = _brute(v0, e1, e2, o, d, 1e-4, tmax)
@@ -92,14 +92,14 @@ def test_wave_anyhit_and_tmax():
 
 
 def test_wave_deterministic():
-    v0, e1, e2, (boxes, cbox, attr, remap) = _scene(seed=9)
+    v0, e1, e2, (boxes, cbox, attr, remap, sbox) = _scene(seed=9)
     R = BLOCK
     o, d = _rays(R, seed=9)
     tmin = np.full((R,), 1e-4, np.float32)
     tmax = np.full((R,), 3e38, np.float32)
     outs = [wave_intersect(jnp.asarray(boxes), jnp.asarray(cbox),
                            jnp.asarray(attr), jnp.asarray(remap),
-                           jnp.asarray(o), jnp.asarray(d),
+                           jnp.asarray(sbox), jnp.asarray(o), jnp.asarray(d),
                            jnp.asarray(tmin), jnp.asarray(tmax),
                            ncp=boxes.shape[1], interpret=True)
             for _ in range(2)]

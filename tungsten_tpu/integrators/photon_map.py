@@ -153,12 +153,16 @@ def trace_photons(scene, settings, n_paths: int, seed, path_offset):
             p_scat = jnp.mean(
                 rho * sigma_t * TR.medium_pdf(tt, tau, tp, med_first),
                 axis=-1)
-            # incident power at the scatter point EXCLUDES sigma_s: the
-            # volume estimate's sigma_s cancels against the in-scatter
-            # integral (Jensen's volume radiance estimate)
-            w_vol = tr_med * rho * sbar[..., None] / \
+            # deposit weight INCLUDES sigma_s: the volume photon
+            # represents a physical scattering event, whose density per
+            # unit length is sigma_s * Tr — the camera-march gather
+            # (Jensen's volume radiance estimate) then needs no sigma
+            # factor at all.  (Round-2 shipped this without sigma_s,
+            # claiming it "cancels"; the fog-glow fixture measured the
+            # resulting 1/sigma_s = 4x over-brightness.)
+            w_vol = tr_med * rho * sigma_s * sbar[..., None] / \
                 jnp.maximum(p_scat, 1e-20)[..., None]
-            w_scat = w_vol * sigma_s
+            w_scat = w_vol
             w = jnp.where(exited[..., None],
                           w_exit / jnp.maximum(p_exit, 1e-20)[..., None],
                           w_scat)
@@ -438,6 +442,7 @@ def gather_pass(scene, settings, grid, radius, pixel, sample_idx, seed,
         o=o, d=d, thr=jnp.ones((R, 3)), result=jnp.zeros((R, 3)),
         alive=jnp.ones((R,), bool), stopped=jnp.zeros((R,), bool),
         bounce=jnp.zeros((R,), jnp.int32),
+        med=jnp.full((R,), scene.cam_medium, jnp.int32),
         g_p=jnp.zeros((R, 3)), g_ns=jnp.zeros((R, 3)),
         g_wi=jnp.zeros((R, 3)), g_bsdf=jnp.zeros((R,), jnp.int32),
         g_uv=jnp.zeros((R, 2)), g_thr=jnp.zeros((R, 3)),
@@ -451,6 +456,19 @@ def gather_pass(scene, settings, grid, radius, pixel, sample_idx, seed,
                             jnp.where(s["alive"], INF, 0.0))
         hit = res["hit"] & s["alive"]
         escaped = s["alive"] & ~res["hit"]
+
+        # medium transmittance along the camera segment: PT attenuates
+        # every segment through the fog (handleVolume path), so the
+        # gather walk must too or photon images come out ~1/Tr too
+        # bright (ref traceSensorPath's medium handling,
+        # PhotonTracer.cpp:246-420)
+        if settings.has_media:
+            seg = jnp.where(hit, res["t"], INF)
+            seg_tr = _medium_tr(scene, settings, s["med"], s["o"], s["d"],
+                                seg, jnp.ones((R,), bool),
+                                jnp.ones((R,), bool))
+            s["thr"] = s["thr"] * jnp.where(s["alive"][..., None],
+                                            seg_tr, 1.0)
         bounce = s["bounce"] + hit.astype(jnp.int32)
         # primary segment length for the volume-map march (escaped
         # primaries march through the scene's bounding diagonal);
@@ -533,6 +551,13 @@ def gather_pass(scene, settings, grid, radius, pixel, sample_idx, seed,
         alive = hit & ~stop_here & ok & (jnp.max(thr, axis=-1) > 0)
 
         s2 = dict(s)
+        if settings.has_media:
+            # medium handoff when the specular walk crosses a surface
+            geo_back = jnp.sum(new_d * info["ng"], axis=-1) < 0.0
+            s2["med"] = jnp.where(alive,
+                                  _select_medium(scene, info["prim"],
+                                                 s["med"], geo_back),
+                                  s["med"])
         s2.update(o=vm.where3(alive, info["p"] + new_d * EPSILON, s["o"]),
                   d=vm.where3(alive, new_d, s["d"]),
                   thr=thr, result=result, alive=alive, stopped=stopped,
