@@ -57,7 +57,7 @@ def main():
     for phase in (0, 1, 2):
         fn = jax.jit(lambda o=o, d=d, p=phase: wave_intersect(
             flat.wk_boxes, flat.wk_cbox, flat.wk_attr, flat.wk_remap,
-            o, d, 1e-4, 3e38, ncp=ncp, debug_phase=p)[0])
+            flat.wk_sbox, o, d, 1e-4, 3e38, ncp=ncp, debug_phase=p)[0])
         t = timeit(lambda: fn().block_until_ready(), 5)
         print(f"wave_intersect 1M coherent rays, phase={phase}: "
               f"{t*1e3:.1f} ms  ({R/t/1e6:.1f} Mrays/s)", flush=True)
@@ -70,7 +70,7 @@ def main():
         0.5 * jax.random.normal(jax.random.PRNGKey(1), (R, 3))
     fn2 = jax.jit(lambda: wave_intersect(
         flat.wk_boxes, flat.wk_cbox, flat.wk_attr, flat.wk_remap,
-        o2, d2, 1e-4, 3e38, ncp=ncp)[0])
+        flat.wk_sbox, o2, d2, 1e-4, 3e38, ncp=ncp)[0])
     t = timeit(lambda: fn2().block_until_ready(), 5)
     print(f"wave_intersect 1M incoherent rays: {t*1e3:.1f} ms  "
           f"({R/t/1e6:.1f} Mrays/s)", flush=True)
@@ -116,109 +116,9 @@ if __name__ == "__main__":
 
 
 def visits():
-    """Visit-count + fixed-drain ablation profile."""
-    from tungsten_tpu.utils import jaxcfg
-    jaxcfg.setup()
-    import jax
-    import jax.numpy as jnp
-    from dataclasses import replace
-    from tungsten_tpu.scene.parse import load_scene
-    from tungsten_tpu.scene.flatten import flatten_scene
-    from tungsten_tpu.ops import intersect as isect
-    from tungsten_tpu.ops.wave_trace import wave_intersect, BLOCK
-    from tungsten_tpu.cameras.camera import generate_rays
-    from bench import simplified_bsdfs
-    import jax.numpy as jnp
-
-    desc = load_scene("/root/reference/data/materialtest/materialtest.json")
-    desc.bsdfs[:] = simplified_bsdfs(desc.bsdfs)
-    flat, settings = flatten_scene(desc)
-    settings = replace(settings, width=256, height=256, max_bounces=64)
-    R = 1 << 20
-    pixel = jnp.arange(R, dtype=jnp.uint32) % (256 * 256)
-    sample = (jnp.arange(R, dtype=jnp.uint32) // (256 * 256))
-    o, d = jax.jit(lambda: generate_rays(
-        flat, replace(settings, spp=0), pixel, sample, jnp.uint32(1)))()
-    ncp = flat.wk_boxes.shape[1]
-
-    import numpy as np
-    import time
-
-    def run(o, d, phase=2):
-        G = R // BLOCK
-        import functools
-        # raw pallas call to read the count row
-        from jax.experimental import pallas as pl
-        from tungsten_tpu.ops import wave_trace as wt
-        t, tri, u, v = wave_intersect(
-            flat.wk_boxes, flat.wk_cbox, flat.wk_attr, flat.wk_remap,
-            o, d, 1e-4, 3e38, ncp=ncp, debug_phase=phase)
-        return t
-
-    # visit counts: re-run and fetch res row 3 via a modified call
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    from tungsten_tpu.ops.wave_trace import _make_kernel, FCOLS
-    G = R // BLOCK
-
-    def full_call(o, d):
-        m = jnp.cross(o, d)
-        tmin_c = jnp.full((R, 1), 1e-4)
-        tmax_c = jnp.full((R, 1), 3e38)
-        f = jnp.concatenate([o, d, m, jnp.ones((R, 1)), tmin_c, tmax_c,
-                             jnp.zeros((R, 4))], axis=1)
-        f = f.reshape(G, BLOCK, FCOLS).transpose(0, 2, 1)
-        live = (tmax_c > 0).reshape(G, 8, 128, 1)
-        od = jnp.concatenate([o, d], axis=1).reshape(G, 8, 128, 6)
-        wlo = jnp.min(jnp.where(live, od, 3e38), axis=2)
-        whi = jnp.max(jnp.where(live, od, -3e38), axis=2)
-        w = jnp.concatenate([
-            wlo[..., 0:3], whi[..., 0:3], wlo[..., 3:6], whi[..., 3:6],
-            jnp.full((G, 8, 1), 1e-4), jnp.full((G, 8, 1), 3e38),
-            jnp.ones((G, 8, 1)), jnp.zeros((G, 8, 1))], axis=-1)
-        res, tri = pl.pallas_call(
-            _make_kernel(ncp, False, 2), grid=(G,),
-            in_specs=[pl.BlockSpec((None, FCOLS, BLOCK),
-                                   lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec((None, 8, 16), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec(memory_space=pltpu.VMEM),
-                      pl.BlockSpec(memory_space=pltpu.VMEM),
-                      pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=[pl.BlockSpec((None, 8, BLOCK),
-                                    lambda i: (i, 0, 0),
-                                    memory_space=pltpu.VMEM),
-                       pl.BlockSpec((None, 8, BLOCK),
-                                    lambda i: (i, 0, 0),
-                                    memory_space=pltpu.VMEM)],
-            out_shape=[jax.ShapeDtypeStruct((G, 8, BLOCK), jnp.float32),
-                       jax.ShapeDtypeStruct((G, 8, BLOCK), jnp.int32)],
-            scratch_shapes=[pltpu.VMEM((16, 512), jnp.float32),
-                            pltpu.VMEM((8, ncp), jnp.float32)],
-        )(f, w, flat.wk_boxes, flat.wk_cbox, flat.wk_attr)
-        return res[:, 3, 0]
-
-    fc = jax.jit(full_call)
-    counts = np.asarray(fc(o, d))
-    print(f"coherent visits/block: mean={counts.mean():.1f} "
-          f"p50={np.median(counts):.0f} p95={np.percentile(counts,95):.0f} "
-          f"max={counts.max():.0f} total_blocks={len(counts)}", flush=True)
-
-    key = jax.random.PRNGKey(0)
-    d2 = jax.random.normal(key, (R, 3))
-    d2 = d2 / jnp.linalg.norm(d2, axis=-1, keepdims=True)
-    o2 = jnp.tile(jnp.asarray([[0.0, 0.5, 0.0]]), (R, 1)) + \
-        0.5 * jax.random.normal(jax.random.PRNGKey(1), (R, 3))
-    counts2 = np.asarray(fc(o2, d2))
-    print(f"incoherent visits/block: mean={counts2.mean():.1f} "
-          f"p95={np.percentile(counts2,95):.0f} max={counts2.max():.0f}",
-          flush=True)
-
-    fn3 = jax.jit(lambda: run(o, d, 3))
-    t = timeit(lambda: fn3().block_until_ready(), 5)
-    print(f"fixed 16-visit drain: {t*1e3:.1f} ms "
-          f"({t/ (R//BLOCK) / 16 * 1e6:.2f} us/visit)", flush=True)
+    """Superseded: run `python tools_kprof.py counts` for visit counters
+    (the v5 kernel exports them via debug_rows)."""
+    print("use: python tools_kprof.py counts")
 
 
 if __name__ == "__main__":

@@ -305,83 +305,8 @@ def _tri_sph_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
                     u=jnp.zeros((R,)), v=jnp.zeros((R,)), hit=hit)
 
     if USE_PALLAS:
-        from tungsten_tpu.ops.wave_trace import BLOCK, wave_intersect
-        # Sort rays by (dead, direction octant, origin morton, direction
-        # morton) so each 128-ray warp shares an origin region and a
-        # direction cone — the traversal's warp-interval cull tightness
-        # depends directly on this.  The direction bits break ties for
-        # shared-origin rays (primaries: all origins equal, so without
-        # them the unstable sort scrambles pixels within an octant).
-        lo = scene.bvh_min[0]
-        hi = scene.bvh_max[0]
-        q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0)
-        q = (q * 31).astype(jnp.uint32)  # 5 bits/axis
-
-        def spread5(x):  # interleave 5 bits -> 15-bit morton component
-            x = (x | (x << 8)) & jnp.uint32(0x00F00F)
-            x = (x | (x << 4)) & jnp.uint32(0x0C30C3)
-            x = (x | (x << 2)) & jnp.uint32(0x249249)
-            return x
-
-        morton = spread5(q[:, 0]) | (spread5(q[:, 1]) << 1) | \
-            (spread5(q[:, 2]) << 2)
-        # 4 direction bits/axis -> 12-bit morton: shared-origin rays
-        # (primaries) rely ENTIRELY on direction bits for block
-        # coherence — 2 bits/axis measured ~145 pending clusters per
-        # block because a block spanned a ~45 degree cone
-        qd = ((jnp.clip(d, -1.0, 1.0) + 1.0) * 7.999).astype(jnp.uint32)
-        dmorton = spread5(qd[:, 0]) | (spread5(qd[:, 1]) << 1) | \
-            (spread5(qd[:, 2]) << 2)
-        octant = ((d[:, 0] > 0).astype(jnp.uint32)
-                  | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
-                  | ((d[:, 2] > 0).astype(jnp.uint32) << 2))
-        dead = (best_t <= 0.0).astype(jnp.uint32)
-        sort_key = (dead << 31) | (octant << 28) | (morton << 13) | \
-            (dmorton & jnp.uint32(0xFFF))
-        # one multi-operand sort moves all ray payloads with the key —
-        # cheaper than argsort + 8 permutation gathers on TPU; stable
-        # so equal-key rays keep raster/submission adjacency
-        ridx = jnp.arange(R, dtype=jnp.int32)
-        (_, ox_s, oy_s, oz_s, dx_s, dy_s, dz_s, tmin_v, tmax_v,
-         order) = jax.lax.sort(
-            [sort_key, o[:, 0], o[:, 1], o[:, 2],
-             d[:, 0], d[:, 1], d[:, 2], t_min, best_t, ridx],
-            num_keys=1, is_stable=True)
-        o_srt = jnp.stack([ox_s, oy_s, oz_s], axis=-1)
-        d_srt = jnp.stack([dx_s, dy_s, dz_s], axis=-1)
-
-        pad = (-R) % BLOCK
-        o_s, d_s = o_srt, d_srt
-        tmin_s = tmin_v
-        tmax_s = tmax_v
-        if pad:
-            o_s = jnp.concatenate([o_s, jnp.zeros((pad, 3))], axis=0)
-            d_s = jnp.concatenate(
-                [d_s, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
-                                       (pad, 3))], axis=0)
-            tmin_s = jnp.concatenate([tmin_s, jnp.zeros((pad,))])
-            tmax_s = jnp.concatenate([tmax_s, jnp.zeros((pad,))])
-        # gradients never flow through the discrete traversal (detached
-        # sampling, interior derivatives only) — cut the tape at the
-        # kernel inputs so AD never tries to linearize pallas_call
-        sg = jax.lax.stop_gradient
-        t, tri, u, v = wave_intersect(
-            sg(scene.wk_boxes), sg(scene.wk_cbox), sg(scene.wk_attr),
-            scene.wk_remap, sg(o_s), sg(d_s), sg(tmin_s), sg(tmax_s),
-            ncp=scene.wk_boxes.shape[1], any_hit=any_hit)
-        # un-permute by sorting results back on the original ray index
-        _, t, tri, u, v = jax.lax.sort(
-            [order, t[:R], tri[:R], u[:R], v[:R]], num_keys=1,
-            is_stable=False)
-        got_tri = tri >= 0
-        sph = jnp.where(got_tri, -1, best_sph)
-        if any_hit:
-            # occlusion: a triangle hit anywhere on the segment counts;
-            # t from the kernel is a sentinel, keep best_t for callers
-            return dict(t=best_t, tri=tri, sph=sph, u=u, v=v,
-                        hit=got_tri | (sph >= 0))
-        return dict(t=jnp.where(got_tri, t, best_t), tri=tri, sph=sph,
-                    u=u, v=v, hit=got_tri | (sph >= 0))
+        return _wave_dispatch(scene, o, d, t_min, best_t, best_sph,
+                              any_hit)
 
     # Several traversal steps are unrolled per while_loop iteration: this
     # backend has high fixed cost per loop iteration, so trading a few
@@ -443,6 +368,107 @@ def _tri_sph_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
     sph = jnp.where(got_tri, -1, best_sph)
     hit = got_tri | (sph >= 0)
     return dict(t=t, tri=tri, sph=sph, u=u, v=v, hit=hit)
+
+
+def _sort_for_wave(scene, o, d, t_min=None, t_max=None):
+    """Sort rays by (dead, direction octant, origin morton, direction
+    morton) so each 128-ray warp shares an origin region and a
+    direction cone — the traversal's warp-interval cull tightness
+    depends directly on this.  The direction bits break ties for
+    shared-origin rays (primaries: all origins equal, so without
+    them the unstable sort scrambles pixels within an octant).
+
+    With t_min/t_max None returns (o_sorted, d_sorted) only (profiling
+    helper); otherwise returns (o_s, d_s, tmin_s, tmax_s, order) with
+    `order` the original ray index of each sorted slot."""
+    R = o.shape[0]
+    lo = scene.bvh_min[0]
+    hi = scene.bvh_max[0]
+    q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0)
+    q = (q * 31).astype(jnp.uint32)  # 5 bits/axis
+
+    def spread5(x):  # interleave 5 bits -> 15-bit morton component
+        x = (x | (x << 8)) & jnp.uint32(0x00F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x0C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x249249)
+        return x
+
+    morton = spread5(q[:, 0]) | (spread5(q[:, 1]) << 1) | \
+        (spread5(q[:, 2]) << 2)
+    # 4 direction bits/axis -> 12-bit morton: shared-origin rays
+    # (primaries) rely ENTIRELY on direction bits for block
+    # coherence — 2 bits/axis measured ~145 pending clusters per
+    # block because a block spanned a ~45 degree cone
+    qd = ((jnp.clip(d, -1.0, 1.0) + 1.0) * 7.999).astype(jnp.uint32)
+    dmorton = spread5(qd[:, 0]) | (spread5(qd[:, 1]) << 1) | \
+        (spread5(qd[:, 2]) << 2)
+    octant = ((d[:, 0] > 0).astype(jnp.uint32)
+              | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
+              | ((d[:, 2] > 0).astype(jnp.uint32) << 2))
+    if t_min is None:
+        sort_key = (octant << 28) | (morton << 13) | \
+            (dmorton & jnp.uint32(0xFFF))
+        _, ox, oy, oz, dx, dy, dz = jax.lax.sort(
+            [sort_key, o[:, 0], o[:, 1], o[:, 2],
+             d[:, 0], d[:, 1], d[:, 2]], num_keys=1, is_stable=True)
+        return jnp.stack([ox, oy, oz], -1), jnp.stack([dx, dy, dz], -1)
+    dead = (t_max <= 0.0).astype(jnp.uint32)
+    sort_key = (dead << 31) | (octant << 28) | (morton << 13) | \
+        (dmorton & jnp.uint32(0xFFF))
+    # one multi-operand sort moves all ray payloads with the key —
+    # cheaper than argsort + 8 permutation gathers on TPU; stable
+    # so equal-key rays keep raster/submission adjacency
+    ridx = jnp.arange(R, dtype=jnp.int32)
+    (_, ox_s, oy_s, oz_s, dx_s, dy_s, dz_s, tmin_v, tmax_v,
+     order) = jax.lax.sort(
+        [sort_key, o[:, 0], o[:, 1], o[:, 2],
+         d[:, 0], d[:, 1], d[:, 2], t_min, t_max, ridx],
+        num_keys=1, is_stable=True)
+    o_srt = jnp.stack([ox_s, oy_s, oz_s], axis=-1)
+    d_srt = jnp.stack([dx_s, dy_s, dz_s], axis=-1)
+    return o_srt, d_srt, tmin_v, tmax_v, order
+
+
+def _wave_dispatch(scene, o, d, t_min, best_t, best_sph, any_hit):
+    """Sort + pad rays and run the Pallas wave-traversal kernel
+    (ops/wave_trace.py), then scatter results back to submission
+    order."""
+    from tungsten_tpu.ops.wave_trace import BLOCK, wave_intersect
+    R = o.shape[0]
+    o_s, d_s, tmin_s, tmax_s, order = _sort_for_wave(
+        scene, o, d, t_min, best_t)
+
+    pad = (-R) % BLOCK
+    if pad:
+        o_s = jnp.concatenate([o_s, jnp.zeros((pad, 3))], axis=0)
+        d_s = jnp.concatenate(
+            [d_s, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                   (pad, 3))], axis=0)
+        tmin_s = jnp.concatenate([tmin_s, jnp.zeros((pad,))])
+        tmax_s = jnp.concatenate([tmax_s, jnp.zeros((pad,))])
+    # gradients never flow through the discrete traversal (detached
+    # sampling, interior derivatives only) — cut the tape at the
+    # kernel inputs so AD never tries to linearize pallas_call
+    sg = jax.lax.stop_gradient
+    t, tri, u, v = wave_intersect(
+        sg(scene.wk_boxes), sg(scene.wk_cbox), sg(scene.wk_attr),
+        scene.wk_remap, sg(scene.wk_sbox), sg(o_s), sg(d_s),
+        sg(tmin_s), sg(tmax_s),
+        ncp=scene.wk_boxes.shape[1], any_hit=any_hit)
+    # un-permute by sorting results back on the original ray index
+    _, t, tri, u, v = jax.lax.sort(
+        [order, t[:R], tri[:R], u[:R], v[:R]], num_keys=1,
+        is_stable=False)
+    got_tri = tri >= 0
+    sph = jnp.where(got_tri, -1, best_sph)
+    if any_hit:
+        # occlusion: a triangle hit anywhere on the segment counts;
+        # t from the kernel is a sentinel, keep best_t for callers
+        return dict(t=best_t, tri=tri, sph=sph, u=u, v=v,
+                    hit=got_tri | (sph >= 0))
+    return dict(t=jnp.where(got_tri, t, best_t), tri=tri, sph=sph,
+                u=u, v=v, hit=got_tri | (sph >= 0))
+
 
 
 def occluded(scene, o, d, t_min, t_max):

@@ -88,6 +88,7 @@ class FlatScene:
     # --- cluster tables for the Pallas traversal kernel (ops/wave_trace) ---
     wk_boxes: Any       # (16, NCp) attr-major cluster AABBs (+valid)
     wk_cbox: Any        # (NCp, 8) cluster-major AABBs (drain gate)
+    wk_sbox: Any        # (16, NSp) super-cluster AABBs (phase-A cull)
     wk_attr: Any        # (NCp*16, 128) cluster triangle SoA blocks
     wk_remap: Any       # (NCp*128,) i32 (cluster*128+lane) -> tri id
     # --- analytic spheres ---
@@ -171,6 +172,8 @@ class FlatScene:
     grid_density: Any    # tuple of (nx,ny,nz) f32 (zero-padded border)
     grid_emission: Any   # tuple of (nx,ny,nz,3) f32 ((0,0,0,3) if none)
     grid_w2g: Any        # (G,3,4) world -> grid-index affine
+    grid_super: Any      # tuple of (sx,sy,sz,2) f32 [muC, muR] majorant
+                         # supergrids (SUPERGRID_SUB^3 voxels per cell)
     prim_int_medium: Any  # (P,) i32, -1 = none
     prim_ext_medium: Any  # (P,) i32
     cam_medium: Any      # () i32
@@ -224,6 +227,13 @@ class RenderSettings:
     curve_modes: tuple = ()  # CURVE_MODE_* values present in the scene
     med_kinds: tuple = ()    # medium kinds present (grid.MED_*)
     grid_steps: int = 96     # raymarch steps for voxel optical depth
+    # voxel-media optical-depth integration (ref VdbGrid.hpp:16-44
+    # IntegrationMethod): "residual_ratio" = unbiased residual-ratio
+    # tracking over the majorant supergrid (ref generateSuperGrid +
+    # opticalDepth ResidualRatio branch, VdbGrid.cpp:87-134,332-361);
+    # "raymarching" = fixed-step midpoint quadrature fallback
+    voxel_integration: str = "raymarching"
+    rr_max_events: int = 192  # event cap per transmittance query
     integrator_type: str = "path_tracer"
     bdpt_vertices: int = 8   # per-subpath vertex cap for bdpt/light_tracer
     # photon_map / progressive_photon_map (ref PhotonMapSettings.hpp)
@@ -313,6 +323,52 @@ def _cube_tris(m):
         tris.append((i, i + 2, i + 3))
     return (np.asarray(verts, np.float32), np.asarray(uvs, np.float32),
             np.asarray(normals, np.float32), np.asarray(tris, np.int32))
+
+
+SUPERGRID_SUB = 8    # voxels per supercell axis (ref default 10)
+
+
+def build_supergrid(dens: np.ndarray, sub: int = SUPERGRID_SUB):
+    """Residual-ratio control/majorant supergrid (ref
+    VdbGrid::generateSuperGrid, VdbGrid.cpp:87-134): per supercell of
+    sub^3 voxels compute muC (control, the Novak et al. 2014 formula
+    clamped to [muMin, muAvg]) and muR >= max |rho - muC| over the
+    cell.  Min/max are dilated by one voxel so trilinear samples near
+    cell borders stay inside the bound (keeps the ratio-tracking factor
+    1 - (rho-muC)/muR nonnegative)."""
+    nx, ny, nz = dens.shape
+    sx, sy, sz = (-(-nx // sub), -(-ny // sub), -(-nz // sub))
+    pad = np.zeros((sx * sub, sy * sub, sz * sub), np.float32)
+    pad[:nx, :ny, :nz] = dens
+
+    def dilate(a, op):
+        for ax in range(3):
+            lo = np.concatenate([a.take([0], ax), a], ax)
+            hi = np.concatenate([a, a.take([-1], ax)], ax)
+            a = op(lo.take(range(a.shape[ax]), ax),
+                   hi.take(range(1, a.shape[ax] + 1), ax))
+        return a
+
+    mx = dilate(pad, np.maximum)
+    mn = dilate(pad, np.minimum)
+
+    def block(a, red):
+        return red(a.reshape(sx, sub, sy, sub, sz, sub), axis=(1, 3, 5))
+
+    mu_max = block(mx, np.max)
+    mu_min = block(mn, np.min)
+    mu_avg = block(pad, np.mean)
+    width = mu_max - mu_min
+    gamma = 2.0
+    D = np.sqrt(3.0) * sub
+    with np.errstate(divide="ignore", over="ignore", invalid="ignore"):
+        mu_c = mu_min + width * (np.power(gamma,
+                                          1.0 / (D * np.maximum(width,
+                                                                1e-30)))
+                                 - 1.0)
+    mu_c = np.clip(np.nan_to_num(mu_c, posinf=0.0), mu_min, mu_avg)
+    mu_r = np.maximum(mu_max - mu_c, mu_c - mu_min)
+    return np.stack([mu_c, mu_r], axis=-1).astype(np.float32)
 
 
 def _load_grid(g: dict, resolve_path):
@@ -694,6 +750,8 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
     med_trans_type, med_trans_params, med_max_bounce = [], [], []
     med_kind, med_grid_idx, med_exp_params = [], [], []
     grid_density, grid_emission, grid_w2g = [], [], []
+    grid_super = []
+    voxel_integration = "raymarching"
     for m in desc.media:
         mtype = m.get("type", "homogeneous")
         if mtype not in MED_KINDS:
@@ -730,9 +788,17 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
             ep[4] = radius
         med_exp_params.append(ep)
         if kind == MED_VOXEL:
+            # ref VdbGrid "integration_method" (VdbGrid.cpp:56-63):
+            # residual_ratio switches the transmittance estimator to
+            # supergrid tracking; exact_*/raymarching map to the
+            # fixed-step quadrature
+            if str(m["grid"].get("integration_method", "")) == \
+                    "residual_ratio":
+                voxel_integration = "residual_ratio"
             dens, emis, w2g = _load_grid(m["grid"], desc.resolve_path)
             med_grid_idx.append(len(grid_density))
             grid_density.append(dens)
+            grid_super.append(build_supergrid(dens))
             grid_emission.append(
                 emis if emis is not None
                 else np.zeros((0, 0, 0, 3), np.float32))
@@ -998,7 +1064,8 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
                                               fiber_tables))
             continue
         else:
-            # skydome, minecraft_map ... not yet built
+            # minecraft_map and other exotic primitives (skydome IS
+            # handled above via scene/sky.py)
             raise NotImplementedError(f"primitive type not yet supported: {ptype}")
 
         tri_end = geom.count()
@@ -1211,6 +1278,7 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         num_caps=len(caps),
         has_points=len(points) > 0,
         med_kinds=tuple(sorted(set(med_kind))),
+        voxel_integration=voxel_integration,
         integrator_type=integ.get("type", "path_tracer"),
         photon_count=int(integ.get("photon_count", 1 << 20)),
         gather_radius=float(integ.get("gather_radius", 0.05)),
@@ -1228,7 +1296,7 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
     tex_type, tex_const, tex_params, tex_bitmap_id, bitmaps = textures.finalize()
 
     from tungsten_tpu.ops.wave_trace import build_wave_tables
-    wk_boxes, wk_cbox, wk_attr, wk_remap = build_wave_tables(
+    wk_boxes, wk_cbox, wk_attr, wk_remap, wk_sbox = build_wave_tables(
         tri_v0, tri_e1, tri_e2)
 
     def dev(x, dtype=None):
@@ -1242,7 +1310,7 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         bvh_min=dev(bvh.bounds_min), bvh_max=dev(bvh.bounds_max),
         bvh_meta=dev(bvh.meta), bvh_skip=dev(bvh.skip),
         wk_boxes=dev(wk_boxes), wk_cbox=dev(wk_cbox), wk_attr=dev(wk_attr),
-        wk_remap=dev(wk_remap),
+        wk_remap=dev(wk_remap), wk_sbox=dev(wk_sbox),
         sph_center=dev(np.asarray(spheres_c, np.float32).reshape(-1, 3)),
         sph_radius=dev(np.asarray(spheres_r, np.float32)),
         sph_prim=dev(np.asarray(spheres_p, np.int32)),
@@ -1287,6 +1355,7 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         med_exp_params=dev(np.asarray(med_exp_params,
                                       np.float32).reshape(-1, 8)),
         grid_density=tuple(dev(gd) for gd in grid_density),
+        grid_super=tuple(dev(gs) for gs in grid_super),
         grid_emission=tuple(dev(ge) for ge in grid_emission),
         grid_w2g=dev(np.asarray(grid_w2g, np.float32).reshape(-1, 3, 4)),
         prim_int_medium=dev(np.asarray(prim_int_med, np.int32)),
