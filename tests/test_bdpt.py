@@ -22,7 +22,7 @@ def _bdpt_image(scene, s, spp, nv, me, seed=123):
     acc = np.zeros((n, 3))
     splat = np.zeros((n, 3))
     for k in range(spp):
-        rad, spix, sval = f(pixel, jnp.full(n, k, jnp.uint32))
+        rad, spix, sval, _ = f(pixel, jnp.full(n, k, jnp.uint32))
         acc += np.where(np.isfinite(rad), np.asarray(rad), 0)
         np.add.at(splat, np.asarray(spix),
                   np.where(np.isfinite(sval), np.asarray(sval), 0))
@@ -90,7 +90,7 @@ def _bdpt_image_scene(scene, s, spp, nv, me, seed=7):
     acc = np.zeros((n, 3))
     splat = np.zeros((n, 3))
     for k in range(spp):
-        rad, spix, sval = f(pixel, jnp.full(n, k, jnp.uint32))
+        rad, spix, sval, _ = f(pixel, jnp.full(n, k, jnp.uint32))
         acc += np.where(np.isfinite(rad), np.asarray(rad), 0)
         np.add.at(splat, np.asarray(spix),
                   np.where(np.isfinite(sval), np.asarray(sval), 0))

@@ -97,9 +97,13 @@ def test_server_endpoints():
     try:
         srv.STATUS.framebuffer = np.ones((4, 4, 3), np.float32) * 0.5
         srv.STATUS.log("hello")
+        srv.STATUS.record_round(1_000_000, 0.5)
         st = json.loads(urllib.request.urlopen(
             "http://127.0.0.1:18723/status").read())
         assert "state" in st
+        assert st["mrays_per_s"] == 2.0
+        assert st["mrays_per_s_per_chip"] > 0
+        assert st["rays_total"] == 1_000_000
         png = urllib.request.urlopen("http://127.0.0.1:18723/render").read()
         assert png[:4] == b"\x89PNG"
         log = urllib.request.urlopen("http://127.0.0.1:18723/log").read()

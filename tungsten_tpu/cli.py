@@ -95,6 +95,46 @@ def render_scene(path, args):
     t_checkpoint = time.time()
     done = start_spp
     bufs = None
+
+    from tungsten_tpu.render import ADAPTIVE_THRESHOLD
+    use_adaptive = (settings.adaptive_sampling and not use_buffers
+                    and settings.integrator_type == "path_tracer"
+                    and spp > ADAPTIVE_THRESHOLD)
+    if use_adaptive:
+        # adaptive renders checkpoint their full tile statistics +
+        # sample cursors (ref PathTraceIntegrator.cpp:158-172) so a
+        # resumed run continues the budget allocation, not just the
+        # framebuffer
+        from tungsten_tpu.render import (adaptive_state_buffers,
+                                         adaptive_state_from_buffers,
+                                         render_adaptive)
+        ad_state = adaptive_state_from_buffers(raw_acc) if raw_acc else None
+
+        def _round_cb(st):
+            nonlocal t_checkpoint
+            now = time.time()
+            if enable_resume and checkpoint_s and \
+                    now - t_checkpoint > checkpoint_s:
+                img_c = st["fb"] / np.maximum(
+                    st["px_count"][:, None], 1.0)
+                save_resume_state(
+                    resume_file, shash,
+                    img_c.reshape(settings.height, settings.width, 3),
+                    st["done"], buffers=adaptive_state_buffers(st))
+                t_checkpoint = now
+
+        img, rays, secs, ad_state = render_adaptive(
+            scene, settings, spp, settings.seed, verbose=True,
+            state=ad_state, round_cb=_round_cb)
+        print(f"Adaptive render {ad_state['done']} spp rounds "
+              f"({secs:.2f}s, {rays / max(secs, 1e-9) / 1e6:.1f} Mrays/s)")
+        if enable_resume:
+            save_resume_state(resume_file, shash, img, ad_state["done"],
+                              buffers=adaptive_state_buffers(ad_state))
+        _write_outputs(img, settings, out_dir, output_file, hdr_output)
+        print(f"Finished render. Render time {time.time() - t_start:.1f}s")
+        return
+
     while done < spp:
         chunk = min(step, spp - done)
         t0 = time.time()

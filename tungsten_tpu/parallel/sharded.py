@@ -33,6 +33,26 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def _mesh_inputs(scene, mesh: Mesh, axis: str, n: int):
+    """Pixel-index array + scene, placed for the mesh.  Single-process
+    meshes pass plain arrays through; a multi-process mesh needs GLOBAL
+    arrays (jax.make_array_from_callback) — host-local inputs deadlock
+    the collectives (round-3 bring-up hit exactly this)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    if jax.process_count() <= 1:
+        return jnp.arange(n, dtype=jnp.uint32), scene
+    pix = np.arange(n, dtype=np.uint32)
+    pixels = jax.make_array_from_callback(
+        (n,), NamedSharding(mesh, PartitionSpec(axis)),
+        lambda idx: pix[idx])
+    rep = NamedSharding(mesh, PartitionSpec())
+    scene = jax.tree.map(
+        lambda x: jax.make_array_from_callback(
+            jnp.shape(x), rep, lambda idx, x=x: np.asarray(x)[idx])
+        if hasattr(x, "shape") else x, scene)
+    return pixels, scene
+
+
 def render_pass_sharded(scene, settings, mesh: Mesh, sample_start=0, seed=0,
                         spp_chunk: int = 1, axis: str = "dp"):
     """Render spp_chunk samples for every pixel, pixels sharded over the
@@ -41,7 +61,7 @@ def render_pass_sharded(scene, settings, mesh: Mesh, sample_start=0, seed=0,
     n = w * h
     ndev = mesh.devices.size
     pad = (-n) % ndev
-    pixels = jnp.arange(n + pad, dtype=jnp.uint32)
+    pixels, scene = _mesh_inputs(scene, mesh, axis, n + pad)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -94,7 +114,7 @@ def render_pass_sharded_staged(scene, settings, mesh: Mesh,
     n = w * h
     ndev = mesh.devices.size
     pad = (-n) % ndev
-    pixels = jnp.arange(n + pad, dtype=jnp.uint32)
+    pixels, scene = _mesh_inputs(scene, mesh, axis, n + pad)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,

@@ -122,17 +122,15 @@ def _trace_chunk_splat(scene: FlatScene, settings: RenderSettings, pixel,
     sample = jnp.full((R,), sample_idx, jnp.uint32)
     if settings.integrator_type == "light_tracer":
         rad = jnp.zeros((R, 3))
-        spix, sval = trace_light(scene, settings, pixel, sample,
-                                 jnp.uint32(seed),
-                                 max_vertices=settings.bdpt_vertices,
-                                 max_edges=settings.max_bounces)
-        rays = R * settings.bdpt_vertices * 2
+        spix, sval, rays = trace_light(
+            scene, settings, pixel, sample, jnp.uint32(seed),
+            max_vertices=settings.bdpt_vertices,
+            max_edges=settings.max_bounces)
     else:
-        rad, spix, sval = trace_bdpt(scene, settings, pixel, sample,
-                                     jnp.uint32(seed),
-                                     max_vertices=settings.bdpt_vertices,
-                                     max_edges=settings.max_bounces)
-        rays = R * settings.bdpt_vertices * (settings.bdpt_vertices + 2)
+        rad, spix, sval, rays = trace_bdpt(
+            scene, settings, pixel, sample, jnp.uint32(seed),
+            max_vertices=settings.bdpt_vertices,
+            max_edges=settings.max_bounces)
     rad = jnp.where(jnp.isfinite(rad), rad, 0.0)
     sval = jnp.where(jnp.isfinite(sval), sval, 0.0)
     # chunk padding: entries with pixel >= n_total are duplicates that
@@ -166,6 +164,12 @@ def _render_pass_photon(scene: FlatScene, settings: RenderSettings,
     pad = (-n) % C
     pixels = np.arange(n + pad, dtype=np.uint32).reshape(-1, C)
     progressive = settings.integrator_type == "progressive_photon_map"
+    if settings.vol_photon_type == "beams" and settings.has_media:
+        from tungsten_tpu.media.grid import MED_HOMOGENEOUS
+        if any(k != MED_HOMOGENEOUS for k in settings.med_kinds):
+            # beams' analytic transmittance covers homogeneous
+            # exponential media; fall back to the points estimator
+            settings = replace(settings, vol_photon_type="points")
 
     acc = jnp.zeros((n + pad, 3))
     rays = 0
@@ -195,12 +199,23 @@ def _render_pass_photon(scene: FlatScene, settings: RenderSettings,
         vgrid = None
         vradius = None
         if settings.has_media:
-            # volume photon map (points): separate grid at the volume
-            # gather radius (ref PhotonMapIntegrator volume maps)
+            # volume photon map: separate accel at the volume gather
+            # radius (ref PhotonMapIntegrator volume maps); "beams"
+            # builds the 1D beam grid, "points" the 0D point grid.
+            # Beams currently assume homogeneous exponential media for
+            # their analytic transmittance — heterogeneous or
+            # non-exponential scenes fall back to points.
+            from tungsten_tpu.integrators.photon_map import build_beam_grid
             vradius = settings.vol_gather_radius * float(np.sqrt(gamma))
-            vol = dict(photons)
-            vol["valid"] = photons["valid"] & photons["vol"]
-            vgrid = build_photon_grid(vol, vradius)
+            use_beams = settings.vol_photon_type == "beams"
+            if use_beams:
+                beams = dict(photons)
+                beams["b_pow"] = photons["b_pow"] / n_paths
+                vgrid = build_beam_grid(beams, vradius)
+            else:
+                vol = dict(photons)
+                vol["valid"] = photons["valid"] & photons["vol"]
+                vgrid = build_photon_grid(vol, vradius)
             vradius = np.float32(vradius)
 
         # ---- camera gather pass ----
@@ -300,7 +315,8 @@ def _trace_adaptive_chunk(scene, settings, pixel, sample_idx, seed,
     radiance framebuffer part + per-variance-tile (sum, sumsq, count)
     luminance statistics."""
     from tungsten_tpu.integrators.path_tracer import trace_wave
-    rad = trace_wave(scene, settings, pixel, sample_idx, jnp.uint32(seed))
+    rad, nrays = trace_wave(scene, settings, pixel, sample_idx,
+                            jnp.uint32(seed), with_stats=True)
     rad = jnp.where(jnp.isfinite(rad), rad, 0.0)
     ok = pixel < n_total
     rad = jnp.where(ok[..., None], rad, 0.0)
@@ -315,13 +331,38 @@ def _trace_adaptive_chunk(scene, settings, pixel, sample_idx, seed,
     t_sum = zt.at[tile].add(lum)
     t_sumsq = zt.at[tile].add(lum * lum)
     t_cnt = zt.at[tile].add(ok.astype(jnp.float32))
-    return fb, t_sum, t_sumsq, t_cnt
+    return fb, t_sum, t_sumsq, t_cnt, nrays
+
+
+def adaptive_state_buffers(state: dict) -> dict:
+    """The adaptive-sampling state as named checkpoint buffers (ref
+    PathTraceIntegrator serializes its SampleRecords + tile samplers,
+    PathTraceIntegrator.cpp:158-172; here the tile statistics + sample
+    cursors ARE that state — the RNG is counter-based)."""
+    return {f"adaptive_{k}": v for k, v in state.items()
+            if k != "done"} | {"adaptive_done":
+                               np.asarray([state["done"]], np.int64)}
+
+
+def adaptive_state_from_buffers(buffers: dict) -> dict | None:
+    keys = ("fb", "px_count", "t_sum", "t_sumsq", "t_cnt",
+            "tile_next_index")
+    if not all(f"adaptive_{k}" in buffers for k in keys) or \
+            "adaptive_done" not in buffers:
+        return None
+    st = {k: buffers[f"adaptive_{k}"].copy() for k in keys}
+    st["done"] = int(buffers["adaptive_done"][0])
+    return st
 
 
 def render_adaptive(scene: FlatScene, settings: RenderSettings, spp: int,
-                    seed: int, verbose: bool = False):
+                    seed: int, verbose: bool = False, state: dict = None,
+                    round_cb=None):
     """Adaptive path tracing: uniform warmup then per-tile budget
-    redistribution each spp_step round.  Returns (hdr, rays)."""
+    redistribution each spp_step round.  Returns (hdr, rays, seconds,
+    state); pass a previous `state` to resume, and `round_cb(state)`
+    fires after every round (checkpointing hook)."""
+    t_start = time.time()
     w, h = settings.width, settings.height
     n = w * h
     vt_w = -(-w // VARIANCE_TILE)
@@ -331,16 +372,31 @@ def render_adaptive(scene: FlatScene, settings: RenderSettings, spp: int,
     from tungsten_tpu.utils import rng as _rng
     _rng.set_sampler(settings.stratified_sampler)
 
-    fb = np.zeros((n, 3), np.float32)
-    px_count = np.zeros(n, np.float64)
-    t_sum = np.zeros(nt)
-    t_sumsq = np.zeros(nt)
-    t_cnt = np.zeros(nt)
-    tile_next_index = np.zeros(nt, np.int64)  # per-tile sample cursor
+    if state is not None:
+        fb = state["fb"].reshape(n, 3).astype(np.float32)
+        px_count = state["px_count"].astype(np.float64)
+        t_sum = state["t_sum"].copy()
+        t_sumsq = state["t_sumsq"].copy()
+        t_cnt = state["t_cnt"].copy()
+        tile_next_index = state["tile_next_index"].astype(np.int64)
+        resume_done = int(state["done"])
+    else:
+        fb = np.zeros((n, 3), np.float32)
+        px_count = np.zeros(n, np.float64)
+        t_sum = np.zeros(nt)
+        t_sumsq = np.zeros(nt)
+        t_cnt = np.zeros(nt)
+        tile_next_index = np.zeros(nt, np.int64)  # per-tile cursor
+        resume_done = 0
 
     pix_all = np.arange(n, dtype=np.uint32)
     px_of_tile = None  # lazy: pixel ids grouped by variance tile
     rays = 0
+
+    def snapshot(done):
+        return dict(fb=fb, px_count=px_count, t_sum=t_sum,
+                    t_sumsq=t_sumsq, t_cnt=t_cnt,
+                    tile_next_index=tile_next_index, done=done)
 
     def run_wave(pixels, samples):
         nonlocal fb, t_sum, t_sumsq, t_cnt, rays
@@ -352,25 +408,34 @@ def render_adaptive(scene: FlatScene, settings: RenderSettings, spp: int,
             if pad:
                 p = np.concatenate([p, np.full(pad, n, np.uint32)])
                 s = np.concatenate([s, np.zeros(pad, np.uint32)])
-            part, ts, tq, tc = _trace_adaptive_chunk(
+            part, ts, tq, tc, nrays = _trace_adaptive_chunk(
                 scene, settings, jnp.asarray(p), jnp.asarray(s),
                 np.uint32(seed), n, vt_w, nt)
             fb += np.asarray(part)
             t_sum += np.asarray(ts)
             t_sumsq += np.asarray(tq)
             t_cnt += np.asarray(tc)
-            rays += len(p) * 3 * min(settings.max_bounces, 8)
+            rays += int(nrays)
 
     # ---- uniform warmup ----
     warm = min(ADAPTIVE_THRESHOLD, spp)
-    for i in range(warm):
-        run_wave(pix_all, np.full(n, i, np.uint32))
-    px_count += warm
-    tile_next_index += warm
+    if resume_done < warm:
+        for i in range(resume_done, warm):
+            run_wave(pix_all, np.full(n, i, np.uint32))
+        px_count += warm - resume_done
+        tile_next_index += warm - resume_done
+        done = warm
+    else:
+        done = resume_done
+    if round_cb is not None:
+        round_cb(snapshot(done))
 
     # ---- adaptive rounds ----
-    rng_host = np.random.default_rng(seed ^ 0xADA7)
-    done = warm
+    # NOTE: the round RNG restarts its sequence on resume; per-tile
+    # budget draws after a resume differ from the uninterrupted run
+    # (sample indices stay collision-free via tile_next_index, so the
+    # estimate remains unbiased — only the budget shuffle differs)
+    rng_host = np.random.default_rng(seed ^ 0xADA7 ^ done)
     while done < spp:
         step = min(settings.spp_step, spp - done)
         cnt = np.maximum(t_cnt, 2.0)
@@ -418,12 +483,15 @@ def render_adaptive(scene: FlatScene, settings: RenderSettings, spp: int,
         tile_next_index += counts
         run_wave(np.concatenate(pixels_l), np.concatenate(samples_l))
         done += step
+        if round_cb is not None:
+            round_cb(snapshot(done))
         if verbose:
             print(f"adaptive round done~{done}/{spp} "
                   f"(tile spp {counts.min()}..{counts.max()})")
 
     img = fb / np.maximum(px_count[:, None], 1.0)
-    return img.reshape(h, w, 3).astype(np.float32), rays
+    return (img.reshape(h, w, 3).astype(np.float32), rays,
+            time.time() - t_start, snapshot(done))
 
 
 def render(scene: FlatScene, settings: RenderSettings, spp: int | None = None,
@@ -435,10 +503,11 @@ def render(scene: FlatScene, settings: RenderSettings, spp: int | None = None,
     if settings.adaptive_sampling and \
             settings.integrator_type == "path_tracer" and \
             spp > ADAPTIVE_THRESHOLD:
-        img, rays = render_adaptive(scene, settings, spp, seed,
-                                    verbose=verbose)
+        img, rays, secs, _ = render_adaptive(scene, settings, spp, seed,
+                                             verbose=verbose)
         if return_stats:
-            return img, {"rays": rays, "time": 0.0, "mrays_per_s": 0.0}
+            return img, {"rays": rays, "time": secs,
+                         "mrays_per_s": rays / max(secs, 1e-9) / 1e6}
         return img
     acc = None
     done = 0

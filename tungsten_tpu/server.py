@@ -30,6 +30,13 @@ class RenderStatus:
         self.tonemap = "gamma"
         self.log_lines: list[str] = []
         self.start_time = time.time()
+        # observability (SURVEY §5.5): per-chip throughput + gradient
+        # norm (differentiable sessions); updated per spp round
+        self.n_chips = 1
+        self.rays_total = 0
+        self.mrays_per_s = 0.0
+        self.mrays_per_s_per_chip = 0.0
+        self.grad_norm = None
 
     def log(self, msg):
         line = f"[{time.strftime('%H:%M:%S')}] {msg}"
@@ -48,7 +55,23 @@ class RenderStatus:
                 "current_scene": self.scene,
                 "queued_scenes": list(self.queue),
                 "uptime_s": round(time.time() - self.start_time, 1),
+                "n_chips": self.n_chips,
+                "rays_total": self.rays_total,
+                "mrays_per_s": round(self.mrays_per_s, 3),
+                "mrays_per_s_per_chip": round(self.mrays_per_s_per_chip,
+                                              3),
+                "grad_norm": self.grad_norm,
             })
+
+    def record_round(self, rays, seconds):
+        """Per-round throughput accounting (per-chip rays/s is the
+        north-star metric; chips = local device count)."""
+        with self.lock:
+            self.rays_total += int(rays)
+            if seconds > 0:
+                self.mrays_per_s = rays / seconds / 1e6
+                self.mrays_per_s_per_chip = \
+                    self.mrays_per_s / max(self.n_chips, 1)
 
     def render_png(self):
         import numpy as np
@@ -126,6 +149,9 @@ def render_with_server(scene_paths, port=8080, spp=None):
             STATUS.current_spp = 0
             STATUS.tonemap = settings.tonemap
             STATUS.state = "rendering"
+        import jax
+        with STATUS.lock:
+            STATUS.n_chips = jax.local_device_count()
         acc = np.zeros((settings.height, settings.width, 3))
         done = 0
         step = max(1, settings.spp_step)
@@ -133,9 +159,11 @@ def render_with_server(scene_paths, port=8080, spp=None):
             chunk = min(step, settings.spp - done)
             with STATUS.lock:
                 STATUS.next_spp = done + chunk
+            t0 = time.time()
             out, rays = render_pass(scene, settings, np.uint32(done),
                                     np.uint32(settings.seed), spp_chunk=chunk)
             acc += np.asarray(out)
+            STATUS.record_round(rays, time.time() - t0)
             done += chunk
             with STATUS.lock:
                 STATUS.current_spp = done
