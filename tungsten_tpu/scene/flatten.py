@@ -31,6 +31,15 @@ LIGHT_INFINITE = 1
 LIGHT_CAP = 2
 LIGHT_POINT = 3
 
+def _lt_slot_of_tri(lt_tri_l, num_tris):
+    """Reverse map: global triangle id -> its alias-table slot."""
+    slot = np.full(max(num_tris, 1), -1, np.int32)
+    if lt_tri_l:
+        cat = np.concatenate(lt_tri_l).astype(np.int64)
+        slot[cat] = np.arange(len(cat), dtype=np.int32)
+    return slot
+
+
 def _build_alias(p):
     """Walker/Vose alias table for probabilities p (sum ~1).  Returns
     (prob (n,) f32 keep-probability, alias (n,) i32 local index)."""
@@ -146,6 +155,8 @@ class FlatScene:
     lt_prob: Any        # (S,) f32 flat per-light triangle alias tables
     lt_alias: Any       # (S,) i32 alias slot (light-local index)
     lt_tri: Any         # (S,) i32 global triangle id
+    lt_slot: Any        # (T,) i32 global tri -> alias slot (-1 = not a
+                        # light tri); the invertPosition reverse map
     light_tri_off: Any  # (L,) i32 offset of this light's alias rows
     light_tri_cnt: Any  # (L,) i32 triangle count (any size — no cap)
     light_area: Any     # (L,) total area
@@ -241,6 +252,8 @@ class RenderSettings:
     gather_radius: float = 0.05
     gather_count: int = 20   # gather_photon_count (kNN k)
     vol_gather_radius: float = 0.05  # volume_gather_radius (points map)
+    vol_photon_type: str = "points"  # "points" | "beams" (ref
+                                     # PhotonMapSettings volumePhotonType)
     ppm_alpha: float = 0.3
     # MLT family (ref KelemenMltSettings / MultiplexedMltSettings /
     # ReversibleJumpMltSettings)
@@ -1283,6 +1296,7 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         photon_count=int(integ.get("photon_count", 1 << 20)),
         gather_radius=float(integ.get("gather_radius", 0.05)),
         gather_count=int(integ.get("gather_photon_count", 20)),
+        vol_photon_type=str(integ.get("volume_photon_type", "points")),
         vol_gather_radius=float(
             integ.get("volume_gather_radius",
                       integ.get("gather_radius", 0.05))),
@@ -1336,6 +1350,7 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
                      if lt_alias_l else np.zeros(1, np.int32)),
         lt_tri=dev(np.concatenate(lt_tri_l).astype(np.int32)
                    if lt_tri_l else np.zeros(1, np.int32)),
+        lt_slot=dev(_lt_slot_of_tri(lt_tri_l, len(tri_v0))),
         light_tri_off=dev(light_tri_off),
         light_tri_cnt=dev(light_tri_cnt),
         cap_dir=dev(cap_dir_arr), cap_cos=dev(cap_cos_arr),
