@@ -75,6 +75,14 @@ MAX_LEAF = 4  # must match bvh.build_bvh max_leaf_size
 # backends for scenes whose cluster tables fit in VMEM.
 USE_PALLAS = False
 
+# ray-sort key layout: "octant" = dead|octant|morton5|dir-morton4 (the
+# round-2 layout); (pos, dir) tuple = dead|origin-morton|dir-morton
+# with pos/dir bits per axis.  Round-3 interleaved A/B on the bounce
+# workload (tools: /tmp/sort_ab2.py pattern): octant 555-559 ms,
+# (4,6) 592-599 ms, (3,7) 676-679 ms, (5,4)-no-octant 674 ms,
+# (6,4) 834 ms -> the octant-first layout stands.
+SORT_LAYOUT = "octant"
+
 
 def enable_pallas_if_suitable(scene) -> bool:
     """Turn the Pallas wave traversal on when running on a TPU backend
@@ -385,36 +393,45 @@ def _sort_for_wave(scene, o, d, t_min=None, t_max=None):
     lo = scene.bvh_min[0]
     hi = scene.bvh_max[0]
     q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0)
-    q = (q * 31).astype(jnp.uint32)  # 5 bits/axis
 
-    def spread5(x):  # interleave 5 bits -> 15-bit morton component
+    def spread5(x):  # interleave up to 5 bits per axis
         x = (x | (x << 8)) & jnp.uint32(0x00F00F)
         x = (x | (x << 4)) & jnp.uint32(0x0C30C3)
         x = (x | (x << 2)) & jnp.uint32(0x249249)
         return x
 
-    morton = spread5(q[:, 0]) | (spread5(q[:, 1]) << 1) | \
-        (spread5(q[:, 2]) << 2)
-    # 4 direction bits/axis -> 12-bit morton: shared-origin rays
-    # (primaries) rely ENTIRELY on direction bits for block
-    # coherence — 2 bits/axis measured ~145 pending clusters per
-    # block because a block spanned a ~45 degree cone
-    qd = ((jnp.clip(d, -1.0, 1.0) + 1.0) * 7.999).astype(jnp.uint32)
-    dmorton = spread5(qd[:, 0]) | (spread5(qd[:, 1]) << 1) | \
-        (spread5(qd[:, 2]) << 2)
-    octant = ((d[:, 0] > 0).astype(jnp.uint32)
-              | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
-              | ((d[:, 2] > 0).astype(jnp.uint32) << 2))
-    if t_min is None:
-        sort_key = (octant << 28) | (morton << 13) | \
+    if SORT_LAYOUT == "octant":
+        qo = (q * 31).astype(jnp.uint32)
+        morton = spread5(qo[:, 0]) | (spread5(qo[:, 1]) << 1) | \
+            (spread5(qo[:, 2]) << 2)
+        qd = ((jnp.clip(d, -1.0, 1.0) + 1.0) * 7.999).astype(jnp.uint32)
+        dmorton = spread5(qd[:, 0]) | (spread5(qd[:, 1]) << 1) | \
+            (spread5(qd[:, 2]) << 2)
+        octant = ((d[:, 0] > 0).astype(jnp.uint32)
+                  | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
+                  | ((d[:, 2] > 0).astype(jnp.uint32) << 2))
+        key_live = (octant << 28) | (morton << 13) | \
             (dmorton & jnp.uint32(0xFFF))
+    else:
+        pos_bits, dir_bits = SORT_LAYOUT
+        qo = (q * (2 ** pos_bits - 1)).astype(jnp.uint32)
+        morton = spread5(qo[:, 0]) | (spread5(qo[:, 1]) << 1) | \
+            (spread5(qo[:, 2]) << 2)
+        dres = float(2 ** dir_bits) - 1e-3
+        qd = ((jnp.clip(d, -1.0, 1.0) + 1.0) * 0.5 * dres) \
+            .astype(jnp.uint32)
+        dmorton = spread5(qd[:, 0]) | (spread5(qd[:, 1]) << 1) | \
+            (spread5(qd[:, 2]) << 2)
+        key_live = (morton << (3 * dir_bits)) | \
+            (dmorton & jnp.uint32((1 << (3 * dir_bits)) - 1))
+    if t_min is None:
+        sort_key = key_live
         _, ox, oy, oz, dx, dy, dz = jax.lax.sort(
             [sort_key, o[:, 0], o[:, 1], o[:, 2],
              d[:, 0], d[:, 1], d[:, 2]], num_keys=1, is_stable=True)
         return jnp.stack([ox, oy, oz], -1), jnp.stack([dx, dy, dz], -1)
     dead = (t_max <= 0.0).astype(jnp.uint32)
-    sort_key = (dead << 31) | (octant << 28) | (morton << 13) | \
-        (dmorton & jnp.uint32(0xFFF))
+    sort_key = (dead << 31) | key_live
     # one multi-operand sort moves all ray payloads with the key —
     # cheaper than argsort + 8 permutation gathers on TPU; stable
     # so equal-key rays keep raster/submission adjacency
