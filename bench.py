@@ -51,9 +51,11 @@ def main():
     value = 0.0
     try:
         # warmup / compile: MUST cover the same wavefront widths as the
-        # timed run (the spp-batched wave + every compaction width),
-        # otherwise compiles land inside the timed region
-        render(flat, settings, spp=4, spp_chunk=4)
+        # timed run (the spp-batched wave + every compaction width) —
+        # i.e. the SAME spp_chunk, or the timed region pays the
+        # multi-minute remote compiles (this exact mismatch produced
+        # the 0.02 Mrays/s in BENCH_r02)
+        render(flat, settings, spp=spp, spp_chunk=spp)
         img, stats = render(flat, settings, spp=spp, spp_chunk=spp,
                             return_stats=True)
         if bool(np.isfinite(img).all() and img.mean() > 0):

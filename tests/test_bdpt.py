@@ -95,3 +95,45 @@ def _bdpt_image_scene(scene, s, spp, nv, me, seed=7):
         np.add.at(splat, np.asarray(spix),
                   np.where(np.isfinite(sval), np.asarray(sval), 0))
     return ((acc + splat) / spp).reshape(s.height, s.width, 3)
+
+
+def test_bdpt_env_escape_matches_pt():
+    """A lambert floor under an environment map: BDPT's camera-side env
+    escape (s'=0 strategy at weight 1 — light subpaths never root on
+    the env, so no strategy overlaps it) must agree with the path
+    tracer on the same scene."""
+    import tempfile
+    import os
+    from dataclasses import replace
+    from tungsten_tpu.scene.parse import SceneDesc
+    from tungsten_tpu.scene.flatten import flatten_scene
+    from tungsten_tpu.render import render
+    from tungsten_tpu.io.image import save_hdr
+
+    d = tempfile.mkdtemp()
+    img = np.full((16, 32, 3), 0.6, np.float32)
+    img[:4] = [3.0, 2.0, 1.0]      # bright "sky" band
+    save_hdr(os.path.join(d, "env.pfm"), img)
+    desc = SceneDesc(
+        path=os.path.join(d, "scene.json"), json={},
+        bsdfs=[{"type": "lambert", "albedo": 0.6}],
+        primitives=[
+            {"type": "infinite_sphere", "emission": "env.pfm",
+             "sample": True, "bsdf_index": 0},
+            {"type": "quad", "bsdf_index": 0,
+             "transform": {"position": [0, -0.5, 0], "scale": [4, 1, 4]}},
+        ],
+        media=[],
+        camera={"type": "pinhole", "resolution": [16, 12], "fov": 70,
+                "transform": {"position": [0, 0.6, 2.5],
+                              "look_at": [0, 0, 0]}},
+        integrator={"type": "bidirectional_path_tracer",
+                    "max_bounces": 4},
+        renderer={"spp": 1})
+    scene, settings = flatten_scene(desc)
+    img_bdpt = np.asarray(render(scene, settings, spp=24))
+    s_pt = replace(settings, integrator_type="path_tracer")
+    img_pt = np.asarray(render(scene, s_pt, spp=24))
+    assert np.isfinite(img_bdpt).all()
+    ratio = img_bdpt.mean() / max(img_pt.mean(), 1e-9)
+    assert 0.85 < ratio < 1.18, f"bdpt/pt env ratio {ratio}"

@@ -131,3 +131,94 @@ def test_replay_emission_deep():
           float(loss_fn(jnp.asarray(tm)))) / (2 * eps)
     rel = abs(fd - g[0, 0]) / max(abs(fd), 1e-6)
     assert rel < 5e-2, f"emission grad: ad={g[0, 0]} fd={fd}"
+
+
+def _rough_bitmap_scene():
+    """A rough_conductor floor + bitmap-textured lambert back wall under
+    a quad light: FD targets for roughness + a bitmap texel (the two
+    parameter classes round-2's VERDICT asked to prove beyond
+    albedo/emission)."""
+    import os
+    import tempfile
+    from tungsten_tpu.scene.parse import SceneDesc
+    from tungsten_tpu.scene.flatten import flatten_scene
+    from tungsten_tpu.io.image import save_hdr
+    d = tempfile.mkdtemp()
+    tex = np.full((8, 8, 3), 0.4, np.float32)
+    tex[2:6, 2:6] = [0.8, 0.3, 0.2]
+    save_hdr(os.path.join(d, "wall.pfm"), tex)
+    desc = SceneDesc(
+        path=os.path.join(d, "scene.json"), json={},
+        bsdfs=[
+            {"type": "rough_conductor", "material": "Cu",
+             "roughness": 0.25, "distribution": "ggx"},
+            {"type": "lambert", "albedo": "wall.pfm"},
+        ],
+        primitives=[
+            {"type": "quad", "bsdf_index": 0,
+             "transform": {"position": [0, 0, 0], "scale": [4, 1, 4]}},
+            {"type": "quad", "bsdf_index": 1,
+             "transform": {"position": [0, 1, -1.5], "scale": [4, 1, 2],
+                           "rotation": [90, 0, 0]}},
+            {"type": "quad", "bsdf_index": 1, "emission": [8.0] * 3,
+             "transform": {"position": [0, 2.5, 0],
+                           "scale": 1.5, "rotation": [0, 0, 180]}},
+        ],
+        media=[],
+        camera={"type": "pinhole", "resolution": [24, 16], "fov": 60,
+                "transform": {"position": [0, 1.2, 3.2],
+                              "look_at": [0, 0.8, 0]}},
+        integrator={"type": "path_tracer", "max_bounces": 3},
+        renderer={"spp": 1})
+    return flatten_scene(desc)
+
+
+def test_grad_matches_fd_roughness():
+    scene, settings = _rough_bitmap_scene()
+    n = settings.width * settings.height
+
+    def loss_fn(bsdf_params):
+        sc = scene.replace(bsdf_params=bsdf_params)
+        return _loss(sc, settings, n)
+
+    from tungsten_tpu.bsdf.types import P
+    g = np.asarray(jax.grad(loss_fn)(scene.bsdf_params))
+    gr = g[0, P.ROUGHNESS]
+    assert np.isfinite(g).all()
+    assert abs(gr) > 1e-5, "roughness gradient vanished"
+    base = np.asarray(scene.bsdf_params)
+    eps = 5e-3
+    tp = base.copy()
+    tp[0, P.ROUGHNESS] += eps
+    tm = base.copy()
+    tm[0, P.ROUGHNESS] -= eps
+    fd = (float(loss_fn(jnp.asarray(tp))) -
+          float(loss_fn(jnp.asarray(tm)))) / (2 * eps)
+    rel = abs(fd - gr) / max(abs(fd), 1e-6)
+    assert rel < 8e-2, f"roughness grad: ad={gr} fd={fd}"
+
+
+def test_grad_matches_fd_bitmap_texel():
+    scene, settings = _rough_bitmap_scene()
+    n = settings.width * settings.height
+    assert len(scene.bitmaps) >= 1
+
+    def loss_fn(bitmap0):
+        sc = scene.replace(bitmaps=(bitmap0,) + scene.bitmaps[1:])
+        return _loss(sc, settings, n)
+
+    g = np.asarray(jax.grad(loss_fn)(scene.bitmaps[0]))
+    assert np.isfinite(g).all()
+    fi = int(np.argmax(np.abs(g)))
+    iy, ix, c = np.unravel_index(fi, g.shape)
+    assert abs(g[iy, ix, c]) > 1e-6, "bitmap gradient vanished"
+    base = np.asarray(scene.bitmaps[0])
+    eps = 1e-2
+    tp = base.copy()
+    tp[iy, ix, c] += eps
+    tm = base.copy()
+    tm[iy, ix, c] -= eps
+    fd = (float(loss_fn(jnp.asarray(tp))) -
+          float(loss_fn(jnp.asarray(tm)))) / (2 * eps)
+    rel = abs(fd - g[iy, ix, c]) / max(abs(fd), 1e-6)
+    assert rel < 8e-2, f"bitmap texel grad: ad={g[iy, ix, c]} fd={fd}"

@@ -71,3 +71,27 @@ def test_volume_gather_adds_fog_glow():
     # read ~0 in the fog regions)
     ratio = img_pm.mean() / max(img_pt.mean(), 1e-9)
     assert 0.4 < ratio < 2.5, f"photon/pt brightness ratio {ratio}"
+
+
+def test_beam_map_matches_points_brightness():
+    """The 1D photon-beam estimator (volume_photon_type "beams") must
+    agree with the 0D points estimator on the fog fixture: same fog
+    glow, lower variance (ref PhotonMapSettings volumePhotonType,
+    evalBeam1D PhotonTracer.cpp:120-135)."""
+    desc = _fog_scene()
+    desc.integrator["volume_photon_type"] = "beams"
+    # keep per-cell beam occupancy under BEAM_CAP in this dense fog
+    # (beams span many cells; the candidate scan truncates beyond the
+    # cap and reads biased-dim)
+    desc.integrator["volume_photon_count"] = 2000
+    from tungsten_tpu.render import render
+    scene_b, settings_b = flatten_scene(desc)
+    assert settings_b.vol_photon_type == "beams"
+    img_beams = np.asarray(render(scene_b, settings_b, spp=2))
+    assert np.isfinite(img_beams).all() and img_beams.mean() > 0
+
+    desc_p = _fog_scene()
+    scene_p, settings_p = flatten_scene(desc_p)
+    img_pts = np.asarray(render(scene_p, settings_p, spp=2))
+    ratio = img_beams.mean() / max(img_pts.mean(), 1e-9)
+    assert 0.6 < ratio < 1.7, f"beams/points brightness ratio {ratio}"

@@ -112,16 +112,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
-
-
-def visits():
-    """Superseded: run `python tools_kprof.py counts` for visit counters
-    (the v5 kernel exports them via debug_rows)."""
-    print("use: python tools_kprof.py counts")
-
-
-if __name__ == "__main__":
     import sys
     if len(sys.argv) > 1 and sys.argv[1] == "visits":
         visits()

@@ -235,6 +235,11 @@ def _dielectric_sample(sp, wi, U, ctx):
     wo = jnp.where(take_refl[..., None], wo_r, wo_t)
     w_r = jnp.where(enable_t, 1.0, F)
     w_t = 1.0 - F  # only reachable when enable_t
+    if not ctx.get("adjoint", False):
+        # radiance compression across the boundary (ref
+        # Bsdf::sample(event, adjoint=false) multiplies by
+        # sqr(eta(event)) = (etaI/etaO)^2, Bsdf.hpp:71-83)
+        w_t = w_t * eta * eta
     w = jnp.where(take_refl, w_r, w_t)
     pdf = jnp.where(take_refl, refl_prob, 1.0 - refl_prob)
     ok = jnp.where(take_refl, wi[..., 2] != 0.0, F < 1.0)
@@ -273,6 +278,10 @@ def _rough_dielectric_eval(sp, wi, wo, ctx):
     f_r = F * G * D * 0.25 / abs_wi_n
     denom = jnp.maximum((eta * wi_dot_m + wo_dot_m) ** 2, 1e-20)
     f_t = jnp.abs(wi_dot_m * wo_dot_m) * (1.0 - F) * G * D / (denom * abs_wi_n)
+    if not ctx.get("adjoint", False):
+        # camera-transport eta^2 on the transmission lobe
+        # (ref Bsdf::eval(event, adjoint=false), Bsdf.hpp:84-96)
+        f_t = f_t * eta * eta
     f = jnp.where(reflect, f_r, jnp.where(enable_t, f_t, 0.0))
     return sp.albedo * f[..., None]
 
@@ -325,6 +334,9 @@ def _rough_dielectric_sample(sp, wi, U, ctx):
     # enable_t: the F-choice goes into the pdf; otherwise into the weight
     pdf = jnp.where(enable_t, pdf * jnp.where(reflect, F, 1.0 - F), pdf)
     w = jnp.where(enable_t, w, w * jnp.where(reflect, F, 1.0 - F))
+    if not ctx.get("adjoint", False):
+        # camera-transport eta^2 on refraction (Bsdf.hpp:71-83)
+        w = jnp.where(reflect, w, w * eta_n * eta_n)
     weight = jnp.where(ok[..., None], sp.albedo * w[..., None], 0.0)
     flags = jnp.where(ok, FLAG_VALID, 0) | \
         jnp.where(ok & ~reflect, FLAG_TRANSMIT, 0)
@@ -828,8 +840,9 @@ def _child_types(present_types):
     return tuple(t for t in present_types if t not in NESTED_TYPES)
 
 
-def _make_ctx(present_types):
-    return {"child_types": _child_types(present_types)}
+def _make_ctx(present_types, adjoint=False):
+    return {"child_types": _child_types(present_types),
+            "adjoint": adjoint}
 
 
 def _dispatch_eval(sp, wi, wo, types, ctx):
@@ -874,10 +887,15 @@ def _dispatch_sample(sp, wi, U, types, ctx):
 
 # ----------------------------------------------------------------- public
 
-def bsdf_eval(sp: ShadePoint, wi, wo, present_types, include_specular=False):
+def bsdf_eval(sp: ShadePoint, wi, wo, present_types, include_specular=False,
+              adjoint=False):
     """f * cos(theta_o); Dirac lobes contribute 0 (the reference's NEE
-    convention)."""
-    return _dispatch_eval(sp, wi, wo, present_types, _make_ctx(present_types))
+    convention).  Non-adjoint (camera) transport scales transmissive
+    lobes by eta^2 = (etaI/etaO)^2 — the radiance compression across a
+    refractive boundary (ref Bsdf::eval(event, adjoint),
+    Bsdf.hpp:84-96); adjoint (light/importance) transport omits it."""
+    return _dispatch_eval(sp, wi, wo, present_types,
+                          _make_ctx(present_types, adjoint))
 
 
 def bsdf_pdf(sp: ShadePoint, wi, wo, present_types):
@@ -885,12 +903,12 @@ def bsdf_pdf(sp: ShadePoint, wi, wo, present_types):
 
 
 def bsdf_sample(sp: ShadePoint, wi, u_lobe, u1, u2, present_types,
-                u_lobe2=None, no_specular=False):
+                u_lobe2=None, no_specular=False, adjoint=False):
     """Sample a direction for every ray; returns (wo, weight, pdf, flags)."""
     U = {"lobe": u_lobe, "u1": u1, "u2": u2,
          "lobe2": u_lobe2 if u_lobe2 is not None else u_lobe}
     wo, weight, pdf, flags = _dispatch_sample(
-        sp, wi, U, present_types, _make_ctx(present_types))
+        sp, wi, U, present_types, _make_ctx(present_types, adjoint))
     if no_specular:
         # AllButSpecular request: pure-Dirac BSDFs fail; mixed-lobe BSDFs
         # keep their non-specular branch only when it was the one sampled.

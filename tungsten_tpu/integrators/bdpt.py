@@ -297,6 +297,9 @@ def _trace_subpath(scene, settings, o0, d0, alpha0, adjoint, seed, pixel,
 
     out = dict(
         rays=jnp.int32(0),
+        esc_d=jnp.zeros((R, 3)), esc_alpha=jnp.zeros((R, 3)),
+        esc_edges=jnp.zeros((R,), jnp.int32),
+        esc_valid=jnp.zeros((R,), bool),
         p=zeros((3,)), ns=zeros((3,)), ng=zeros((3,)), wi=zeros((3,)),
         alpha=zeros((3,)), pdf_fwd=zeros(()), pdf_rev=zeros(()),
         bsdf=zeros((), jnp.int32), uv=zeros((2,)),
@@ -340,6 +343,18 @@ def _trace_subpath(scene, settings, o0, d0, alpha0, adjoint, seed, pixel,
         vol_ev = alive & ms["scattered"]
         surf_ev = hit & ~ms["scattered"]
         alpha_arr = alpha * ms["w"]
+
+        # envmap escape (camera side; light subpaths never root on the
+        # env, so crediting the escape at weight 1 cannot double count
+        # any (s,t) strategy — the reference's full envmap connection
+        # strategy would additionally importance-sample the env)
+        escape = alive & ~res["hit"] & ~ms["scattered"]
+        first_esc = escape & ~out["esc_valid"]
+        out["esc_d"] = vm.where3(first_esc, d, out["esc_d"])
+        out["esc_alpha"] = jnp.where(first_esc[..., None], alpha_arr,
+                                     out["esc_alpha"])
+        out["esc_edges"] = jnp.where(first_esc, ei, out["esc_edges"])
+        out["esc_valid"] = out["esc_valid"] | first_esc
 
         info = _expand_hit(scene, o, d, res)
         backside = jnp.sum(info["ng"] * d, axis=-1) > 0.0
@@ -402,10 +417,17 @@ def _trace_subpath(scene, settings, o0, d0, alpha0, adjoint, seed, pixel,
                             dims + rng.BounceDims.BSDF_LOBE2)
         wo, wt, pdf_new, flags = bsdf_sample(
             sp, wi_local, ul, u1, u2, settings.present_bsdf_types,
-            u_lobe2=ul2)
+            u_lobe2=ul2, adjoint=adjoint)
         spec = (flags & FLAG_SPECULAR) != 0
         ok = ((flags & FLAG_VALID) != 0) & (jnp.max(wt, axis=-1) > 0)
         new_d = vm.to_global(tan, bit, ns, wo)
+        if adjoint:
+            # shading-normal adjoint correction (Bsdf.hpp:75-79)
+            adj = jnp.abs(jnp.sum(new_d * info["ng"], axis=-1)
+                          * wi_local[..., 2]) / jnp.maximum(
+                jnp.abs(jnp.sum(d * info["ng"], axis=-1) * wo[..., 2]),
+                1e-9)
+            wt = wt * jnp.clip(adj, 0.0, 8.0)[..., None]
         rev_solid = bsdf_pdf(sp, wo, wi_local, settings.present_bsdf_types)
         rev_solid = jnp.where(spec, pdf_new, rev_solid)
         if settings.has_media:
@@ -569,19 +591,21 @@ def _camera_pixel(scene, settings, d_world):
 
 # ------------------------------------------------------------ vertex eval
 
-def _vertex_eval(scene, settings, verts, idx, wo_world):
+def _vertex_eval(scene, settings, verts, idx, wo_world, adjoint=False):
     """Scatter eval at stored vertex `idx` (static slot) toward the new
     connection direction wo_world.  Returns (f, pdf_fwd_solid,
     pdf_rev_solid).  Surfaces: BSDF with |cos(wo)| folded in (Tungsten
     eval convention); medium vertices: phase value, no cosine
-    (ref PathVertex::eval / evalPdfs)."""
+    (ref PathVertex::eval / evalPdfs).  adjoint=True for light-subpath
+    vertices (importance transport: no eta^2 on refraction)."""
     ns = verts["ns"][:, idx]
     wi_world = verts["wi"][:, idx]
     tan, bit = vm.ortho_frame(ns)
     wi_l = vm.to_local(tan, bit, ns, wi_world)
     wo_l = vm.to_local(tan, bit, ns, wo_world)
     sp = ShadePoint(scene, verts["bsdf"][:, idx], verts["uv"][:, idx])
-    f = bsdf_eval(sp, wi_l, wo_l, settings.present_bsdf_types)
+    f = bsdf_eval(sp, wi_l, wo_l, settings.present_bsdf_types,
+                  adjoint=adjoint)
     pdf_f = bsdf_pdf(sp, wi_l, wo_l, settings.present_bsdf_types)
     pdf_r = bsdf_pdf(sp, wo_l, wi_l, settings.present_bsdf_types)
     if settings.has_media:
@@ -806,7 +830,8 @@ def _connect(scene, settings, cam, lig, root, s, t, R):
         ok_l = cos_l > 0
     else:
         si = s - 2
-        f_l, pdf_l_f, pdf_l_r = _vertex_eval(scene, settings, lig, si, -dw)
+        f_l, pdf_l_f, pdf_l_r = _vertex_eval(scene, settings, lig, si,
+                                             -dw, adjoint=True)
         ok_l = jnp.ones((R,), bool)
 
     contrib = cam["alpha"][:, ci] * f_c * f_l * alpha_l / \
@@ -892,7 +917,8 @@ def _connect_lens(scene, settings, cam, lig, root, s, R, cam_pos,
         ok_l = cos_l > 0
     else:
         si = s - 2
-        f_l, pdf_l_f, pdf_l_r = _vertex_eval(scene, settings, lig, si, dw)
+        f_l, pdf_l_f, pdf_l_r = _vertex_eval(scene, settings, lig, si, dw,
+                                             adjoint=True)
         ok_l = jnp.ones((R,), bool)
 
     # pinhole importance: a pixel's estimator averages radiance over its
@@ -976,6 +1002,14 @@ def trace_bdpt(scene, settings, pixel, sample_idx, seed, max_vertices=8,
     radiance = jnp.zeros((R, 3))
     splat_pix = []
     splat_val = []
+
+    if settings.has_env:
+        from tungsten_tpu.integrators import lights as L
+        env_ok = cam["esc_valid"] & (cam["esc_edges"] <= ME) & \
+            (cam["esc_edges"] >= settings.min_bounces)
+        radiance = radiance + jnp.where(
+            env_ok[..., None],
+            cam["esc_alpha"] * L.env_eval(scene, cam["esc_d"]), 0.0)
 
     # ================= s = 0: camera path hits a light =================
     for t in range(1, NV + 1):

@@ -98,6 +98,14 @@ def trace_photons(scene, settings, n_paths: int, seed, path_offset):
         power=jnp.zeros((R, B, 3)), bounce=jnp.zeros((R, B), jnp.int32),
         valid=jnp.zeros((R, B), bool),
         vol=jnp.zeros((R, B), bool),
+        # photon BEAMS (ref PhotonBeam, Photon.hpp:74-83): one per
+        # medium segment of the walk; power is the INCIDENT power at
+        # the segment start — the 1D gather applies Tr along the beam
+        # analytically (full-segment beams, vs the reference's
+        # stochastic sampled-length formulation)
+        b_o=jnp.zeros((R, B, 3)), b_d=jnp.zeros((R, B, 3)),
+        b_len=jnp.zeros((R, B)), b_pow=jnp.zeros((R, B, 3)),
+        b_valid=jnp.zeros((R, B), bool),
     )
 
     def body(i, carry):
@@ -112,6 +120,7 @@ def trace_photons(scene, settings, n_paths: int, seed, path_offset):
         vol_scatter = jnp.zeros((R,), bool)
         vol_point = o
         vol_power = thr
+        seg_pow = thr          # incident power at the segment start
         if settings.has_media:
             in_med = alive & (med >= 0)
             mi = jnp.clip(med, 0, scene.med_sigma_a.shape[0] - 1)
@@ -204,6 +213,23 @@ def trace_photons(scene, settings, n_paths: int, seed, path_offset):
                                  < 1e-9, 1e-9,
                                  jnp.sum(info["ng"] * d, axis=-1)))
         p_pow = thr * jnp.clip(asym, 0.0, 8.0)[..., None]
+        if settings.has_media and settings.vol_photon_type == "beams":
+            # the beam spans the whole unoccluded segment (to the
+            # surface hit), independent of where the walk scattered —
+            # its transmittance is applied analytically at gather time
+            in_med_seg = alive & (med >= 0)
+            blen = jnp.where(res["hit"], res["t"], 1e8)
+            out = dict(out)
+            out["b_o"] = out["b_o"].at[:, i].set(
+                jnp.where(in_med_seg[..., None], o, 0.0))
+            out["b_d"] = out["b_d"].at[:, i].set(
+                jnp.where(in_med_seg[..., None], d, 0.0))
+            out["b_len"] = out["b_len"].at[:, i].set(
+                jnp.where(in_med_seg, jnp.minimum(blen, 1e8), 0.0))
+            out["b_pow"] = out["b_pow"].at[:, i].set(
+                jnp.where(in_med_seg[..., None], seg_pow, 0.0))
+            out["b_valid"] = out["b_valid"].at[:, i].set(in_med_seg)
+
         # one slot per bounce serves either a surface or a volume photon
         any_dep = dep | vol_scatter
         slot_pos = vm.where3(vol_scatter, vol_point, info["p"])
@@ -229,9 +255,17 @@ def trace_photons(scene, settings, n_paths: int, seed, path_offset):
                             dims + rng.BounceDims.BSDF_LOBE2)
         wo, wt, _, flags = bsdf_sample(sp, wi_local, ul, u1, u2,
                                        settings.present_bsdf_types,
-                                       u_lobe2=ul2)
+                                       u_lobe2=ul2, adjoint=True)
         ok = ((flags & FLAG_VALID) != 0) & (jnp.max(wt, axis=-1) > 0)
         new_d = vm.to_global(tan, bit, ns, wo)
+        # adjoint shading-normal correction (ref Bsdf::sample(event,
+        # adjoint=true), Bsdf.hpp:75-79):
+        # |(wo.Ng)(wi.Ns)| / |(wi.Ng)(wo.Ns)|
+        adj = jnp.abs(jnp.sum(new_d * info["ng"], axis=-1)
+                      * wi_local[..., 2]) / jnp.maximum(
+            jnp.abs(jnp.sum(d * info["ng"], axis=-1) * wo[..., 2]),
+            1e-9)
+        wt = wt * jnp.clip(adj, 0.0, 8.0)[..., None]
         if _has_forward_types(settings):
             new_d = vm.where3(take_fwd, d, new_d)
             wt = jnp.where(take_fwd[..., None], fwd_w, wt)
@@ -356,6 +390,158 @@ def _gather_estimate(scene, settings, grid, radius, p, frame, wi_local,
         (sel_d2 <= r2[:, None] + 1e-12)
     est = jnp.sum(jnp.where(ok[..., None], power * f, 0.0), axis=1)
     return est * (vm.INV_PI / jnp.maximum(r2, 1e-20))[..., None]
+
+
+# ------------------------------------------------------------ photon beams
+
+BEAM_CELLS = 24    # rasterized centerline cells per beam (long beams
+                   # truncate; fog-scale beams span ~10 cells)
+BEAM_CAP = 32    # candidate beams scanned per grid cell
+
+
+def build_beam_grid(photons, radius):
+    """Hash grid over photon BEAMS (the 1D volume estimator's accel;
+    ref GridAccel's beam rasterization, GridAccel.hpp:98-160): each
+    beam's centerline is sampled every cell (cell = 2*gather radius),
+    deduplicated, and the (cell, beam) pairs are sorted by cell key.
+    A query visits the 27 cells around each camera-march point; the
+    closest-approach OWNERSHIP cell (the cell containing the beam's
+    closest point) makes each (ray, beam) pair count exactly once."""
+    bo = photons["b_o"]
+    bd = photons["b_d"]
+    blen = photons["b_len"]
+    valid = photons["b_valid"]
+    N = bo.shape[0]
+    cell = 2.0 * radius
+    inv = 1.0 / cell
+    lo = jnp.min(jnp.where(valid[..., None], bo, jnp.inf), axis=0) - \
+        2.0 * cell
+    lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+
+    t_k = (jnp.arange(BEAM_CELLS, dtype=jnp.float32) + 0.5) * cell
+    pts = bo[:, None, :] + bd[:, None, :] * t_k[None, :, None]
+    ok = valid[:, None] & (t_k[None, :] <= blen[:, None] + cell)
+    cid = jnp.clip(((pts - lo) * inv).astype(jnp.int32), 1, GRID_RES - 3)
+    key = (cid[..., 0] * GRID_RES + cid[..., 1]) * GRID_RES + cid[..., 2]
+    key = jnp.where(ok, key, jnp.int32(2**31 - 1))
+    # in-beam dedup: consecutive samples in the same cell keep the first
+    dup = jnp.concatenate(
+        [jnp.zeros((N, 1), bool), key[:, 1:] == key[:, :-1]], axis=1)
+    key = jnp.where(dup, jnp.int32(2**31 - 1), key)
+    bid = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None],
+                           key.shape)
+    key = key.reshape(-1)
+    bid = bid.reshape(-1)
+    order = jnp.argsort(key)
+    return dict(key=key[order], bid=bid[order],
+                b_o=bo, b_d=bd, b_len=blen, b_pow=photons["b_pow"],
+                lo=lo, cell=jnp.float32(cell), inv_cell=jnp.float32(inv))
+
+
+def _beam_eval(scene, settings, bgrid, radius, o, d, t1):
+    """In-scattered radiance along the camera segment from the BEAM
+    map (ref evalBeam1D, PhotonTracer.cpp:120-135): for each beam
+    passing within `radius` of the camera ray, add
+      power * phase(b_d, -d) * sigma_s * Tr_cam(t) * Tr_beam(s)
+            / (2 radius sin theta)
+    at the closest-approach point.  Full-length beams with ANALYTIC
+    transmittance (the reference samples stochastic beam lengths
+    instead; analytic is strictly lower variance for the homogeneous
+    exponential media this path supports — heterogeneous scenes fall
+    back to the points estimator in render.py).
+
+    All R*M march points batch into ONE 27-neighborhood scan (like
+    _volume_march) so the trace stays ~27*BEAM_CAP taps, not
+    27*BEAM_CAP*M."""
+    R = o.shape[0]
+    med = jnp.full((R,), scene.cam_medium, jnp.int32)
+    in_med = med >= 0
+    mi = jnp.clip(med, 0, max(scene.med_sigma_a.shape[0] - 1, 0))
+    sigma_s = scene.med_sigma_s[mi]                    # (R, 3)
+    sigma_t = sigma_s + scene.med_sigma_a[mi]
+    ptype = scene.med_phase[mi]
+    pg = scene.med_g[mi]
+
+    M = VOL_MARCH_STEPS
+    step = t1 / M                                      # (R,)
+    j = jnp.arange(M, dtype=jnp.float32)[None, :]
+    tj = (j + 0.5) * step[:, None]                     # (R, M)
+    xj = o[:, None, :] + d[:, None, :] * tj[..., None]
+    cj = jnp.clip(((xj - bgrid["lo"]) * bgrid["inv_cell"])
+                  .astype(jnp.int32), 1, GRID_RES - 3)
+    ckey = (cj[..., 0] * GRID_RES + cj[..., 1]) * GRID_RES + cj[..., 2]
+    # visit each cell once per ray (consecutive march points share
+    # cells when step < cell)
+    fresh = jnp.concatenate(
+        [jnp.ones((R, 1), bool), ckey[:, 1:] != ckey[:, :-1]], axis=1)
+
+    N = R * M
+    rep = lambda a: jnp.repeat(a, M, axis=0)
+    oN, dN, t1N = rep(o), rep(d), jnp.repeat(t1, M)
+    ssN, stN = rep(sigma_s), rep(sigma_t)
+    ptN, pgN = jnp.repeat(ptype, M), jnp.repeat(pg, M)
+    cjN = cj.reshape(N, 3)
+    freshN = fresh.reshape(N)
+
+    keys = bgrid["key"]
+    NK = keys.shape[0]
+    acc = jnp.zeros((N, 3))
+    qr = jnp.arange(BEAM_CAP, dtype=jnp.int32)[None, :]     # (1, CAP)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                k = ((cjN[:, 0] + dx) * GRID_RES
+                     + (cjN[:, 1] + dy)) * GRID_RES + (cjN[:, 2] + dz)
+                start = jnp.searchsorted(keys, k, side="left")
+                end = jnp.minimum(
+                    jnp.searchsorted(keys, k, side="right"),
+                    start + BEAM_CAP)
+                # all CAP candidates of this neighbor cell at once:
+                # (N, CAP) fully vectorized (432 scalarized taps
+                # measured pathological XLA:CPU compile times)
+                ix = jnp.minimum(start[:, None] + qr, NK - 1)
+                okq = freshN[:, None] & ((start[:, None] + qr)
+                                         < end[:, None])
+                b = bgrid["bid"][ix]                     # (N, CAP)
+                bo = bgrid["b_o"][b]                     # (N, CAP, 3)
+                bd = bgrid["b_d"][b]
+                bl = bgrid["b_len"][b]
+                bp = bgrid["b_pow"][b]
+                oN2 = oN[:, None, :]
+                dN2 = dN[:, None, :]
+                # closest approach (intersectBeam1D)
+                l = bo - oN2
+                cr = jnp.cross(l, bd)
+                sin2 = 1.0 - jnp.sum(dN2 * bd, axis=-1) ** 2
+                u = cr / jnp.maximum(
+                    jnp.linalg.norm(cr, axis=-1, keepdims=True), 1e-12)
+                nrm = jnp.cross(bd, u)
+                denom = jnp.sum(nrm * dN2, axis=-1)
+                t = jnp.sum(nrm * l, axis=-1) / \
+                    jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+                x = oN2 + dN2 * t[..., None]
+                dist = jnp.abs(jnp.sum(u * (x - bo), axis=-1))
+                s_b = jnp.sum(bd * (x - bo), axis=-1)
+                okb = (okq & (dist <= radius) & (sin2 > 1e-9)
+                       & (t > 1e-4) & (t < t1N[:, None])
+                       & (s_b >= 0.0) & (s_b <= bl))
+                # ownership: the beam's closest point must lie in the
+                # queried cell (exact pair dedup)
+                pb = bo + bd * s_b[..., None]
+                cb = jnp.clip(((pb - bgrid["lo"]) * bgrid["inv_cell"])
+                              .astype(jnp.int32), 1, GRID_RES - 3)
+                bkey = (cb[..., 0] * GRID_RES + cb[..., 1]) * \
+                    GRID_RES + cb[..., 2]
+                okb = okb & (bkey == k[:, None])
+                ph = PH.phase_eval(ptN[:, None], pgN[:, None], bd, -dN2)
+                tr = jnp.exp(-stN[:, None, :] * (t + s_b)[..., None])
+                inv_sin = jax.lax.rsqrt(jnp.maximum(sin2, 1e-9))
+                w = (bp * ssN[:, None, :] * ph[..., None] * tr
+                     * (inv_sin / (2.0 * radius))[..., None])
+                acc = acc + jnp.sum(
+                    jnp.where(okb[..., None], w, 0.0), axis=1)
+    acc = acc.reshape(R, M, 3).sum(axis=1)
+    return jnp.where(in_med[..., None], acc, 0.0)
 
 
 # ------------------------------------------------------------ camera pass
@@ -573,10 +759,24 @@ def gather_pass(scene, settings, grid, radius, pixel, sample_idx, seed,
     result = s["result"] + jnp.where(s["stopped"][..., None],
                                      s["g_thr"] * est, 0.0)
     if vgrid is not None and settings.has_media:
-        result = result + _volume_march(scene, settings, vgrid, vradius,
-                                        o, d, s["g_t1"], seed, pixel,
-                                        sample_idx)
+        result = result + _volume_march(scene, settings, vgrid,
+                                        vradius, o, d, s["g_t1"],
+                                        seed, pixel, sample_idx)
     return result
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def beam_pass(scene, settings, bgrid, vradius, pixel, sample_idx, seed):
+    """Standalone beam-map camera pass: primary rays + their hit
+    distance + the 1D beam gather.  Kept OUTSIDE gather_pass's jit —
+    fusing the 27x16-tap beam scan into the camera-walk graph measured
+    pathological XLA:CPU compile times."""
+    R = pixel.shape[0]
+    o, d = generate_rays(scene, settings, pixel, sample_idx, seed)
+    res = bvh_intersect(scene, o, d, 0.0, INF)
+    diag = jnp.linalg.norm(scene.bvh_max[0] - scene.bvh_min[0])
+    t1 = jnp.where(res["hit"], res["t"], diag * 1.5)
+    return _beam_eval(scene, settings, bgrid, vradius, o, d, t1)
 
 
 def ppm_gamma(iteration: int, alpha: float) -> float:

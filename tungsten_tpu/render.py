@@ -156,7 +156,8 @@ def _render_pass_photon(scene: FlatScene, settings: RenderSettings,
     each spp round re-traces the photon map (seed offset by iteration)
     and runs a gather pass per pixel chunk."""
     from tungsten_tpu.integrators.photon_map import (
-        build_photon_grid, gather_pass, ppm_gamma, trace_photons)
+        beam_pass, build_photon_grid, gather_pass, ppm_gamma,
+        trace_photons)
 
     w, h = settings.width, settings.height
     n = w * h
@@ -209,8 +210,14 @@ def _render_pass_photon(scene: FlatScene, settings: RenderSettings,
             vradius = settings.vol_gather_radius * float(np.sqrt(gamma))
             use_beams = settings.vol_photon_type == "beams"
             if use_beams:
-                beams = dict(photons)
-                beams["b_pow"] = photons["b_pow"] / n_paths
+                # the beam map subsamples volume_photon_count paths
+                # (ref PhotonMapSettings volumePhotonCount): beams are
+                # long 1D primitives — a full photon population
+                # overflows any per-cell candidate cap in dense media
+                n_vb = min(settings.vol_photon_count, n_paths)
+                nb = n_vb * B
+                beams = {k: v[:nb] for k, v in photons.items()}
+                beams["b_pow"] = beams["b_pow"] / n_vb
                 vgrid = build_beam_grid(beams, vradius)
             else:
                 vol = dict(photons)
@@ -219,11 +226,17 @@ def _render_pass_photon(scene: FlatScene, settings: RenderSettings,
             vradius = np.float32(vradius)
 
         # ---- camera gather pass ----
+        use_beams_i = vgrid is not None and use_beams
         for ci in range(pixels.shape[0]):
             rad = gather_pass(scene, settings, grid, np.float32(radius),
                               jnp.asarray(pixels[ci]), np.uint32(it),
-                              np.uint32(seed), vgrid=vgrid,
+                              np.uint32(seed),
+                              vgrid=None if use_beams_i else vgrid,
                               vradius=vradius)
+            if use_beams_i:
+                rad = rad + beam_pass(scene, settings, vgrid, vradius,
+                                      jnp.asarray(pixels[ci]),
+                                      np.uint32(it), np.uint32(seed))
             rad = jnp.where(jnp.isfinite(rad), rad, 0.0)
             acc = acc.at[ci * C:(ci + 1) * C].add(rad)
             rays += C * settings.max_bounces

@@ -254,6 +254,8 @@ class RenderSettings:
     vol_gather_radius: float = 0.05  # volume_gather_radius (points map)
     vol_photon_type: str = "points"  # "points" | "beams" (ref
                                      # PhotonMapSettings volumePhotonType)
+    vol_photon_count: int = 10000    # ref volumePhotonCount: the beam
+                                     # map subsamples this many paths
     ppm_alpha: float = 0.3
     # MLT family (ref KelemenMltSettings / MultiplexedMltSettings /
     # ReversibleJumpMltSettings)
@@ -1297,6 +1299,7 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         gather_radius=float(integ.get("gather_radius", 0.05)),
         gather_count=int(integ.get("gather_photon_count", 20)),
         vol_photon_type=str(integ.get("volume_photon_type", "points")),
+        vol_photon_count=int(integ.get("volume_photon_count", 10000)),
         vol_gather_radius=float(
             integ.get("volume_gather_radius",
                       integ.get("gather_radius", 0.05))),
