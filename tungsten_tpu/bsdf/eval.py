@@ -20,6 +20,7 @@ src/core/bsdfs/*.cpp (each function cites its source).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from tungsten_tpu.bsdf import fresnel as fr
@@ -198,7 +199,13 @@ def _rough_conductor_pdf(sp, wi, wo, ctx):
 def _rough_conductor_sample(sp, wi, U, ctx):
     """ref RoughConductorBsdf::sample"""
     alpha = mf.roughness_to_alpha(sp.dist, sp.roughness)
-    m = mf.sample(sp.dist, alpha, U["u1"], U["u2"])
+    # DETACHED microfacet sampling: the sampled half-vector carries
+    # no parameter gradient (detached-sampling estimator — the warp's
+    # d(m)/d(roughness) is singular at the domain edges and NaNs the
+    # replay backward); the weight D·G/pdf keeps its roughness
+    # dependence at the detached m
+    m = jax.lax.stop_gradient(
+        mf.sample(sp.dist, alpha, U["u1"], U["u2"]))
     wi_dot_m = jnp.sum(wi * m, axis=-1)
     wo = 2.0 * wi_dot_m[..., None] * m - wi
     ok = (wi[..., 2] > 0) & (wi_dot_m > 0) & (wo[..., 2] > 0)
@@ -310,7 +317,9 @@ def _rough_dielectric_sample(sp, wi, U, ctx):
     s_rough = (1.2 - 0.2 * jnp.sqrt(jnp.abs(wi_n))) * rough
     alpha = mf.roughness_to_alpha(sp.dist, rough)
     s_alpha = mf.roughness_to_alpha(sp.dist, s_rough)
-    m = mf.sample(sp.dist, s_alpha, U["u1"], U["u2"])
+    m = jax.lax.stop_gradient(          # detached sampling (see
+        mf.sample(sp.dist, s_alpha,     # rough_conductor note)
+                  U["u1"], U["u2"]))
     pm = mf.pdf(sp.dist, s_alpha, m)
     wi_dot_m = jnp.sum(wi * m, axis=-1)
     F, cos_t = fr.dielectric_reflectance(1.0 / ior, wi_dot_m)
@@ -447,7 +456,9 @@ def _rough_plastic_sample(sp, wi, U, ctx):
     rough = sp.roughness
     s_rough = (1.2 - 0.2 * jnp.sqrt(jnp.abs(wi[..., 2]))) * rough
     s_alpha = mf.roughness_to_alpha(sp.dist, s_rough)
-    m = mf.sample(sp.dist, s_alpha, U["u1"], U["u2"])
+    m = jax.lax.stop_gradient(          # detached sampling (see
+        mf.sample(sp.dist, s_alpha,     # rough_conductor note)
+                  U["u1"], U["u2"]))
     wi_dot_m = jnp.sum(wi * m, axis=-1)
     wo_g = 2.0 * wi_dot_m[..., None] * m - wi
 

@@ -33,8 +33,13 @@ def conductor_reflectance(eta, k, cos_i):
     sin_sq = jnp.maximum(1.0 - cos_sq, 0.0)
     sin_qu = sin_sq * sin_sq
     inner = eta * eta - k * k - sin_sq
-    a_sq_b_sq = jnp.sqrt(jnp.maximum(inner * inner + 4.0 * eta * eta * k * k, 0.0))
-    a = jnp.sqrt(jnp.maximum((a_sq_b_sq + inner) * 0.5, 0.0))
+    # sqrt floors at 1e-20 (not 0): d(sqrt)/dx at 0 is inf, and the
+    # branchless BSDF dispatch evaluates this with zeroed eta/k rows
+    # for non-conductor lanes — an inf here turns into NaN parameter
+    # gradients through 0*inf in the where backward
+    a_sq_b_sq = jnp.sqrt(jnp.maximum(
+        inner * inner + 4.0 * eta * eta * k * k, 1e-20))
+    a = jnp.sqrt(jnp.maximum((a_sq_b_sq + inner) * 0.5, 1e-20))
     rs = ((a_sq_b_sq + cos_sq) - 2.0 * a * cos_i) / \
          jnp.maximum((a_sq_b_sq + cos_sq) + 2.0 * a * cos_i, 1e-20)
     rp = ((cos_sq * a_sq_b_sq + sin_qu) - 2.0 * a * cos_i * sin_sq) / \
