@@ -73,8 +73,15 @@ def mesh_mode():
     import jax
     jax.config.update("jax_platforms", "cpu")
     from tungsten_tpu.parallel.sharded import measure_scaling
-    flat, settings = _scene()
-    res = measure_scaling(flat, settings, [1, 2, 4, 8], spp=SPP)
+    # plain-DP path (psum-merge only) at modest shapes: the staged
+    # all_to_all path at 128x128 trips XLA:CPU's collective rendezvous
+    # timeout on this 2-core host (8 virtual devices time-slice two
+    # cores; one device thread starves past the 20 s rendezvous
+    # window and the runtime aborts).  The rebalanced path is proven
+    # by the dryrun + DISTRIBUTED_r03.json instead.
+    flat, settings = _scene(96, 96, 6)
+    res = measure_scaling(flat, settings, [1, 2, 4, 8], spp=SPP,
+                          staged=False)
     out = {
         "round": 3,
         "mode": "virtual-cpu-mesh (one host, "
@@ -85,7 +92,8 @@ def mesh_mode():
                   "keeps per-device throughput within the same order "
                   "across mesh sizes.  Real-pod numbers require a "
                   "multi-chip slice (unavailable in this environment).",
-        "scene": "materialtest 128x128 @ 2spp, max_bounces 8",
+        "scene": "materialtest 96x96 @ 2spp, max_bounces 6, "
+                 "render_pass_sharded (plain DP)",
         "results": {str(k): v for k, v in res.items()},
     }
     with open("SCALING_r03.json", "w") as f:
