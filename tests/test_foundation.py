@@ -121,3 +121,15 @@ def test_rgbe_reader_matches_cv2():
     ref = cv2.imread(path, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)[..., ::-1]
     rel = np.abs(mine - ref).mean() / max(ref.mean(), 1e-9)
     assert rel < 0.01
+
+
+def test_scene_parse_error_carries_location(tmp_path):
+    """ref io/JsonDocument.cpp: parse errors carry file + offset."""
+    import pytest
+    from tungsten_tpu.scene.parse import SceneParseError, load_scene
+    bad = tmp_path / "broken.json"
+    bad.write_text('{\n  "bsdfs": [\n    {"type": "lambert",}\n  ]\n}')
+    with pytest.raises(SceneParseError) as ei:
+        load_scene(str(bad))
+    msg = str(ei.value)
+    assert "broken.json:3" in msg and "offset" in msg

@@ -63,21 +63,39 @@ class _Resolver:
         raise TypeError(f"bad {self.kind} reference: {value!r}")
 
 
+class SceneParseError(ValueError):
+    """Scene JSON parse failure carrying file, line, column, and byte
+    offset (ref JsonDocument's error-located parse exceptions,
+    io/JsonDocument.cpp)."""
+
+
+def _parse_json_located(text: str, path: str) -> dict:
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError as e:
+        raise SceneParseError(
+            f"{path}:{e.lineno}:{e.colno} (byte offset {e.pos}): "
+            f"{e.msg}") from e
+
+
 def _read_scene_json(path: str) -> tuple[str, dict]:
-    """Read scene JSON from a file or a zip package containing one."""
+    """Read scene JSON from a file or a zip package containing one.
+    Parse failures raise SceneParseError with file:line:column and the
+    byte offset."""
     if zipfile.is_zipfile(path):
         with zipfile.ZipFile(path) as zf:
             candidates = [n for n in zf.namelist() if n.endswith("scene.json")]
             if not candidates:
                 candidates = [n for n in zf.namelist() if n.endswith(".json")]
             name = sorted(candidates, key=len)[0]
-            data = json.loads(zf.read(name).decode("utf-8"))
+            data = _parse_json_located(zf.read(name).decode("utf-8"),
+                                       f"{path}!{name}")
             # Extract package next to the zip so resource paths resolve.
             root = path + ".extracted"
             zf.extractall(root)
             return os.path.join(root, name), data
     with open(path, "r") as f:
-        return path, json.load(f)
+        return path, _parse_json_located(f.read(), path)
 
 
 def load_scene(path) -> SceneDesc:
