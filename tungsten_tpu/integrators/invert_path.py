@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-TWO_PI = 2.0 * jnp.pi
 
 
 # ------------------------------------------------------------- camera
