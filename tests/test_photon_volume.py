@@ -95,3 +95,15 @@ def test_beam_map_matches_points_brightness():
     img_pts = np.asarray(render(scene_p, settings_p, spp=2))
     ratio = img_beams.mean() / max(img_pts.mean(), 1e-9)
     assert 0.6 < ratio < 1.7, f"beams/points brightness ratio {ratio}"
+
+
+def test_ppm_radius_schedule():
+    """gamma_i = prod_{k=1..i} (k+alpha)/(k+1)
+    (ref ProgressivePhotonMapIntegrator.cpp:58-60)."""
+    from tungsten_tpu.integrators.photon_map import ppm_gamma
+    a = 0.3
+    assert ppm_gamma(0, a) == 1.0
+    assert abs(ppm_gamma(1, a) - (1 + a) / 2.0) < 1e-12
+    g = [ppm_gamma(i, a) for i in range(8)]
+    assert all(g[i + 1] < g[i] for i in range(7))
+    assert abs(g[3] - (1.3 / 2) * (2.3 / 3) * (3.3 / 4)) < 1e-12
