@@ -15,8 +15,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the wavefront kernels are compile-heavy
-# on the CPU backend; cache across test runs so only the first run pays.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Persistent compilation cache: OFF.  A corrupt cache entry segfaults
+# inside jax's cache READ path (observed once at
+# test_sharding.py::test_sharded_matches_single_device, killing the
+# whole suite run) — robustness beats the cross-run compile savings.
+jax.config.update("jax_enable_compilation_cache", False)

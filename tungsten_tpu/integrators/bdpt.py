@@ -30,8 +30,9 @@ LightPath.cpp:32-180):
 
 Media scope: homogeneous media (the volumetric-caustic fixture);
 heterogeneous grids are treated by their homogeneous sigma values.
-Round-1 scope otherwise: pinhole camera, area lights, no envmap in the
-BDPT estimator.
+Envmap radiance enters through camera-subpath escapes (s'=0, weight 1 —
+light subpaths never root on the env, so no other strategy samples
+these paths); the env is not yet a sampled connection strategy.
 """
 from __future__ import annotations
 

@@ -82,7 +82,9 @@ def trace_photons(scene, settings, n_paths: int, seed, path_offset):
     """Trace n_paths light subpaths, depositing surface photons.
     Returns dict of (n_paths * B,) arrays (B = max_bounces - 1 deposit
     slots): pos (N,3), dir (N,3) incoming, power (N,3) (NOT yet
-    normalized by path count), bounce (N,), valid (N,)."""
+    normalized by path count), bounce (N,), valid (N,); plus scalar
+    "rays" = MEASURED rays traced (alive walks per bounce, not the
+    n_paths * B upper bound)."""
     R = n_paths
     B = max(settings.max_bounces - 1, 1)
     pixel = jnp.arange(R, dtype=jnp.uint32) + jnp.uint32(path_offset)
@@ -109,7 +111,8 @@ def trace_photons(scene, settings, n_paths: int, seed, path_offset):
     )
 
     def body(i, carry):
-        out, o, d, thr, alive, med, med_first = carry
+        out, o, d, thr, alive, med, med_first, nrays = carry
+        nrays = nrays + jnp.sum(alive.astype(jnp.int32))
         dims = PHOTON_DIM_OFFSET + 16 + i * rng.DIMS_PER_BOUNCE
         res = bvh_intersect(scene, o, d, 0.0, jnp.where(alive, INF, 0.0))
         hit = res["hit"] & alive
@@ -291,15 +294,18 @@ def trace_photons(scene, settings, n_paths: int, seed, path_offset):
         else:
             med2 = med
         alive2 = (hit | vol_scatter) & ok & (jnp.max(thr2, axis=-1) > 0)
-        return out2, o2, new_d, thr2, alive2, med2, med_first
+        return out2, o2, new_d, thr2, alive2, med2, med_first, nrays
 
     carry = (out, root["q"] + root["d0"] * EPSILON, root["d0"], thr0,
              jnp.ones((R,), bool),
              root.get("med", jnp.full((R,), -1, jnp.int32))
              if settings.has_media else jnp.full((R,), -1, jnp.int32),
-             jnp.ones((R,), bool))
-    out, *_ = jax.lax.fori_loop(0, B, body, carry)
-    return {k: v.reshape((R * B,) + v.shape[2:]) for k, v in out.items()}
+             jnp.ones((R,), bool), jnp.int32(0))
+    carry = jax.lax.fori_loop(0, B, body, carry)
+    out, nrays = carry[0], carry[-1]
+    res = {k: v.reshape((R * B,) + v.shape[2:]) for k, v in out.items()}
+    res["rays"] = nrays
+    return res
 
 
 # ------------------------------------------------------------- hash grid
@@ -620,14 +626,15 @@ def _gather_volume(scene, settings, vgrid, vradius, p, wo, ptype, pg):
 def gather_pass(scene, settings, grid, radius, pixel, sample_idx, seed,
                 vgrid=None, vradius=None):
     """Specular-chain camera walk + photon gather (ref traceSensorPath).
-    Returns radiance (R,3)."""
+    Returns (radiance (R,3), rays traced — measured alive walks per
+    bounce, not an upper bound)."""
     R = pixel.shape[0]
     o, d = generate_rays(scene, settings, pixel, sample_idx, seed)
 
     state = dict(
         o=o, d=d, thr=jnp.ones((R, 3)), result=jnp.zeros((R, 3)),
         alive=jnp.ones((R,), bool), stopped=jnp.zeros((R,), bool),
-        bounce=jnp.zeros((R,), jnp.int32),
+        bounce=jnp.zeros((R,), jnp.int32), nrays=jnp.int32(0),
         med=jnp.full((R,), scene.cam_medium, jnp.int32),
         g_p=jnp.zeros((R, 3)), g_ns=jnp.zeros((R, 3)),
         g_wi=jnp.zeros((R, 3)), g_bsdf=jnp.zeros((R,), jnp.int32),
@@ -638,6 +645,7 @@ def gather_pass(scene, settings, grid, radius, pixel, sample_idx, seed,
 
     def body(i, s):
         dims = rng.DIMS_CAMERA + i * rng.DIMS_PER_BOUNCE
+        s = dict(s, nrays=s["nrays"] + jnp.sum(s["alive"].astype(jnp.int32)))
         res = bvh_intersect(scene, s["o"], s["d"], 0.0,
                             jnp.where(s["alive"], INF, 0.0))
         hit = res["hit"] & s["alive"]
@@ -762,7 +770,7 @@ def gather_pass(scene, settings, grid, radius, pixel, sample_idx, seed,
         result = result + _volume_march(scene, settings, vgrid,
                                         vradius, o, d, s["g_t1"],
                                         seed, pixel, sample_idx)
-    return result
+    return result, s["nrays"]
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))

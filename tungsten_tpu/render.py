@@ -187,10 +187,12 @@ def _render_pass_photon(scene: FlatScene, settings: RenderSettings,
                                          & 0xFFFFFFFF),
                                np.uint32(off))
             chunks.append(ph)
+        # measured photon-walk ray counts (alive bounces, not the
+        # n_paths * B upper bound)
+        rays += sum(int(c.pop("rays")) for c in chunks)
         photons = {k: jnp.concatenate([c[k] for c in chunks])
                    for k in chunks[0]}
         photons["power"] = photons["power"] / n_paths
-        rays += n_paths * B
 
         gamma = ppm_gamma(it, settings.ppm_alpha) if progressive else 1.0
         radius = settings.gather_radius * float(np.sqrt(gamma))
@@ -228,18 +230,20 @@ def _render_pass_photon(scene: FlatScene, settings: RenderSettings,
         # ---- camera gather pass ----
         use_beams_i = vgrid is not None and use_beams
         for ci in range(pixels.shape[0]):
-            rad = gather_pass(scene, settings, grid, np.float32(radius),
-                              jnp.asarray(pixels[ci]), np.uint32(it),
-                              np.uint32(seed),
-                              vgrid=None if use_beams_i else vgrid,
-                              vradius=vradius)
+            rad, gr = gather_pass(scene, settings, grid,
+                                  np.float32(radius),
+                                  jnp.asarray(pixels[ci]), np.uint32(it),
+                                  np.uint32(seed),
+                                  vgrid=None if use_beams_i else vgrid,
+                                  vradius=vradius)
+            rays += int(gr)  # measured camera-walk rays
             if use_beams_i:
                 rad = rad + beam_pass(scene, settings, vgrid, vradius,
                                       jnp.asarray(pixels[ci]),
                                       np.uint32(it), np.uint32(seed))
+                rays += C  # beam_pass re-traces the primaries
             rad = jnp.where(jnp.isfinite(rad), rad, 0.0)
             acc = acc.at[ci * C:(ci + 1) * C].add(rad)
-            rays += C * settings.max_bounces
     return acc[:n].reshape(h, w, 3), rays
 
 
