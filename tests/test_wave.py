@@ -52,7 +52,8 @@ def test_wave_matches_bruteforce():
         jnp.asarray(boxes), jnp.asarray(cbox), jnp.asarray(attr),
         jnp.asarray(remap), jnp.asarray(sbox), jnp.asarray(o), jnp.asarray(d),
         jnp.asarray(tmin), jnp.asarray(tmax), ncp=boxes.shape[1],
-        interpret=True)
+        interpret=True, tri_v0=jnp.asarray(v0), tri_e1=jnp.asarray(e1),
+        tri_e2=jnp.asarray(e2))
     t, tri, u, v = map(np.asarray, (t, tri, u, v))
 
     bt, bi, uu, vv = _brute(v0, e1, e2, o, d, 1e-4, tmax)

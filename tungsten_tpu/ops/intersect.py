@@ -471,7 +471,9 @@ def _wave_dispatch(scene, o, d, t_min, best_t, best_sph, any_hit):
         sg(scene.wk_boxes), sg(scene.wk_cbox), sg(scene.wk_attr),
         scene.wk_remap, sg(scene.wk_sbox), sg(o_s), sg(d_s),
         sg(tmin_s), sg(tmax_s),
-        ncp=scene.wk_boxes.shape[1], any_hit=any_hit)
+        ncp=scene.wk_boxes.shape[1], any_hit=any_hit,
+        tri_v0=sg(scene.tri_v0), tri_e1=sg(scene.tri_e1),
+        tri_e2=sg(scene.tri_e2))
     # un-permute by sorting results back on the original ray index
     _, t, tri, u, v = jax.lax.sort(
         [order, t[:R], tri[:R], u[:R], v[:R]], num_keys=1,

@@ -1,4 +1,5 @@
-"""Pallas TPU ray traversal v5: hierarchical cull + per-warp MXU drain.
+"""Pallas TPU ray traversal v6: hierarchical cull + per-warp MXU drain
+with a lean winner-only leaf epilogue.
 
 This is the embree replacement (ref src/thirdparty/embree rtcIntersect/
 rtcOccluded, used via src/core/renderer/TraceableScene.hpp:112-134).
@@ -7,39 +8,49 @@ History (measured on the real v5e chip, materialtest 80k tris, 1M
 coherent primary rays):
   v3  per-warp VPU drain                693 ms
   v4  block-level ordered MXU drain     845 ms  (4,275 ms incoherent)
-v4's failure mode (round-2 VERDICT): the drain was one block-wide
-ordered sweep — every visit paid a (16,512)x(16,1024) HIGHEST-precision
-matmul against the union of all 8 warps' pending clusters, and the
-early-exit waited on the max t over all 1024 rays.  Measured pending
-sets (tools_pending.py): block union 466 clusters vs 87 per 128-ray
-warp vs ~14 per 32-ray group — the work was 5-30x inflated before the
-first triangle was ever tested.
+  v5.1 super-cull + per-warp drain      153 ms  (  455 ms incoherent)
+v5.1's cost profile (round-3 ablations): ~0.73 us per cluster visit
+with the sweep logic ablated away, i.e. the LEAF dominates — and inside
+the leaf, not the matmul but the per-visit bmat construction (cross
+products + f32->bf16 hi/lo splitting, ~30 VPU tile-ops) and the full
+hit-classification epilogue (~50 tile-ops over (128,128), including
+one-hot u/v extraction and two divides).
 
-v5 structure:
+v6 changes, in cost order:
+  * PRECOMPUTED Moller-Trumbore rows: the per-triangle quantities
+    [-n, -(e2 x v0), e1 x v0, e2, -e1, -(n.v0)] are computed on the
+    host in float64 (build_wave_tables) and stored in the 16 attr rows;
+    the leaf no longer computes cross products.
+  * PRE-SPLIT bf16 tables: the wrapper derives attr_hi/attr_lo (bf16)
+    once per call in XLA; the leaf copies bf16 rows straight into two
+    (16, 512) scratches instead of splitting a f32 bmat per visit
+    (~24 tile-ops saved per visit).  The f32 3-pass precision contract
+    is unchanged: hi*hi + hi*lo + lo*hi, ~2^-21 relative.
+  * WINNER-ONLY epilogue: the kernel resolves (t, winning tri slot)
+    only; u/v (and a full-f32 t) are recomputed OUTSIDE the kernel for
+    the single winning triangle per ray (wave_intersect finalize).
+    This deletes the one-hot u/v sums + second divide from the loop.
+  * Scalar-cond selection skip: most visits produce no accepted hit
+    (measured 120 visits/block coherent vs ~1 winner per ray); the
+    ordering/selection half of the epilogue runs under
+    `pl.when(any(ok))` and is skipped entirely for hitless visits.
+  * Divide-free any-hit: occlusion queries only need "some tri hit",
+    so the any-hit epilogue skips the t-ordering divide altogether.
+  * One-time scratch init: every visit writes the same bmat blocks, so
+    the zero fill runs once per core, not once per visit.
+
+Structure (unchanged from v5.1):
   * clusters (<=128 tris, SAH treelets) are grouped into SUPERS of 16
     consecutive clusters; supers get their own AABB table.
-  * phase A: each 128-ray warp is summarized as an interval ray and
-    culled against the ~64 super boxes only -> (8, NSp) entry table.
-  * phase B drain, per warp (8 sequential sweeps):
-      - supers visited front-to-back by conservative entry; exit when
-        entry > max current-t over the warp's live rays.
-      - per super, all 16 member clusters get an EXACT per-ray slab
-        test ((16,128) VPU, rays on lanes): clusters no ray touches are
-        skipped entirely — this removes the interval cull's fat-hull
-        false positives, which the measurement above shows are ~85% of
-        all pending entries.
-      - surviving clusters are visited nearest-entry-first with a
-        (16,512)^T x (16,128) MXU leaf per visit: one matmul evaluates
-        det/u*det/v*det/t*det for 128 rays x 128 tris (every
-        Moller-Trumbore quantity is linear in the 16-dim ray feature
-        F = [o, d, o x d, 1, ...]).  Precision HIGH (3-pass f32)
-        instead of v4's HIGHEST (6-pass): ~22-bit products are ample
-        for hit classification at these scales, and it halves MXU time.
-      - early-exit re-checks after every visit, so a warp whose rays
-        all resolve stops paying matmuls immediately (v4 waited on the
-        slowest of 1024).
-Hit classification is division-free except one (128,128) quotient for
-the per-visit t ordering and one (1,128) finalize.
+  * phase A (XLA): each 128-ray warp is summarized as 32-ray interval
+    rays and culled against the super boxes -> per-warp entry-sorted
+    pending lists in SMEM.
+  * phase B drain, per warp: supers visited front-to-back with
+    early-exit on the warp's max live t; per super, an EXACT per-ray
+    slab test over the 16 member clusters; survivors visited
+    nearest-entry-first with a (16,512)^T x (16,128) MXU leaf
+    evaluating det/u*det/v*det/t*det for 128 rays x 128 tris (every
+    Moller-Trumbore quantity is linear in the 16-dim ray feature).
 """
 from __future__ import annotations
 
@@ -55,7 +66,7 @@ BLOCK = 1024        # rays per grid step
 WARP = 128          # rays per drain sweep
 CLUSTER = 128       # triangles per cluster (padded)
 SUP = 16            # clusters per super
-ATTR_ROWS = 16      # rows per cluster attr block (9 used: v0,e1,e2)
+ATTR_ROWS = 16      # rows per cluster attr block (all 16 used, see build)
 FCOLS = 16          # ray feature columns: o d m 1 tmin tmax invd pad
 INF = 3.0e38
 NPINF = np.float32(3.0e38)
@@ -63,9 +74,6 @@ BIGI = 1 << 30
 # VMEM budget for the resident tables; larger scenes fall back to the
 # XLA traversal (ops/intersect.py)
 VMEM_TABLE_BUDGET = 12 * 1024 * 1024
-# leaf matmul mode: True = 3-pass bf16-split f32 (2x faster, ~2^-21
-# relative error), False = HIGHEST (6-pass, f32-faithful)
-SPLIT3 = True
 
 
 # --------------------------------------------------------------- host build
@@ -76,9 +84,19 @@ def build_wave_tables(tri_v0, tri_e1, tri_e2):
     Returns (boxes (16, NCp) f32 attr-major [rows 0-2 lo, 3-5 hi,
     9 valid], cbox (NCp, 8) f32 cluster-major [lox loy loz hix hiy hiz
     valid pad] for the drain's per-ray slab loads, attr (NCp*16, 128)
-    f32 SoA triangle blocks [v0 e1 e2 rows, lane = tri], remap
+    f32 PRECOMPUTED Moller-Trumbore rows [see layout below], remap
     (NCp*128,) i32 (cluster*128+lane) -> original tri id, -1 padding,
-    sbox (16, NSp) super-cluster AABBs in the boxes layout)."""
+    sbox (16, NSp) super-cluster AABBs in the boxes layout).
+
+    attr row layout per cluster (lane = triangle), all products in
+    float64 then rounded, signs chosen so the leaf only copies:
+      rows  0:3   nnr   = -(e1 x e2)        (det columns; -n)
+      rows  3:6   ne2v0 = -(e2 x v0)        (u columns)
+      rows  6:9   e1v0  =  (e1 x v0)        (v columns)
+      rows  9:12  e2                        (u columns)
+      rows 12:15  ne1   = -e1               (v columns)
+      row  15     nnv0  = -((e1 x e2).v0)   (t columns)
+    """
     from tungsten_tpu.scene.bvh import build_bvh
 
     T = tri_v0.shape[0]
@@ -142,6 +160,9 @@ def build_wave_tables(tri_v0, tri_e1, tri_e2):
     attr = np.zeros((ncp * ATTR_ROWS, 128), np.float32)
     remap = np.full((ncp * CLUSTER,), -1, np.int32)
 
+    v0d = tri_v0.astype(np.float64)
+    e1d = tri_e1.astype(np.float64)
+    e2d = tri_e2.astype(np.float64)
     for i, ids in enumerate(clusters):
         n = ids.shape[0]
         lo = tlo[ids].min(axis=0)
@@ -152,10 +173,14 @@ def build_wave_tables(tri_v0, tri_e1, tri_e2):
         cbox[i, 0:3] = lo
         cbox[i, 3:6] = hi
         cbox[i, 6] = 1.0
+        nr = np.cross(e1d[ids], e2d[ids])
         base = i * ATTR_ROWS
-        attr[base + 0:base + 3, :n] = tri_v0[ids].T
-        attr[base + 3:base + 6, :n] = tri_e1[ids].T
-        attr[base + 6:base + 9, :n] = tri_e2[ids].T
+        attr[base + 0:base + 3, :n] = (-nr).T
+        attr[base + 3:base + 6, :n] = (-np.cross(e2d[ids], v0d[ids])).T
+        attr[base + 6:base + 9, :n] = np.cross(e1d[ids], v0d[ids]).T
+        attr[base + 9:base + 12, :n] = e2d[ids].T
+        attr[base + 12:base + 15, :n] = (-e1d[ids]).T
+        attr[base + 15, :n] = -np.sum(nr * v0d[ids], axis=-1)
         remap[i * CLUSTER:i * CLUSTER + n] = ids
 
     sbox = np.zeros((16, nsp), np.float32)
@@ -251,10 +276,11 @@ def _make_kernel(ncp: int, nsp: int, any_hit: bool, debug_phase: int = 2,
                sent_ref,                       # (8, NSp) SMEM f32 entries
                sids_ref,                       # (8, NSp) SMEM i32 ids
                cbox_ref,                       # (NCp, 8) VMEM
-               attr_ref,                       # (NCp*16, 128) VMEM
+               attrh_ref,                      # (NCp*16, 128) bf16 hi
+               attrl_ref,                      # (NCp*16, 128) bf16 lo
                res_ref,                        # (8, 1024) f32 rows
                tri_ref,                        # (8, 1024) i32 row 0
-               bmat_ref):                      # (16, 512) scratch
+               b3_ref):                        # (48, 512) bf16 scratch
         # tables are full-array VMEM inputs with constant index maps:
         # fetched once, resident across the sequential grid steps.
         # RAYS LIVE ON LANES: every per-ray quantity is a (rows, W)
@@ -262,8 +288,8 @@ def _make_kernel(ncp: int, nsp: int, any_hit: bool, debug_phase: int = 2,
         if debug_phase == 0:    # ablation: IO only (isolates DMA/launch)
             res_ref[0:1, :] = jnp.minimum(ft_ref[11:12, :], 1e37)
             res_ref[1:2, :] = ft_ref[0:1, :]
-            res_ref[2:3, :] = jnp.broadcast_to(attr_ref[0:1, 0:1],
-                                               (1, BLOCK))
+            res_ref[2:3, :] = jnp.broadcast_to(
+                attrh_ref[0:1, 0:1].astype(jnp.float32), (1, BLOCK))
             res_ref[3:8, :] = jnp.zeros((5, BLOCK), jnp.float32)
             tri_ref[:] = jnp.full((8, BLOCK), -1, jnp.int32)
             return
@@ -281,6 +307,13 @@ def _make_kernel(ncp: int, nsp: int, any_hit: bool, debug_phase: int = 2,
         res_ref[1:8, :] = jnp.zeros((7, BLOCK), jnp.float32)
         tri_ref[:] = jnp.full((8, BLOCK), -1, jnp.int32)
 
+        # the leaf writes the same bmat blocks every visit; zero the
+        # never-written regions ONCE per core (scratch persists across
+        # the sequential grid steps)
+        @pl.when(pl.program_id(0) == 0)
+        def _init_scratch():
+            b3_ref[:, :] = jnp.zeros((48, 512), jnp.bfloat16)
+
         sub_tri = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, WARP), 0)
         k_col = jax.lax.broadcasted_iota(jnp.int32, (SUP, 1), 0)
 
@@ -289,6 +322,10 @@ def _make_kernel(ncp: int, nsp: int, any_hit: bool, debug_phase: int = 2,
             ftw = ft_ref[:, col]                  # (16, 128)
             fth = ftw.astype(jnp.bfloat16)
             ftl = (ftw - fth.astype(jnp.float32)).astype(jnp.bfloat16)
+            # K-stacked feature block: one K=48 matmul computes all
+            # three split passes (hi*hi + hi*lo + lo*hi) — the MXU
+            # streams M=512 output rows ONCE instead of three times
+            f3 = jnp.concatenate([fth, ftl, fth], axis=0)  # (48, 128)
             rtmin = ftw[10:11, :]
             tmax_w = jnp.minimum(ftw[11:12, :], 1e37)
             live0 = tmax_w > 0.0
@@ -303,64 +340,34 @@ def _make_kernel(ncp: int, nsp: int, any_hit: bool, debug_phase: int = 2,
                     live = live0
                 return jnp.max(jnp.where(live, t, -INF))
 
-            def leaf(cid, ftw=ftw, fth=fth, ftl=ftl, rtmin=rtmin,
-                     col=col):
-                """One (128 rays) x (128 tris) visit on the MXU."""
-                blk = attr_ref[pl.ds(pl.multiple_of(cid * ATTR_ROWS,
-                                                    ATTR_ROWS),
-                                     ATTR_ROWS), :]
-                v0r = blk[0:3, :]                 # (3, 128)
-                e1r = blk[3:6, :]
-                e2r = blk[6:9, :]
+            def leaf(cid, f3=f3, rtmin=rtmin, col=col):
+                """One (128 rays) x (128 tris) visit on the MXU.
 
-                def cross_rows(a, b):
-                    return jnp.concatenate([
-                        a[1:2] * b[2:3] - a[2:3] * b[1:2],
-                        a[2:3] * b[0:1] - a[0:1] * b[2:3],
-                        a[0:1] * b[1:2] - a[1:2] * b[0:1]], axis=0)
+                B3 (48, 512): quantity-major column groups
+                  [0:128]=det  [128:256]=u*det  [256:384]=v*det
+                  [384:512]=t*det, feature rows o(0:3) d(3:6) m(6:9)
+                  1(9); K rows 0:16 = hi table, 16:32 = hi again,
+                  32:48 = lo — contracted against [fth; ftl; fth] this
+                  yields the full 3-pass hi/lo split (~2^-21 relative)
+                  in ONE K=48 MXU pass.  The nonzero blocks are
+                  straight bf16 copies of the precomputed attr rows
+                  (build_wave_tables layout)."""
+                base = pl.multiple_of(cid * ATTR_ROWS, ATTR_ROWS)
+                bh = attrh_ref[pl.ds(base, ATTR_ROWS), :]
+                bl = attrl_ref[pl.ds(base, ATTR_ROWS), :]
+                for ko, blk in ((0, bh), (16, bh), (32, bl)):
+                    b3_ref[ko + 3:ko + 6, 0:128] = blk[0:3, :]    # det: -n
+                    b3_ref[ko + 3:ko + 6, 128:256] = blk[3:6, :]  # u: -(e2xv0)
+                    b3_ref[ko + 6:ko + 9, 128:256] = blk[9:12, :]   # u: +e2
+                    b3_ref[ko + 3:ko + 6, 256:384] = blk[6:9, :]  # v: +(e1xv0)
+                    b3_ref[ko + 6:ko + 9, 256:384] = blk[12:15, :]  # v: -e1
+                    b3_ref[ko + 0:ko + 3, 384:512] = -blk[0:3, :]   # t: +n
+                    b3_ref[ko + 9:ko + 10, 384:512] = blk[15:16, :]  # t: -n.v0
 
-                nr = cross_rows(e1r, e2r)         # n = e1 x e2
-                e2v0 = cross_rows(e2r, v0r)       # e2 x v0
-                e1v0 = cross_rows(e1r, v0r)       # e1 x v0
-                nv0 = jnp.sum(nr * v0r, axis=0, keepdims=True)  # (1,128)
-
-                # B (16, 512): quantity-major column groups
-                #   [0:128]=det  [128:256]=u*det  [256:384]=v*det
-                #   [384:512]=t*det, feature rows o(0:3) d(3:6) m(6:9)
-                #   1(9)
-                bmat_ref[:, :] = jnp.zeros((16, 512), jnp.float32)
-                bmat_ref[3:6, 0:128] = -nr              # det = -n.d
-                bmat_ref[3:6, 128:256] = -e2v0          # u: -(e2 x v0).d
-                bmat_ref[6:9, 128:256] = e2r            # u: +e2.m
-                bmat_ref[3:6, 256:384] = e1v0           # v: +(e1 x v0).d
-                bmat_ref[6:9, 256:384] = -e1r           # v: -e1.m
-                bmat_ref[0:3, 384:512] = nr             # t: +n.o
-                bmat_ref[9:10, 384:512] = -nv0          # t: -n.v0
-
-                tb = res_ref[0:1, col]                  # (1, 128)
-                if SPLIT3:
-                    # 3-pass f32 matmul via bf16 hi/lo splitting (Mosaic
-                    # has no Precision.HIGH in-kernel): hi*hi + hi*lo +
-                    # lo*hi keeps ~2^-21 relative error at half the
-                    # cost of HIGHEST (6-pass).
-                    bm = bmat_ref[:]
-                    bh = bm.astype(jnp.bfloat16)
-                    bl = (bm - bh.astype(jnp.float32)).astype(jnp.bfloat16)
-
-                    def mm(a, b):
-                        return jax.lax.dot_general(
-                            a, b,
-                            dimension_numbers=(((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-
-                    s = (mm(bh, fth) + mm(bh, ftl)
-                         + mm(bl, fth))                  # (512, 128)
-                else:
-                    s = jax.lax.dot_general(
-                        bmat_ref[:], ftw,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
+                s = jax.lax.dot_general(
+                    b3_ref[:], f3,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (512, 128)
                 det = s[0:128, :]
                 u_num = s[128:256, :]
                 v_num = s[256:384, :]
@@ -371,35 +378,37 @@ def _make_kernel(ncp: int, nsp: int, any_hit: bool, debug_phase: int = 2,
                 un = u_num * sg
                 vn = v_num * sg
                 tn_ = t_num * sg
+                tb = res_ref[0:1, col]                  # (1, 128)
                 ok = ((un >= 0.0) & (vn >= 0.0) & (un + vn <= ad)
                       & (tn_ > rtmin * ad) & (tn_ < tb * ad)
                       & (ad > 1e-16))
+
+                if any_hit:
+                    # occlusion: no t ordering needed — any accepted
+                    # hit ends the ray's participation
+                    gotv = jnp.any(ok, axis=0, keepdims=True)  # (1,128)
+                    kidx = jnp.min(jnp.where(ok, sub_tri, BIGI),
+                                   axis=0, keepdims=True)
+                    sid_t = cid * CLUSTER + \
+                        jnp.where(kidx == BIGI, 0, kidx)
+                    res_ref[0:1, col] = jnp.where(gotv, -INF, tb)
+                    tri_ref[0:1, col] = jnp.where(gotv, sid_t,
+                                                  tri_ref[0:1, col])
+                    return
+
+                # winner selection (t ordering + slot id); measured
+                # round-4: guarding this under pl.when(any(ok)) was
+                # 10% SLOWER — the scalar branch stalls the carried
+                # sweep pipeline more than the skipped ops save
                 tc = jnp.where(ok, tn_ / jnp.maximum(ad, 1e-30), INF)
-                tmin_r = jnp.min(tc, axis=0, keepdims=True)   # (1, 128)
+                tmin_r = jnp.min(tc, axis=0, keepdims=True)  # (1,128)
                 got = tmin_r < tb
                 sel = (tc == tmin_r) & ok
                 kidx = jnp.min(jnp.where(sel, sub_tri, BIGI),
                                axis=0, keepdims=True)
-                pick = sel & (sub_tri == kidx)
-                # u, v via one-hot sums + a single (1, 128) divide
-                ad_s = jnp.sum(jnp.where(pick, ad, 0.0), axis=0,
-                               keepdims=True)
-                un_s = jnp.sum(jnp.where(pick, un, 0.0), axis=0,
-                               keepdims=True)
-                vn_s = jnp.sum(jnp.where(pick, vn, 0.0), axis=0,
-                               keepdims=True)
-                inv_s = 1.0 / jnp.maximum(ad_s, 1e-30)
-                sid_t = cid * CLUSTER + jnp.where(kidx == BIGI, 0, kidx)
-
-                if any_hit:
-                    # occluded rays stop participating entirely
-                    res_ref[0:1, col] = jnp.where(got, -INF, tb)
-                else:
-                    res_ref[0:1, col] = jnp.where(got, tmin_r, tb)
-                res_ref[1:2, col] = jnp.where(got, un_s * inv_s,
-                                              res_ref[1:2, col])
-                res_ref[2:3, col] = jnp.where(got, vn_s * inv_s,
-                                              res_ref[2:3, col])
+                sid_t = cid * CLUSTER + \
+                    jnp.where(kidx == BIGI, 0, kidx)
+                res_ref[0:1, col] = jnp.where(got, tmin_r, tb)
                 tri_ref[0:1, col] = jnp.where(got, sid_t,
                                               tri_ref[0:1, col])
 
@@ -435,6 +444,11 @@ def _make_kernel(ncp: int, nsp: int, any_hit: bool, debug_phase: int = 2,
                         jnp.sum((centry0 < INF).astype(jnp.float32))
                     return bound
 
+                # refresh the warp bound after every leaf visit: a
+                # round-4 A/B with a per-super-stale bound measured
+                # SLOWER (127 vs 120 ms coherent) — the early t
+                # propagation saves more visits than the scalar reduce
+                # costs
                 def mini_cond(s):
                     centry, bound = s
                     return jnp.min(centry) <= bound
@@ -489,10 +503,15 @@ def _make_kernel(ncp: int, nsp: int, any_hit: bool, debug_phase: int = 2,
 def wave_intersect(boxes, cbox, attr, remap, sbox, o, d, t_min, t_max,
                    ncp: int, any_hit: bool = False,
                    interpret: bool = False, debug_phase: int = 2,
-                   debug_rows: bool = False):
+                   debug_rows: bool = False,
+                   tri_v0=None, tri_e1=None, tri_e2=None):
     """Closest-hit (or any-hit) traversal.  o/d (R,3), R % BLOCK == 0.
     Returns (t, tri, u, v); tri is an ORIGINAL triangle id, -1 on miss.
     For any_hit a hit ray reports tri >= 0 (its t is not meaningful).
+    The kernel resolves winners only; when tri_v0/e1/e2 (the original
+    (T,3) triangle arrays) are given, u/v and a full-f32 t are
+    recomputed per winner OUTSIDE the kernel (closest-hit only) —
+    without them u/v come back 0 (timing/occlusion callers).
     With debug_rows=True additionally returns per-block cluster-visit
     and super-visit counts."""
     R = o.shape[0]
@@ -513,6 +532,11 @@ def wave_intersect(boxes, cbox, attr, remap, sbox, o, d, t_min, t_max,
         o, d, m, ones, tmin_c, tmax_c, inv_d, jnp.zeros((R, 1)),
     ], axis=1).reshape(G, BLOCK, FCOLS).transpose(0, 2, 1)
 
+    # pre-split bf16 tables (one XLA pass per call; the kernel never
+    # splits per visit)
+    attr_h = attr.astype(jnp.bfloat16)
+    attr_l = (attr - attr_h.astype(jnp.float32)).astype(jnp.bfloat16)
+
     # phase A in XLA: per-warp entry-sorted pending super lists
     sent, sids = _cull_sorted_supers(o, d, tmin_c, tmax_c, sbox, G)
 
@@ -531,19 +555,17 @@ def wave_intersect(boxes, cbox, attr, remap, sbox, o, d, t_min, t_max,
     res, tri = pl.pallas_call(
         _make_kernel(ncp, nsp, any_hit, debug_phase, count=debug_rows),
         grid=(G,),
-        in_specs=[f_spec, sent_spec, sids_spec, full, full],
+        in_specs=[f_spec, sent_spec, sids_spec, full, full, full],
         out_specs=[res_spec, tri_spec],
         out_shape=[
             jax.ShapeDtypeStruct((G, 8, BLOCK), jnp.float32),
             jax.ShapeDtypeStruct((G, 8, BLOCK), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((16, 512), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((48, 512), jnp.bfloat16)],
         interpret=interpret,
-    )(f, sent, sids, cbox, attr)
+    )(f, sent, sids, cbox, attr_h, attr_l)
 
     t = res[:, 0, :].reshape(R)
-    u = res[:, 1, :].reshape(R)
-    v = res[:, 2, :].reshape(R)
     tri = tri[:, 0, :].reshape(R)
     if any_hit:
         hit_ok = t <= -1.0
@@ -551,6 +573,22 @@ def wave_intersect(boxes, cbox, attr, remap, sbox, o, d, t_min, t_max,
         hit_ok = tri >= 0
     tri = jnp.where(hit_ok,
                     remap[jnp.clip(tri, 0, remap.shape[0] - 1)], -1)
+
+    u = jnp.zeros((R,))
+    v = jnp.zeros((R,))
+    if tri_v0 is not None and not any_hit and tri_v0.shape[0] > 0:
+        # winner finalize: one full-f32 Moller-Trumbore per hit ray
+        # (the kernel's 3-pass t is ~2^-21; this sharpens t and
+        # produces the u/v the lean epilogue no longer computes)
+        from tungsten_tpu.ops.intersect import ray_tri
+        tid = jnp.clip(tri, 0, tri_v0.shape[0] - 1)
+        _, tf, uf, vf = ray_tri(o, d, tri_v0[tid], tri_e1[tid],
+                                tri_e2[tid], -INF, INF)
+        fine = hit_ok & jnp.isfinite(tf)
+        t = jnp.where(fine, tf, t)
+        u = jnp.where(fine, uf, u)
+        v = jnp.where(fine, vf, v)
+
     if debug_rows:
         visits = jnp.sum(res[:, 3, ::WARP], axis=1)     # (G,)
         supers = jnp.sum(res[:, 5, ::WARP], axis=1)

@@ -98,7 +98,7 @@ class FlatScene:
     wk_boxes: Any       # (16, NCp) attr-major cluster AABBs (+valid)
     wk_cbox: Any        # (NCp, 8) cluster-major AABBs (drain gate)
     wk_sbox: Any        # (16, NSp) super-cluster AABBs (phase-A cull)
-    wk_attr: Any        # (NCp*16, 128) cluster triangle SoA blocks
+    wk_attr: Any        # (NCp*16, 128) precomputed MT rows per cluster
     wk_remap: Any       # (NCp*128,) i32 (cluster*128+lane) -> tri id
     # --- analytic spheres ---
     sph_center: Any     # (S,3)
