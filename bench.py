@@ -15,12 +15,24 @@ import time
 
 def simplified_bsdfs(bsdfs):
     """Reduce the BSDF set to lambert + mirror per config[0]: mirror-like
-    types stay mirror, everything else becomes lambert with its albedo."""
+    types stay mirror, lambert keeps its albedo, and every OTHER type
+    becomes lambert with the 0.8 fallback albedo (the same fallback
+    already used for unsupported textures).  Carrying a coated
+    material's albedo=1 into a perfect-white lambert is both a bad
+    approximation (the coat absorbs) and non-terminating: albedo-1.0
+    diffuse cavities keep ~1.7% of paths alive to max_bounces because
+    Russian roulette (ref PathTracer.cpp:111-117) never fires at
+    throughput 1."""
     mirror_types = {"mirror", "conductor", "rough_conductor"}
     out = []
     for b in bsdfs:
         nb = {"name": b.get("name", ""), "albedo": b.get("albedo", 0.8)}
-        nb["type"] = "mirror" if b.get("type") in mirror_types else "lambert"
+        if b.get("type") in mirror_types:
+            nb["type"] = "mirror"
+        else:
+            nb["type"] = "lambert"
+            if b.get("type") != "lambert":
+                nb["albedo"] = 0.8
         if isinstance(nb["albedo"], dict) and nb["albedo"].get("type") not in (
                 "checker", "constant"):
             nb["albedo"] = 0.8

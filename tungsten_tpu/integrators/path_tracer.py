@@ -269,8 +269,14 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
     was actually traced (ref TraceBase::lightSample only writes
     *transmittance after a valid light sample with f > 0; feeds the
     visibility AOV, PathTracer.cpp:92-93).
+    ctx["gate"] (optional (R,) bool): vertices that actually want NEE
+    this bounce (alive, shading, not past max_bounces-1) — rays for
+    gated-off vertices get tmax 0 so the traversal culls them, and the
+    MEASURED ray count (always the last element of the returned tuple)
+    only includes rays actually traced.
     Returns (R,3) contribution (excluding path throughput), plus
-    extra_res when extra_ray is given, plus (tr, tr_valid) with want_tr."""
+    extra_res when extra_ray is given, plus (tr, tr_valid) with
+    want_tr, plus the traced-ray count (i32 scalar) last."""
     p = ctx["p"]
     R = p.shape[0]
     nl = settings.num_lights
@@ -287,7 +293,7 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
             out = out + ((jnp.zeros((R, 3)), jnp.zeros((R,), bool)),)
         if want_dir:
             out = out + ((jnp.zeros((R, 3)), jnp.zeros((R,), bool)),)
-        return out if len(out) > 1 else z
+        return out + (jnp.int32(0),)
     is_vol = ctx["is_volume"]
     sp = ctx["sp"]
     wi_local = ctx["wi_local"]
@@ -357,6 +363,9 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
     f, _ = eval_f_pdf(d)
     _, pdf_counter = eval_f_pdf(d)
     do_shadow = valid & (jnp.max(f, axis=-1) > 0.0) & (pdf > 1e-20)
+    gate = ctx.get("gate")
+    if gate is not None:
+        do_shadow = do_shadow & gate
 
     endcap = jnp.where(ltype == LIGHT_AREA, scene.light_prim[li], -2)
     shadow_o = p + d * EPSILON
@@ -384,16 +393,26 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
     simple = not settings.has_media and not _has_forward_types(settings)
     res_extra = None
     if simple:
-        # one batched traversal for both MIS strategies (+ optionally
-        # the continuation ray): shadow segment + bsdf-strategy closest
-        # hit — 2R/3R rays amortize the kernel's fixed cost and sort
-        # overhead far better than separate R-ray calls
+        # batched traversals for both MIS strategies (+ optionally the
+        # continuation ray): the shadow segment runs through the ANY-HIT
+        # kernel (~1.6x cheaper than closest-hit, and the reference
+        # semantics — occluded() with farT shy of the light sample,
+        # TraceableScene.hpp occlusion path — rather than the previous
+        # closest-hit + endcap-prim comparison); the bsdf-strategy and
+        # continuation closest hits share one 2R batch
         far = jnp.where(do_shadow,
                         jnp.where(dist >= INF, INF, dist * SHADOW_FUDGE),
                         0.0)
-        parts_o = [shadow_o, p + wd * EPSILON]
-        parts_d = [d, wd]
-        parts_t = [far, jnp.full((R,), INF)]
+        res_sh = bvh_intersect(scene, shadow_o, d, 0.0, far,
+                               any_hit=True)
+        # the bsdf-strategy ray is dead where the sample is invalid
+        # (specular vertices: no_specular sampling returns weight 0) or
+        # the vertex is gated off — a mirror-trapped tail otherwise
+        # traces R useless INF rays per bounce
+        trace_b = ok_b if gate is None else (ok_b & gate)
+        parts_o = [p + wd * EPSILON]
+        parts_d = [wd]
+        parts_t = [jnp.where(trace_b, INF, 0.0)]
         if extra_ray is not None:
             parts_o.append(extra_ray[0])
             parts_d.append(extra_ray[1])
@@ -403,18 +422,20 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
                                 jnp.concatenate(parts_t, axis=0))
         if detach:
             res_all = _detach(res_all)
-        res_sh = {k: v[:R] for k, v in res_all.items()}
-        res_b = {k: v[R:2 * R] for k, v in res_all.items()}
+            res_sh = _detach(res_sh)
+        res_b = {k: v[:R] for k, v in res_all.items()}
         if extra_ray is not None:
-            res_extra = {k: v[2 * R:] for k, v in res_all.items()}
-        occ = res_sh["hit"] & (_hit_prim(scene, res_sh) != endcap)
+            res_extra = {k: v[R:] for k, v in res_all.items()}
+        occ = res_sh["hit"]
         tr = jnp.where((do_shadow & ~occ)[..., None], 1.0, 0.0)
     else:
         tr = _shadow_transmittance(scene, settings, shadow_o, d, dist,
                                    ctx["medium"], ~is_vol, detach=detach,
                                    endcap_prim=endcap)
         tr = jnp.where(do_shadow[..., None], tr, 0.0)
-        res_b = bvh_intersect(scene, p + wd * EPSILON, wd, 0.0, INF)
+        trace_b = ok_b if gate is None else (ok_b & gate)
+        res_b = bvh_intersect(scene, p + wd * EPSILON, wd, 0.0,
+                              jnp.where(trace_b, INF, 0.0))
         if detach:
             res_b = _detach(res_b)
         if extra_ray is not None:
@@ -485,7 +506,13 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
         # and reached the light (feeds RJ technique-swap inversion)
         visible = do_shadow & (jnp.max(tr, axis=-1) > 0.0)
         rets = rets + ((d, visible),)
-    return rets if len(rets) > 1 else out
+    # measured NEE ray count: shadow rays actually traced + bsdf-MIS
+    # rays actually traced (ref counts every estimateDirect ray; the
+    # previous 2-per-shading-vertex estimate overcounted dead/specular
+    # vertices)
+    nee_rays = (jnp.sum(do_shadow.astype(jnp.int32))
+                + jnp.sum(trace_b.astype(jnp.int32)))
+    return rets + (nee_rays,)
 
 
 # ------------------------------------------------------------ hit expand
@@ -881,7 +908,12 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
 
         # ---- NEE (surface + medium vertices together) ----
         res = None
+        nee_ray_count = jnp.int32(0)
         if settings.enable_light_sampling and settings.num_lights > 0:
+            do_nee = (shade | vol_scatter) & \
+                (bounce < settings.max_bounces - 1)
+            if settings.mlt_path_length >= 0:
+                do_nee = do_nee & (bounce + 2 == settings.mlt_path_length)
             ctx = dict(
                 p=jnp.where(vol_scatter[..., None], med_point, info["p"])
                 if settings.has_media else info["p"],
@@ -889,6 +921,7 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
                 sp=sp, frame=(tan, bit, ns), wi_local=wi_local,
                 ray_d=s["d"],
                 medium=s.get("medium", None) if settings.has_media else None,
+                gate=do_nee,
             )
             if settings.has_media:
                 mi2 = jnp.clip(s["medium"], 0, scene.med_phase.shape[0] - 1)
@@ -900,16 +933,13 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
                         want_tr=settings.track_aovs, want_dir=want_dir)
             rets = list(rets)
             nee, res = rets[0], rets[1]
+            nee_ray_count = rets[-1]
             k = 2
             if settings.track_aovs:
                 tr_nee, tr_valid = rets[k]
                 k += 1
             if want_dir:
                 nee_dir, nee_dir_ok = rets[k]
-            do_nee = (shade | vol_scatter) & \
-                (bounce < settings.max_bounces - 1)
-            if settings.mlt_path_length >= 0:
-                do_nee = do_nee & (bounce + 2 == settings.mlt_path_length)
             emission = emission + jnp.where(
                 do_nee[..., None], nee * throughput, 0.0)
 
@@ -1001,13 +1031,10 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
             if detach:
                 res = _detach(res)
 
-        # ray accounting: continuation + (shadow + bsdf-MIS when NEE ran)
-        rays = s["rays"] + jnp.sum(alive2.astype(jnp.int32))
-        if settings.enable_light_sampling and settings.num_lights > 0:
-            nee_rays = jnp.sum(
-                ((shade | vol_scatter) &
-                 (bounce < settings.max_bounces - 1)).astype(jnp.int32))
-            rays = rays + 2 * nee_rays
+        # ray accounting: continuation + measured NEE rays (shadow +
+        # bsdf-MIS actually traced, from _nee)
+        rays = s["rays"] + jnp.sum(alive2.astype(jnp.int32)) + \
+            nee_ray_count
 
         out = dict(
             o=o2, d=d2,

@@ -83,6 +83,12 @@ USE_PALLAS = False
 # (6,4) 834 ms -> the octant-first layout stands.
 SORT_LAYOUT = "octant"
 
+# When False, _wave_dispatch skips the per-call ray sort + un-permute
+# entirely and feeds the kernel in submission order (round-4 A/B: the
+# two sorts cost ~53 ms per bounce at 786k rays — tools_bprof.py —
+# against whatever extra traversal the less-coherent warps cost).
+SORT_RAYS = True
+
 
 def enable_pallas_if_suitable(scene) -> bool:
     """Turn the Pallas wave traversal on when running on a TPU backend
@@ -452,8 +458,11 @@ def _wave_dispatch(scene, o, d, t_min, best_t, best_sph, any_hit):
     order."""
     from tungsten_tpu.ops.wave_trace import BLOCK, wave_intersect
     R = o.shape[0]
-    o_s, d_s, tmin_s, tmax_s, order = _sort_for_wave(
-        scene, o, d, t_min, best_t)
+    if SORT_RAYS:
+        o_s, d_s, tmin_s, tmax_s, order = _sort_for_wave(
+            scene, o, d, t_min, best_t)
+    else:
+        o_s, d_s, tmin_s, tmax_s = o, d, t_min, best_t
 
     pad = (-R) % BLOCK
     if pad:
@@ -474,10 +483,13 @@ def _wave_dispatch(scene, o, d, t_min, best_t, best_sph, any_hit):
         ncp=scene.wk_boxes.shape[1], any_hit=any_hit,
         tri_v0=sg(scene.tri_v0), tri_e1=sg(scene.tri_e1),
         tri_e2=sg(scene.tri_e2))
-    # un-permute by sorting results back on the original ray index
-    _, t, tri, u, v = jax.lax.sort(
-        [order, t[:R], tri[:R], u[:R], v[:R]], num_keys=1,
-        is_stable=False)
+    if SORT_RAYS:
+        # un-permute by sorting results back on the original ray index
+        _, t, tri, u, v = jax.lax.sort(
+            [order, t[:R], tri[:R], u[:R], v[:R]], num_keys=1,
+            is_stable=False)
+    else:
+        t, tri, u, v = t[:R], tri[:R], u[:R], v[:R]
     got_tri = tri >= 0
     sph = jnp.where(got_tri, -1, best_sph)
     if any_hit:

@@ -1,5 +1,5 @@
-"""Pallas TPU ray traversal v6: hierarchical cull + per-warp MXU drain
-with a lean winner-only leaf epilogue.
+"""Pallas TPU ray traversal v7: hierarchical cull + per-warp MXU drain
+with a 4-store leaf and a packed single-reduction winner epilogue.
 
 This is the embree replacement (ref src/thirdparty/embree rtcIntersect/
 rtcOccluded, used via src/core/renderer/TraceableScene.hpp:112-134).
@@ -9,48 +9,55 @@ coherent primary rays):
   v3  per-warp VPU drain                693 ms
   v4  block-level ordered MXU drain     845 ms  (4,275 ms incoherent)
   v5.1 super-cull + per-warp drain      153 ms  (  455 ms incoherent)
-v5.1's cost profile (round-3 ablations): ~0.73 us per cluster visit
-with the sweep logic ablated away, i.e. the LEAF dominates — and inside
-the leaf, not the matmul but the per-visit bmat construction (cross
-products + f32->bf16 hi/lo splitting, ~30 VPU tile-ops) and the full
-hit-classification epilogue (~50 tile-ops over (128,128), including
-one-hot u/v extraction and two divides).
+  v6  K-stacked leaf + precomputed MT   119 ms  (  333 ms incoherent)
 
-v6 changes, in cost order:
-  * PRECOMPUTED Moller-Trumbore rows: the per-triangle quantities
-    [-n, -(e2 x v0), e1 x v0, e2, -e1, -(n.v0)] are computed on the
-    host in float64 (build_wave_tables) and stored in the 16 attr rows;
-    the leaf no longer computes cross products.
-  * PRE-SPLIT bf16 tables: the wrapper derives attr_hi/attr_lo (bf16)
-    once per call in XLA; the leaf copies bf16 rows straight into two
-    (16, 512) scratches instead of splitting a f32 bmat per visit
-    (~24 tile-ops saved per visit).  The f32 3-pass precision contract
-    is unchanged: hi*hi + hi*lo + lo*hi, ~2^-21 relative.
-  * WINNER-ONLY epilogue: the kernel resolves (t, winning tri slot)
-    only; u/v (and a full-f32 t) are recomputed OUTSIDE the kernel for
-    the single winning triangle per ray (wave_intersect finalize).
-    This deletes the one-hot u/v sums + second divide from the loop.
-  * Scalar-cond selection skip: most visits produce no accepted hit
-    (measured 120 visits/block coherent vs ~1 winner per ray); the
-    ordering/selection half of the epilogue runs under
-    `pl.when(any(ok))` and is skipped entirely for hitless visits.
-  * Divide-free any-hit: occlusion queries only need "some tri hit",
-    so the any-hit epilogue skips the t-ordering divide altogether.
-  * One-time scratch init: every visit writes the same bmat blocks, so
-    the zero fill runs once per core, not once per visit.
+v6's per-visit cost was split between ~21 scratch row-copies (building
+the (48, 512) B3 operand from the compact attr rows), the matmul, and
+a divide + two-reduction winner epilogue.  v7 attacks all three:
 
-Structure (unchanged from v5.1):
+  * 4-STORE LEAF: the ray-feature rows are reordered to
+    [o(0:3), 1(3), d(4:7), m(7:10), tmin, tmax, invd(12:15), pad] and
+    the stored attr rows to [-(e2xv0)(0:3), e2(3:6), e1xv0(6:9),
+    -e1(9:12), n(12:15), -(n.v0)(15)] so that each of the four
+    quantity column groups of the B operand is ONE contiguous
+    (rows, 128) store from the attr block:
+      u cols:   dest[4:10]  <- blk[0:6]    (d.-(e2xv0) + m.e2)
+      v cols:   dest[4:10]  <- blk[6:12]   (d.(e1xv0) + m.(-e1))
+      t cols:   dest[0:4]   <- blk[12:16]  (o.n + 1.(-n.v0))
+      det cols: dest[4:7]   <- -blk[12:15] (d.(-n), negate fused)
+    12 stores per visit ([hi; lo; hi] arrangements) vs v6's 21.
+    A 2-matmul variant (K=32 + K=16 against an 8-store [hi; lo]
+    scratch) measured SLOWER (phase3 90 vs 73 ms): the second MXU
+    issue + accumulate outweighs the 4 saved stores — kept K=48,
+    one matmul vs [fth; fth; ftl].
+  * PACKED WINNER REDUCTION: t-candidates are bitcast to int32 (IEEE
+    positives order as ints), the low 7 mantissa bits replaced by the
+    triangle slot, and ONE min-reduction yields both the winning t
+    (to ~2^-16, sharpened by the f32 finalize outside the kernel) and
+    the slot.  Replaces divide + equality-select + two reductions.
+  * Any-hit epilogue drops the slot reduction entirely (slot 0 of a
+    visited cluster is always a real triangle).
+
+Structure:
   * clusters (<=128 tris, SAH treelets) are grouped into SUPERS of 16
     consecutive clusters; supers get their own AABB table.
   * phase A (XLA): each 128-ray warp is summarized as 32-ray interval
     rays and culled against the super boxes -> per-warp entry-sorted
     pending lists in SMEM.
-  * phase B drain, per warp: supers visited front-to-back with
-    early-exit on the warp's max live t; per super, an EXACT per-ray
-    slab test over the 16 member clusters; survivors visited
-    nearest-entry-first with a (16,512)^T x (16,128) MXU leaf
-    evaluating det/u*det/v*det/t*det for 128 rays x 128 tris (every
-    Moller-Trumbore quantity is linear in the 16-dim ray feature).
+  * phase B drain, per warp: supers walked front-to-back two at a
+    time with early-exit on the warp's max live t; per super pair, an
+    EXACT per-ray slab test over the 32 member clusters -> survivor
+    bitmask; survivors drained four clusters per (48,2048)^T x
+    (48,128) MXU quad-leaf evaluating det/u*det/v*det/t*det for
+    128 rays x 4x128 tris (every Moller-Trumbore quantity is linear
+    in the 16-dim ray feature).
+
+Measured v7 (same chip/fixture): coherent 96 ms closest / 61 any-hit,
+incoherent 207 / 152 — 1.24x/1.6x over v6 end to end, with the leaf
+itself 68 ns/cluster-visit in the fixed-drain ablation (phase 3) vs
+350 ns in v6.  All kernel-only numbers include the ~25 ms/1M host
+dispatch floor of this axon tunnel (phase 0); inside the fused render
+jit that floor is amortized.
 """
 from __future__ import annotations
 
@@ -89,13 +96,14 @@ def build_wave_tables(tri_v0, tri_e1, tri_e2):
     sbox (16, NSp) super-cluster AABBs in the boxes layout).
 
     attr row layout per cluster (lane = triangle), all products in
-    float64 then rounded, signs chosen so the leaf only copies:
-      rows  0:3   nnr   = -(e1 x e2)        (det columns; -n)
-      rows  3:6   ne2v0 = -(e2 x v0)        (u columns)
-      rows  6:9   e1v0  =  (e1 x v0)        (v columns)
-      rows  9:12  e2                        (u columns)
-      rows 12:15  ne1   = -e1               (v columns)
-      row  15     nnv0  = -((e1 x e2).v0)   (t columns)
+    float64 then rounded, ordered so each leaf quantity group is ONE
+    contiguous copy (see module docstring):
+      rows  0:3   ne2v0 = -(e2 x v0)        (u columns, with d)
+      rows  3:6   e2                        (u columns, with m)
+      rows  6:9   e1v0  =  (e1 x v0)        (v columns, with d)
+      rows  9:12  ne1   = -e1               (v columns, with m)
+      rows 12:15  n     =  (e1 x e2)        (t columns, with o)
+      row  15     nnv0  = -(n . v0)         (t columns, with 1)
     """
     from tungsten_tpu.scene.bvh import build_bvh
 
@@ -175,11 +183,11 @@ def build_wave_tables(tri_v0, tri_e1, tri_e2):
         cbox[i, 6] = 1.0
         nr = np.cross(e1d[ids], e2d[ids])
         base = i * ATTR_ROWS
-        attr[base + 0:base + 3, :n] = (-nr).T
-        attr[base + 3:base + 6, :n] = (-np.cross(e2d[ids], v0d[ids])).T
+        attr[base + 0:base + 3, :n] = (-np.cross(e2d[ids], v0d[ids])).T
+        attr[base + 3:base + 6, :n] = e2d[ids].T
         attr[base + 6:base + 9, :n] = np.cross(e1d[ids], v0d[ids]).T
-        attr[base + 9:base + 12, :n] = e2d[ids].T
-        attr[base + 12:base + 15, :n] = (-e1d[ids]).T
+        attr[base + 9:base + 12, :n] = (-e1d[ids]).T
+        attr[base + 12:base + 15, :n] = nr.T
         attr[base + 15, :n] = -np.sum(nr * v0d[ids], axis=-1)
         remap[i * CLUSTER:i * CLUSTER + n] = ids
 
@@ -280,7 +288,7 @@ def _make_kernel(ncp: int, nsp: int, any_hit: bool, debug_phase: int = 2,
                attrl_ref,                      # (NCp*16, 128) bf16 lo
                res_ref,                        # (8, 1024) f32 rows
                tri_ref,                        # (8, 1024) i32 row 0
-               b3_ref):                        # (48, 512) bf16 scratch
+               b2_ref):                        # (48, 4096) bf16 scratch
         # tables are full-array VMEM inputs with constant index maps:
         # fetched once, resident across the sequential grid steps.
         # RAYS LIVE ON LANES: every per-ray quantity is a (rows, W)
@@ -312,115 +320,147 @@ def _make_kernel(ncp: int, nsp: int, any_hit: bool, debug_phase: int = 2,
         # the sequential grid steps)
         @pl.when(pl.program_id(0) == 0)
         def _init_scratch():
-            b3_ref[:, :] = jnp.zeros((48, 512), jnp.bfloat16)
+            b2_ref[:, :] = jnp.zeros((48, 4096), jnp.bfloat16)
 
         sub_tri = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, WARP), 0)
-        k_col = jax.lax.broadcasted_iota(jnp.int32, (SUP, 1), 0)
 
         for w in range(8):
             col = slice(w * WARP, (w + 1) * WARP)
             ftw = ft_ref[:, col]                  # (16, 128)
             fth = ftw.astype(jnp.bfloat16)
             ftl = (ftw - fth.astype(jnp.float32)).astype(jnp.bfloat16)
-            # K-stacked feature block: one K=48 matmul computes all
-            # three split passes (hi*hi + hi*lo + lo*hi) — the MXU
-            # streams M=512 output rows ONCE instead of three times
-            f3 = jnp.concatenate([fth, ftl, fth], axis=0)  # (48, 128)
+            # K-stacked feature block: one K=48 matmul against the
+            # [hi; lo; hi] arranged scratch computes hi*fth + lo*fth
+            # + hi*ftl — the same term set as the 3-pass bf16 split
+            # (~2^-21 rel).  A 2-matmul variant (K=32 + K=16, 8 stores)
+            # measured SLOWER (phase3 90 vs 73 ms): the second MXU
+            # issue + accumulate outweighs the 4 saved stores.
+            f3 = jnp.concatenate([fth, fth, ftl], axis=0)  # (48, 128)
             rtmin = ftw[10:11, :]
             tmax_w = jnp.minimum(ftw[11:12, :], 1e37)
             live0 = tmax_w > 0.0
             ox, oy, oz = ftw[0:1, :], ftw[1:2, :], ftw[2:3, :]
             ix, iy, iz = ftw[12:13, :], ftw[13:14, :], ftw[14:15, :]
 
-            def warp_bound(live0=live0, col=col):
-                t = res_ref[0:1, col]
+            def warp_bound(tb, live0=live0):
                 if any_hit:
-                    live = live0 & (t > -1e37)
+                    live = live0 & (tb > -1e37)
                 else:
                     live = live0
-                return jnp.max(jnp.where(live, t, -INF))
+                return jnp.max(jnp.where(live, tb, -INF))
 
-            def leaf(cid, f3=f3, rtmin=rtmin, col=col):
-                """One (128 rays) x (128 tris) visit on the MXU.
+            def quad_leaf(c0, c1, c2, c3, tb, tri_v, off=0, f3=f3,
+                          rtmin=rtmin, col=col):
+                """FOUR (128 rays) x (128 tris) cluster visits in ONE
+                MXU pass; returns the updated per-warp (best t, best
+                packed tri slot) VALUES.  Round-4 microbench
+                (tools_mxubench.py): the (M, 48, 128) matmul cost is
+                nearly flat in M (137 ns at M=512, 99 at M=1024, 114
+                at M=2048) — the MXU is issue/latency-bound at these
+                widths, so batching 4 clusters into an M=2048 matmul
+                quarters the dominant per-visit cost.  The per-ray
+                best (t, tri) travel as LOOP-CARRIED VALUES, not
+                res_ref loads/stores: the memory round-trip serialized
+                every drain stage on read-after-write hazards
+                (measured 0.86 us/quad for matmul+epilogue vs 0.20 in
+                the unrolled phase-3 ablation).
 
-                B3 (48, 512): quantity-major column groups
-                  [0:128]=det  [128:256]=u*det  [256:384]=v*det
-                  [384:512]=t*det, feature rows o(0:3) d(3:6) m(6:9)
-                  1(9); K rows 0:16 = hi table, 16:32 = hi again,
-                  32:48 = lo — contracted against [fth; ftl; fth] this
-                  yields the full 3-pass hi/lo split (~2^-21 relative)
-                  in ONE K=48 MXU pass.  The nonzero blocks are
-                  straight bf16 copies of the precomputed attr rows
-                  (build_wave_tables layout)."""
-                base = pl.multiple_of(cid * ATTR_ROWS, ATTR_ROWS)
-                bh = attrh_ref[pl.ds(base, ATTR_ROWS), :]
-                bl = attrl_ref[pl.ds(base, ATTR_ROWS), :]
-                for ko, blk in ((0, bh), (16, bh), (32, bl)):
-                    b3_ref[ko + 3:ko + 6, 0:128] = blk[0:3, :]    # det: -n
-                    b3_ref[ko + 3:ko + 6, 128:256] = blk[3:6, :]  # u: -(e2xv0)
-                    b3_ref[ko + 6:ko + 9, 128:256] = blk[9:12, :]   # u: +e2
-                    b3_ref[ko + 3:ko + 6, 256:384] = blk[6:9, :]  # v: +(e1xv0)
-                    b3_ref[ko + 6:ko + 9, 256:384] = blk[12:15, :]  # v: -e1
-                    b3_ref[ko + 0:ko + 3, 384:512] = -blk[0:3, :]   # t: +n
-                    b3_ref[ko + 9:ko + 10, 384:512] = blk[15:16, :]  # t: -n.v0
+                B2 (48, 2048): per cluster q a 512-column group
+                [det | u*det | v*det | t*det]; K rows 0:16 and 32:48
+                hold the hi arrangement, 16:32 the lo arrangement —
+                contracted against [fth; fth; ftl] this yields
+                hi*fth + lo*fth + hi*ftl, the same term set (~2^-21
+                relative) as the 3-pass bf16 split.  Each arrangement
+                is FOUR contiguous stores from the compact attr block
+                (see module docstring); zeros elsewhere persist from
+                the one-time scratch init.  Duplicate cluster ids (the
+                tail of a drain) are idempotent: the strict t test
+                rejects the second copy, and the q bits in the packed
+                key break the tie deterministically."""
+                for qi, cid in enumerate((c0, c1, c2, c3)):
+                    base = pl.multiple_of(cid * ATTR_ROWS, ATTR_ROWS)
+                    bh = attrh_ref[pl.ds(base, ATTR_ROWS), :]
+                    bl = attrl_ref[pl.ds(base, ATTR_ROWS), :]
+                    c = off + qi * 512
+                    for ko, blk in ((0, bh), (16, bl), (32, bh)):
+                        b2_ref[ko + 4:ko + 10, c + 128:c + 256] = blk[0:6, :]
+                        b2_ref[ko + 4:ko + 10, c + 256:c + 384] = blk[6:12, :]
+                        b2_ref[ko + 0:ko + 4, c + 384:c + 512] = blk[12:16, :]
+                        b2_ref[ko + 4:ko + 7, c + 0:c + 128] = -blk[12:15, :]
+
+                if debug_phase == 7:   # ablation: drain control + stores
+                    res_ref[4:5, col] = res_ref[4:5, col] + \
+                        jnp.broadcast_to(bh[0:1, 0:1].astype(jnp.float32),
+                                         (1, WARP))
+                    return tb, tri_v
 
                 s = jax.lax.dot_general(
-                    b3_ref[:], f3,
+                    b2_ref[:, off:off + 2048], f3,
                     dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (512, 128)
-                det = s[0:128, :]
-                u_num = s[128:256, :]
-                v_num = s[256:384, :]
-                t_num = s[384:512, :]
-
-                sg = jnp.where(det >= 0.0, 1.0, -1.0)
-                ad = det * sg
-                un = u_num * sg
-                vn = v_num * sg
-                tn_ = t_num * sg
-                tb = res_ref[0:1, col]                  # (1, 128)
-                ok = ((un >= 0.0) & (vn >= 0.0) & (un + vn <= ad)
-                      & (tn_ > rtmin * ad) & (tn_ < tb * ad)
-                      & (ad > 1e-16))
+                    preferred_element_type=jnp.float32)  # (2048, 128)
 
                 if any_hit:
-                    # occlusion: no t ordering needed — any accepted
-                    # hit ends the ray's participation
-                    gotv = jnp.any(ok, axis=0, keepdims=True)  # (1,128)
-                    kidx = jnp.min(jnp.where(ok, sub_tri, BIGI),
-                                   axis=0, keepdims=True)
-                    sid_t = cid * CLUSTER + \
-                        jnp.where(kidx == BIGI, 0, kidx)
-                    res_ref[0:1, col] = jnp.where(gotv, -INF, tb)
-                    tri_ref[0:1, col] = jnp.where(gotv, sid_t,
-                                                  tri_ref[0:1, col])
-                    return
+                    # occlusion: no t ordering or slot needed — slot 0
+                    # of a visited cluster is always a real triangle
+                    gotv = jnp.zeros((1, WARP), bool)
+                    for qi in range(4):
+                        q = qi * 512
+                        det = s[q:q + 128, :]
+                        sg = jnp.where(det >= 0.0, 1.0, -1.0)
+                        ad = det * sg
+                        un = s[q + 128:q + 256, :] * sg
+                        vn = s[q + 256:q + 384, :] * sg
+                        tn_ = s[q + 384:q + 512, :] * sg
+                        ok = ((un >= 0.0) & (vn >= 0.0) & (un + vn <= ad)
+                              & (tn_ > rtmin * ad) & (tn_ < tb * ad)
+                              & (ad > 1e-16))
+                        gotv = gotv | jnp.any(ok, axis=0, keepdims=True)
+                    return (jnp.where(gotv, -INF, tb),
+                            jnp.where(gotv, c0 * CLUSTER, tri_v))
 
-                # winner selection (t ordering + slot id); measured
-                # round-4: guarding this under pl.when(any(ok)) was
-                # 10% SLOWER — the scalar branch stalls the carried
-                # sweep pipeline more than the skipped ops save
-                tc = jnp.where(ok, tn_ / jnp.maximum(ad, 1e-30), INF)
-                tmin_r = jnp.min(tc, axis=0, keepdims=True)  # (1,128)
-                got = tmin_r < tb
-                sel = (tc == tmin_r) & ok
-                kidx = jnp.min(jnp.where(sel, sub_tri, BIGI),
-                               axis=0, keepdims=True)
-                sid_t = cid * CLUSTER + \
-                    jnp.where(kidx == BIGI, 0, kidx)
-                res_ref[0:1, col] = jnp.where(got, tmin_r, tb)
-                tri_ref[0:1, col] = jnp.where(got, sid_t,
-                                              tri_ref[0:1, col])
+                # packed winner reduction across all 4 clusters: bitcast
+                # the positive t candidates to int32 (IEEE order),
+                # replace the low 9 mantissa bits with (q, slot), and
+                # resolve the winning (t, cluster, slot) with min-
+                # reductions (t to ~2^-14 rel; sharpened by the f32
+                # finalize outside the kernel).
+                tb_key = jax.lax.bitcast_convert_type(tb, jnp.int32)
+                kmin = jnp.full((1, WARP), jnp.int32(0x7F800000))
+                for qi in range(4):
+                    q = qi * 512
+                    det = s[q:q + 128, :]
+                    sg = jnp.where(det >= 0.0, 1.0, -1.0)
+                    ad = det * sg
+                    un = s[q + 128:q + 256, :] * sg
+                    vn = s[q + 256:q + 384, :] * sg
+                    tn_ = s[q + 384:q + 512, :] * sg
+                    ok = ((un >= 0.0) & (vn >= 0.0) & (un + vn <= ad)
+                          & (tn_ > rtmin * ad) & (tn_ < tb * ad)
+                          & (ad > 1e-16))
+                    tc = tn_ / jnp.maximum(ad, 1e-30)
+                    key = jax.lax.bitcast_convert_type(tc, jnp.int32)
+                    key = jnp.where(ok, (key & ~511) | (qi << 7) | sub_tri,
+                                    jnp.int32(0x7F800000))
+                    kmin = jnp.minimum(
+                        kmin, jnp.min(key, axis=0, keepdims=True))
+                got = kmin < tb_key
+                qv = (kmin >> 7) & 3
+                csel = jnp.where(qv == 0, c0,
+                                 jnp.where(qv == 1, c1,
+                                           jnp.where(qv == 2, c2, c3)))
+                t_new = jax.lax.bitcast_convert_type(kmin & ~511,
+                                                     jnp.float32)
+                return (jnp.where(got, t_new, tb),
+                        jnp.where(got, csel * CLUSTER + (kmin & 127),
+                                  tri_v))
 
-            def super_visit(sid, bound, live0=live0, rtmin=rtmin,
-                            col=col):
-                """Per-ray slab vs the 16 member clusters, then visit
-                survivors nearest-entry-first.  Returns the updated
-                warp bound (max live t)."""
+            def slab16(sid, valid, tb):
+                """Exact per-ray slab of one super's 16 member clusters;
+                returns (16, 1) bool: does any live ray enter the
+                cluster before its current best t (False when `valid`
+                is false)."""
                 base = pl.multiple_of(sid * SUP, SUP)
                 cb = cbox_ref[pl.ds(base, SUP), :]     # (16, 8)
-                t = res_ref[0:1, col]                  # (1, 128)
-                # slab per (cluster, ray): (16, 128), rays on lanes
                 t0x = (cb[:, 0:1] - ox) * ix
                 t1x = (cb[:, 3:4] - ox) * ix
                 t0y = (cb[:, 1:2] - oy) * iy
@@ -434,65 +474,126 @@ def _make_kernel(ncp: int, nsp: int, any_hit: bool, debug_phase: int = 2,
                 tf = jnp.minimum(
                     jnp.minimum(jnp.maximum(t0x, t1x),
                                 jnp.maximum(t0y, t1y)),
-                    jnp.minimum(jnp.maximum(t0z, t1z), t))
+                    jnp.minimum(jnp.maximum(t0z, t1z), tb))
                 hit = (tn <= tf * 1.00000024) & (cb[:, 6:7] > 0.0) & live0
-                centry0 = jnp.min(jnp.where(hit, tn, INF), axis=1,
-                                  keepdims=True)       # (16, 1)
+                return jnp.any(hit, axis=1, keepdims=True) & valid
 
-                if debug_phase == 4:   # ablation: slab only, no leaves
-                    res_ref[4:5, col] = res_ref[4:5, col] + \
-                        jnp.sum((centry0 < INF).astype(jnp.float32))
-                    return bound
+            tb0 = tmax_w
+            tri0 = jnp.full((1, WARP), -1, jnp.int32)
 
-                # refresh the warp bound after every leaf visit: a
-                # round-4 A/B with a per-super-stale bound measured
-                # SLOWER (127 vs 120 ms coherent) — the early t
-                # propagation saves more visits than the scalar reduce
-                # costs
-                def mini_cond(s):
-                    centry, bound = s
-                    return jnp.min(centry) <= bound
-
-                def mini_body(s):
-                    centry, bound = s
-                    me = jnp.min(centry)
-                    kidx = jnp.min(jnp.where(centry == me, k_col, BIGI))
-                    leaf(base + kidx)
-                    if count:
-                        res_ref[3:4, col] = res_ref[3:4, col] + 1.0
-                    return (jnp.where(k_col == kidx, INF, centry),
-                            warp_bound())
-
-                _, bound = jax.lax.while_loop(mini_cond, mini_body,
-                                              (centry0, bound))
-                return bound
-
-            if debug_phase == 3:
-                # ablation: fixed 16-visit per-warp drain, no ordering —
-                # isolates pure leaf throughput from sweep overhead
-                def fixed_body(i, _, w=w):
-                    leaf(jnp.minimum(i + w * 16, ncp - 1))
-                    return 0
-                jax.lax.fori_loop(0, 16, fixed_body, 0)
+            if debug_phase in (3, 5, 6):
+                # ablation: fixed 16-visit per-warp drain (4 quads), no
+                # ordering — isolates pure leaf throughput from sweep
+                # overhead (5 = stores only, 6 = stores + matmul)
+                def fixed_body(i, s, w=w):
+                    tb, tri_v = s
+                    b = jnp.minimum(4 * i + w * 16, ncp - 4)
+                    return quad_leaf(b, b + 1, b + 2, b + 3, tb, tri_v)
+                tb, tri_v = jax.lax.fori_loop(0, 4, fixed_body,
+                                              (tb0, tri0))
+                res_ref[0:1, col] = tb
+                tri_ref[0:1, col] = tri_v
                 continue
 
-            # walk the precomputed entry-sorted super list: one scalar
-            # SMEM load per super, early-exit on the carried bound
+            # Walk the precomputed entry-sorted super list TWO supers
+            # per sweep iteration.  The slab survivors of both supers
+            # are packed into ONE int32 bitmask and each drain quad
+            # extracts up to four set bits with scalar-unit tricks
+            # (x & -x isolates the lowest bit, a branchless 5-step
+            # binary search finds its index) — a round-4 A/B replaced
+            # the previous entry-ordered pick chain (4 min+argmin
+            # reductions per quad over a (64,1) candidate vector),
+            # which measured SLOWER than v6 (156 vs 121 ms coherent).
+            # Within a super visits run in slot order, not entry
+            # order; across supers the phase-A sort keeps the walk
+            # front-to-back.  int32 bitmask throughout (uint
+            # reductions and uint->float casts are unsupported in the
+            # Mosaic lowering); two's complement keeps every bit trick
+            # exact, including bit 31 (see extract).
+            pw32 = jnp.left_shift(
+                jnp.int32(1),
+                jax.lax.broadcasted_iota(jnp.int32, (2 * SUP, 1), 0))
+
+            def extract(bits):
+                """Pop the lowest set bit; returns (bits', slot) with
+                slot = -1 when bits was empty.  INT32_MIN - 1 wraps to
+                INT32_MAX so the clear step stays exact for bit 31."""
+                lsb = bits & -bits
+                slot = jnp.int32(0)
+                for sh, mask in ((16, -65536),           # 0xFFFF0000
+                                 (8, -16711936),         # 0xFF00FF00
+                                 (4, -252645136),        # 0xF0F0F0F0
+                                 (2, -858993460),        # 0xCCCCCCCC
+                                 (1, -1431655766)):      # 0xAAAAAAAA
+                    slot = slot + jnp.where(
+                        (lsb & jnp.int32(mask)) != 0, sh, 0)
+                slot = jnp.where(lsb == 0, -1, slot)
+                return bits & (bits - 1), slot
+
             def sup_cond(s, w=w):
-                k, bound = s
+                k, bound, tb, tri_v = s
                 e = sent_ref[w, jnp.minimum(k, nsp - 1)]
                 return (k < nsp) & (e <= bound)
 
             def sup_body(s, w=w, col=col):
-                k, bound = s
-                sid = sids_ref[w, jnp.minimum(k, nsp - 1)]
-                bound = super_visit(jnp.minimum(sid, nsup - 1), bound)
-                if count:
-                    res_ref[5:6, col] = res_ref[5:6, col] + 1.0
-                return k + 1, bound
+                k, bound, tb, tri_v = s
+                masks = []
+                cbases = []
+                for i in range(2):
+                    ki = jnp.minimum(k + i, nsp - 1)
+                    e_i = sent_ref[w, ki]
+                    sid = jnp.minimum(sids_ref[w, ki], nsup - 1)
+                    ok_i = (k + i < nsp) & (e_i <= bound)
+                    masks.append(slab16(sid, ok_i, tb))
+                    cbases.append(sid * SUP)
+                    if count:
+                        res_ref[5:6, col] = res_ref[5:6, col] + \
+                            jnp.where(ok_i, 1.0, 0.0)
+                m = jnp.concatenate(masks, axis=0)         # (32, 1)
+                bits0 = jnp.sum(jnp.where(m, pw32, 0))
 
-            jax.lax.while_loop(sup_cond, sup_body,
-                               (jnp.int32(0), warp_bound()))
+                if debug_phase == 4:   # ablation: slab only, no leaves
+                    res_ref[4:5, col] = res_ref[4:5, col] + \
+                        jnp.sum(m.astype(jnp.float32))
+                    return k + 2, bound, tb, tri_v
+
+                b0, b1 = cbases
+
+                def cid_of(slot, c0):
+                    cid = jnp.where(slot >= SUP, b1 + (slot - SUP),
+                                    b0 + slot)
+                    return jnp.where(slot < 0, c0, cid)
+
+                def mini_cond(s):
+                    return s[0] != 0
+
+                def mini_body(s, col=col):
+                    bits, tb, tri_v = s
+                    ss = []
+                    for _ in range(4):
+                        bits, sk = extract(bits)
+                        ss.append(sk)
+                    c0 = cid_of(ss[0], jnp.int32(0))
+                    tb, tri_v = quad_leaf(
+                        c0, *[cid_of(s_, c0) for s_ in ss[1:]], tb, tri_v)
+                    if count:
+                        n = 1.0 + sum(
+                            jnp.where(s_ >= 0, 1.0, 0.0) for s_ in ss[1:])
+                        res_ref[3:4, col] = res_ref[3:4, col] + n
+                    return bits, tb, tri_v
+
+                # the warp bound is only consumed by the OUTER walk's
+                # early-exit check — refresh it once per super pair,
+                # not once per quad
+                _, tb, tri_v = jax.lax.while_loop(mini_cond, mini_body,
+                                                  (bits0, tb, tri_v))
+                return k + 2, warp_bound(tb), tb, tri_v
+
+            _, _, tb, tri_v = jax.lax.while_loop(
+                sup_cond, sup_body,
+                (jnp.int32(0), warp_bound(tb0), tb0, tri0))
+            res_ref[0:1, col] = tb
+            tri_ref[0:1, col] = tri_v
 
     return kernel
 
@@ -527,9 +628,10 @@ def wave_intersect(boxes, cbox, attr, remap, sbox, o, d, t_min, t_max,
     tmax_c = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
                               (R,))[:, None]
     # transposed feature layout (G, 16, 1024): rays on lanes — the
-    # kernel's native layout (see kernel docstring)
+    # kernel's native layout [o(0:3) 1(3) d(4:7) m(7:10) tmin tmax
+    # invd(12:15) pad] (see module docstring)
     f = jnp.concatenate([
-        o, d, m, ones, tmin_c, tmax_c, inv_d, jnp.zeros((R, 1)),
+        o, ones, d, m, tmin_c, tmax_c, inv_d, jnp.zeros((R, 1)),
     ], axis=1).reshape(G, BLOCK, FCOLS).transpose(0, 2, 1)
 
     # pre-split bf16 tables (one XLA pass per call; the kernel never
@@ -561,7 +663,7 @@ def wave_intersect(boxes, cbox, attr, remap, sbox, o, d, t_min, t_max,
             jax.ShapeDtypeStruct((G, 8, BLOCK), jnp.float32),
             jax.ShapeDtypeStruct((G, 8, BLOCK), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((48, 512), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((48, 4096), jnp.bfloat16)],
         interpret=interpret,
     )(f, sent, sids, cbox, attr_h, attr_l)
 

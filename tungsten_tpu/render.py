@@ -40,11 +40,30 @@ def _trace_chunk(scene: FlatScene, settings: RenderSettings, pixel,
 # ------------------------- staged wavefront with compaction ------------
 # Late bounces have few survivors; running them at full wavefront width
 # wastes both traversal and shading.  Host-side width schedule: after
-# every BOUNCE_SEGMENT bounces, if the alive count fits in width/4, bank
-# dead rays' radiance into the framebuffer and compact.
+# EVERY bounce, if the alive count fits in width/4, bank dead rays'
+# radiance into the framebuffer and compact.  (Round-4 measurement: a
+# bounce at full width costs ~140 ms at 262k wide whether 208k or 4k
+# rays are alive — sort/cull/traversal/shading all scale with the
+# static width — so the round-3 every-4-bounces schedule left 2-3
+# nearly-empty full-width bounces on the table, tools_bprof.py.)
 
-BOUNCE_SEGMENT = 4
+BOUNCE_SEGMENT = 1
 MIN_WAVE = 4096
+WIDTH_STEP = 2
+
+
+def _schedule_params():
+    """(initial segment, width divisor): fine-grained on TPU (every
+    bounce, /2 widths); coarse on CPU (every 4 bounces, /4 widths) so
+    the CPU test suite doesn't pay 2x the jit-compile variants for a
+    schedule whose wins are TPU-specific."""
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+    if backend == "cpu":
+        return 4, 4
+    return BOUNCE_SEGMENT, WIDTH_STEP
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))
@@ -81,28 +100,37 @@ def _trace_chunk_staged(scene, settings, pixel, sample_idx, seed, n_total):
     fb = None
     width = pixel.shape[0]
     bounce = 0
-    seg = BOUNCE_SEGMENT
+    seg0, step = _schedule_params()
+    seg = seg0
+    prev_alive = pixel.shape[0]
     while True:
         state = _jit_run(scene, settings, seed, state,
                          min(bounce + seg, settings.max_bounces))
         bounce += seg
-        # geometric segment growth: long specular tails (mirror paths
-        # living to max_bounces) otherwise pay one host sync every few
-        # bounces; the in-device while_loop exits early when all rays die
-        seg = min(seg * 2, 32)
         if bounce >= settings.max_bounces:
             break
         alive = int(jnp.sum(state["alive"]))
         if alive == 0:
             break
+        # /2-step width menu (TPU): the long-path tail often settles
+        # just above a /4 boundary (materialtest: ~17k trapped rays at
+        # width 65536 = 27% occupancy for 60 bounces)
         w = width
-        while w // 4 >= max(alive, MIN_WAVE):
-            w //= 4
+        while w // step >= max(alive, MIN_WAVE):
+            w //= step
         if w < width:
             part = _jit_bank(state, n_total)
             fb = part if fb is None else fb + part
             state = _jit_compact(state, w)
             width = w
+            seg = seg0
+        elif alive > 0.9 * prev_alive:
+            # alive count has plateaued (trapped long paths) — grow
+            # the segment geometrically so the tail doesn't pay one
+            # host sync per bounce; while it is still decaying, keep
+            # short segments so the next compaction isn't missed
+            seg = min(seg * 2, 32)
+        prev_alive = alive
     part = _jit_bank(state, n_total)
     fb = part if fb is None else fb + part
     return fb, int(state["rays"])
