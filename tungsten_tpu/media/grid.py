@@ -320,6 +320,111 @@ def _rr_tau_grid(scene, settings, g, o, d, t_max, salt=0x5157):
     return jnp.where(live0, ctrl - logtr, 0.0)
 
 
+def _dda_grid(scene, g, o, d, t_max, tau_c=None, nearest=False,
+              salt=None):
+    """Batched voxel-boundary DDA over grid g — the analog of the
+    reference's VdbRaymarcher walks (VdbGrid.cpp:308-331 opticalDepth
+    ExactNearest/ExactLinear, :382-430 inverseOpticalDepth).  One fused
+    while_loop advances every ray one voxel-boundary segment per
+    iteration:
+
+      * nearest=False ("exact_linear"): trapezoid of the trilinear
+        density between consecutive boundary crossings; inversion
+        solves the quadratic segment integral for the crossing point
+        (ref :404-421).
+      * nearest=True ("exact_nearest"): piecewise-constant density of
+        the voxel containing each segment (boundaries at half-integer
+        index coords, i.e. the DdaRay(p + 0.5) shift); inversion is
+        linear in the segment.
+
+    With tau_c=None returns tau_total; otherwise returns
+    (t, rho_at_t, tau_total) with t = INF where tau_c is never reached
+    (matching inverse_unit_tau semantics)."""
+    grid = scene.grid_density[g]
+    m = scene.grid_w2g[g]
+    og = o @ m[:, :3].T + m[:, 3]
+    dg = d @ m[:, :3].T
+    dg_safe = jnp.where(jnp.abs(dg) < 1e-12,
+                        jnp.where(dg >= 0, 1e-12, -1e-12), dg)
+    t0, t1 = _grid_segment(scene, g, o, d, jnp.minimum(t_max, INF))
+    live0 = t1 > t0
+    shift = 0.5 if nearest else 0.0
+    dims = jnp.asarray(grid.shape[:3], jnp.int32)
+    # a ray crosses at most sum(dims) + slack boundaries
+    max_steps = int(sum(grid.shape[:3])) + 8
+    eps_t = 1e-4 / jnp.maximum(jnp.max(jnp.abs(dg), axis=-1), 1e-12)
+
+    def next_boundary(ta):
+        p = og + dg * (ta + eps_t)[..., None] + shift
+        base = jnp.floor(p)
+        target = jnp.where(dg >= 0.0, base + 1.0, base) - shift
+        t_axis = (target - og) / dg_safe
+        tb = jnp.min(t_axis, axis=-1)
+        return jnp.minimum(jnp.maximum(tb, ta + eps_t), t1)
+
+    def f_at(t):
+        return trilinear(grid, og + dg * t[..., None])
+
+    def v_mid(ta, tb):
+        pm = og + dg * (0.5 * (ta + tb))[..., None]
+        idx = jnp.clip(jnp.round(pm).astype(jnp.int32), 0, dims - 1)
+        return grid[idx[..., 0], idx[..., 1], idx[..., 2]]
+
+    fa0 = f_at(t0) if not nearest else jnp.zeros_like(t0)
+
+    def cond(s):
+        i, ta, fa, integral, done, t_hit, rho_hit = s
+        return (i < max_steps) & jnp.any(~done)
+
+    def body(s):
+        i, ta, fa, integral, done, t_hit, rho_hit = s
+        tb = next_boundary(ta)
+        if nearest:
+            v = v_mid(ta, tb)
+            delta = v * (tb - ta)
+            fb = fa
+        else:
+            fb = f_at(tb)
+            delta = 0.5 * (fa + fb) * (tb - ta)
+        if tau_c is not None:
+            crosses = ~done & (integral + delta >= tau_c) & (delta > 0.0)
+            if nearest:
+                x1 = jnp.clip((tau_c - integral) /
+                              jnp.maximum(delta, 1e-30), 0.0, 1.0)
+                rho_x = v
+            else:
+                # solve  a/2 x^2 + b x + c = 0  for the in-segment
+                # crossing of the trapezoid integral (ref :404-416)
+                a = fb - fa
+                b = fa
+                c = (integral - tau_c) / jnp.maximum(tb - ta, 1e-30)
+                lin = -c / jnp.where(jnp.abs(b) < 1e-20, 1e-20, b)
+                mant = jnp.maximum(b * b - 2.0 * a * c, 0.0)
+                quad = (-b + jnp.sqrt(mant)) / \
+                    jnp.where(jnp.abs(a) < 1e-6, 1e-6, a)
+                x1 = jnp.clip(jnp.where(jnp.abs(a) < 1e-6, lin, quad),
+                              0.0, 1.0)
+                rho_x = fa + (fb - fa) * x1
+            t_hit = jnp.where(crosses, ta + (tb - ta) * x1, t_hit)
+            rho_hit = jnp.where(crosses, rho_x, rho_hit)
+            done2 = done | crosses
+        else:
+            done2 = done
+        integral = integral + jnp.where(done2, 0.0, delta)
+        finished = tb >= t1 - eps_t
+        return (i + 1, tb, fb, integral, done2 | finished,
+                t_hit, rho_hit)
+
+    init = (jnp.int32(0), t0, fa0, jnp.zeros_like(t0), ~live0,
+            jnp.full_like(t0, INF), jnp.zeros_like(t0))
+    _, _, _, integral, _, t_hit, rho_hit = jax.lax.while_loop(
+        cond, body, init)
+    integral = jnp.where(live0, integral, 0.0)
+    if tau_c is None:
+        return integral
+    return t_hit, rho_hit, integral
+
+
 def unit_tau(scene, settings, mi, o, d, t_max):
     """∫0^t_max rho dt per ray (world measure).  Homogeneous media
     return t_max itself (rho = 1).  Voxel grids use the integration
@@ -342,6 +447,11 @@ def unit_tau(scene, settings, mi, o, d, t_max):
         if settings.voxel_integration == "residual_ratio" and \
                 len(getattr(scene, "grid_super", ())) > g:
             tau_g = _rr_tau_grid(scene, settings, g, o, d, t_max)
+        elif settings.voxel_integration in ("exact_linear",
+                                            "exact_nearest"):
+            tau_g = _dda_grid(
+                scene, g, o, d, t_max,
+                nearest=settings.voxel_integration == "exact_nearest")
         else:
             t0, t1 = _grid_segment(scene, g, o, d, jnp.minimum(t_max, INF))
             seg = jnp.maximum(t1 - t0, 0.0)
@@ -396,6 +506,14 @@ def inverse_unit_tau(scene, settings, mi, o, d, t_max, tau_c):
 
     for g in range(len(scene.grid_density)):
         sel = (kind == MED_VOXEL) & (scene.med_grid[mi] == g)
+        if settings.voxel_sampling in ("exact_linear", "exact_nearest"):
+            t_g, rho_g, tau_g = _dda_grid(
+                scene, g, o, d, t_max, tau_c=tau_c,
+                nearest=settings.voxel_sampling == "exact_nearest")
+            t_out = jnp.where(sel, t_g, t_out)
+            rho_out = jnp.where(sel, rho_g, rho_out)
+            tau_tot = jnp.where(sel, tau_g, tau_tot)
+            continue
         t0, t1 = _grid_segment(scene, g, o, d, jnp.minimum(t_max, INF))
         seg = jnp.maximum(t1 - t0, 0.0)
         n = settings.grid_steps

@@ -242,8 +242,14 @@ class RenderSettings:
     # IntegrationMethod): "residual_ratio" = unbiased residual-ratio
     # tracking over the majorant supergrid (ref generateSuperGrid +
     # opticalDepth ResidualRatio branch, VdbGrid.cpp:87-134,332-361);
-    # "raymarching" = fixed-step midpoint quadrature fallback
+    # "exact_linear"/"exact_nearest" = voxel-boundary DDA (ref
+    # VdbRaymarcher walks, VdbGrid.cpp:308-331); "raymarching" =
+    # fixed-step midpoint quadrature fallback
     voxel_integration: str = "raymarching"
+    # distance sampling (ref VdbGrid SampleMethod, inverseOpticalDepth
+    # VdbGrid.cpp:382-430): "exact_linear"/"exact_nearest" DDA with
+    # in-segment inversion, or "raymarching" fixed-step inversion
+    voxel_sampling: str = "raymarching"
     rr_max_events: int = 192  # event cap per transmittance query
     integrator_type: str = "path_tracer"
     bdpt_vertices: int = 8   # per-subpath vertex cap for bdpt/light_tracer
@@ -767,6 +773,7 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
     grid_density, grid_emission, grid_w2g = [], [], []
     grid_super = []
     voxel_integration = "raymarching"
+    voxel_sampling = "raymarching"
     for m in desc.media:
         mtype = m.get("type", "homogeneous")
         if mtype not in MED_KINDS:
@@ -803,13 +810,17 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
             ep[4] = radius
         med_exp_params.append(ep)
         if kind == MED_VOXEL:
-            # ref VdbGrid "integration_method" (VdbGrid.cpp:56-63):
-            # residual_ratio switches the transmittance estimator to
-            # supergrid tracking; exact_*/raymarching map to the
-            # fixed-step quadrature
-            if str(m["grid"].get("integration_method", "")) == \
-                    "residual_ratio":
-                voxel_integration = "residual_ratio"
+            # ref VdbGrid "integration_method"/"sampling_method"
+            # (VdbGrid.cpp:41-63): residual_ratio switches the
+            # transmittance estimator to supergrid tracking, exact_*
+            # to the voxel-boundary DDA; unknown values keep the
+            # raymarching fallback
+            im = str(m["grid"].get("integration_method", ""))
+            if im in ("residual_ratio", "exact_linear", "exact_nearest"):
+                voxel_integration = im
+            sm = str(m["grid"].get("sampling_method", ""))
+            if sm in ("exact_linear", "exact_nearest"):
+                voxel_sampling = sm
             dens, emis, w2g = _load_grid(m["grid"], desc.resolve_path)
             med_grid_idx.append(len(grid_density))
             grid_density.append(dens)
@@ -1294,6 +1305,7 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         has_points=len(points) > 0,
         med_kinds=tuple(sorted(set(med_kind))),
         voxel_integration=voxel_integration,
+        voxel_sampling=voxel_sampling,
         integrator_type=integ.get("type", "path_tracer"),
         photon_count=int(integ.get("photon_count", 1 << 20)),
         gather_radius=float(integ.get("gather_radius", 0.05)),
