@@ -18,42 +18,42 @@ import sys
 import numpy as np
 
 
-def make_curl_wig(n_strands=900, verts=24, seed=0xC021):
-    """Curly strands rooted on the upper hemisphere of a sphere,
-    falling outward/down with a helical curl — a stand-in for the
-    original curl.fiber (curly wig on a ball) at the same world scale
-    (the hair scene transform expects a ~10-unit-radius asset)."""
+def make_curl_wig(n_strands=900, verts=32, seed=0xC021):
+    """Curly strands rooted on a sphere, hanging 18-35 fiber units in
+    +y with a helical curl — a stand-in for the original curl.fiber at
+    the hair scene's framing: the scene transform is
+    world = R_z(180) . diag(0.1, 0.133, 0.1) . fiber + (0, 9.4, 0), so
+    fiber +y is world DOWN and the camera (looking at world y ~5.9)
+    sees fiber y ~ 15..33."""
     rng = np.random.default_rng(seed)
-    R = 10.0
-    # roots: cosine-ish distribution over the upper hemisphere
-    u = rng.uniform(0.05, 1.0, n_strands)
+    R = 8.0
+    # roots: everywhere except the world-down pole (fiber +y)
+    u = rng.uniform(-1.0, 0.7, n_strands)          # fiber-y cosine
     phi = rng.uniform(0.0, 2 * np.pi, n_strands)
-    ct = np.sqrt(u)
-    st = np.sqrt(1.0 - u)
-    roots = np.stack([R * st * np.cos(phi), R * ct,
+    st = np.sqrt(np.maximum(1.0 - u * u, 0.0))
+    roots = np.stack([R * st * np.cos(phi), R * u,
                       R * st * np.sin(phi)], axis=-1)
     nrm = roots / np.linalg.norm(roots, axis=-1, keepdims=True)
 
     # helix frame per strand: outward normal + two tangents
-    up = np.asarray([0.0, 1.0, 0.0])
-    t1 = np.cross(nrm, up)
+    down = np.asarray([0.0, 1.0, 0.0])             # fiber +y = world down
+    t1 = np.cross(nrm, down)
     t1 /= np.maximum(np.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
     t2 = np.cross(nrm, t1)
 
-    length = rng.uniform(6.0, 12.0, n_strands)[:, None]
-    curl_r = rng.uniform(0.6, 1.4, n_strands)[:, None]
-    turns = rng.uniform(2.0, 4.0, n_strands)[:, None]
+    length = rng.uniform(18.0, 35.0, n_strands)[:, None]
+    curl_r = rng.uniform(0.8, 2.0, n_strands)[:, None]
+    turns = rng.uniform(3.0, 6.0, n_strands)[:, None]
     phase = rng.uniform(0.0, 2 * np.pi, n_strands)[:, None]
-    sag = rng.uniform(0.5, 1.0, n_strands)[:, None]
 
     s = np.linspace(0.0, 1.0, verts)[None, :, None]       # (1, V, 1)
     ang = phase[:, :, None] + turns[:, :, None] * 2 * np.pi * s
-    # drift outward along the normal, sag down, helical offset in (t1, t2)
+    # drift outward along the root normal, hang down (+y), curl
     pos = (roots[:, None, :]
-           + nrm[:, None, :] * (2.5 * s)
-           - up[None, None, :] * (length[:, :, None] * s * s * sag[:, :, None])
-           + t1[:, None, :] * (curl_r[:, :, None] * np.cos(ang))
-           + t2[:, None, :] * (curl_r[:, :, None] * np.sin(ang)))
+           + nrm[:, None, :] * (3.0 * np.sqrt(s))
+           + down[None, None, :] * (length[:, :, None] * s * s)
+           + (t1[:, None, :] * np.cos(ang) + t2[:, None, :] * np.sin(ang))
+           * (curl_r[:, :, None] * np.minimum(4.0 * s, 1.0)))
     width = np.full((n_strands, verts, 1), 1.0, np.float32)
     nodes = np.concatenate([pos, width], axis=-1).reshape(-1, 4)
     curve_ends = (np.arange(1, n_strands + 1) * verts).astype(np.uint32)

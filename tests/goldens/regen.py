@@ -50,6 +50,16 @@ GOLDENS = [
     ("watercaustic_pm_128x72_16spp.pfm",
      f"{DATA}/example-scenes/water-caustic/scene.json", 16,
      {"@integrator": {"type": "photon_map", "photon_count": 1000000}}),
+    # the reference checkout ships no curl.fiber: gen_assets.py
+    # synthesizes a deterministic stand-in wig (written by this repo's
+    # own .fiber writer, read natively by the reference binary,
+    # CurveIO.cpp:210-452) into the work dir before rendering
+    # subsample=0: the scene's "subsample": 0.5 drops a renderer-
+    # specific random half of the 900 strands — both renderers must
+    # draw the full set for images to be comparable
+    ("hair_128x72_256spp.pfm",
+     f"{DATA}/example-scenes/hair/scene.json", 256,
+     {"@curves": {"subsample": 0.0}}),
 ]
 
 
@@ -58,6 +68,9 @@ def regen(bin_path, name, scene_path, spp, patches, width=128, height=72):
     with tempfile.TemporaryDirectory() as tmp:
         work = os.path.join(tmp, "scene")
         shutil.copytree(src_dir, work)
+        if "hair" in name:
+            import gen_assets
+            gen_assets.main(work)
         sp = os.path.join(work, os.path.basename(scene_path))
         with open(sp) as f:
             desc = json.load(f)
@@ -72,6 +85,10 @@ def regen(bin_path, name, scene_path, spp, patches, width=128, height=72):
         for k, v in patches.items():
             if k == "@integrator":
                 desc.setdefault("integrator", {}).update(v)
+            elif k == "@curves":
+                for prim in desc.get("primitives", []):
+                    if prim.get("type") == "curves":
+                        prim.update(v)
             else:
                 r[k] = v
         with open(sp, "w") as f:

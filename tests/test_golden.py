@@ -186,3 +186,34 @@ def test_water_caustic_pt_matches_reference():
         return x.reshape(9, 8, 16, 8, 3).mean(axis=(1, 3))
     d_rel = np.abs(ds(hdr) - ds(ref)) / (ds(ref) + 5e-2)
     assert d_rel.mean() < 0.15, f"downsampled mismatch: {d_rel.mean()}"
+
+
+@pytest.mark.skipif(not os.path.exists(DATA), reason="reference data absent")
+def test_hair_matches_reference(tmp_path):
+    """Hair fixture vs the reference render of the SAME synthesized
+    curl.fiber (the checkout ships none — tests/goldens/gen_assets.py
+    writes a deterministic stand-in that regen.py feeds to the
+    reference binary).  Gates the whole curves path: .fiber IO, the
+    curve-piece BVH, the half-cylinder/bcsdf_cylinder intersector and
+    the hair BCSDF.  Hair at 16 spp is high-variance (sub-pixel strands
+    against a min_bounces-1 black background), so tolerances are wide;
+    the downsampled-block check is the structural gate."""
+    import shutil
+    import subprocess
+    import sys as _sys
+    src = f"{DATA}/example-scenes/hair"
+    work = tmp_path / "hair"
+    shutil.copytree(src, work)
+    subprocess.run(
+        [_sys.executable,
+         os.path.join(GOLDEN_DIR, "gen_assets.py"), str(work)],
+        check=True)
+    import json
+    sp = work / "scene.json"
+    d = json.loads(sp.read_text())
+    for p in d["primitives"]:
+        if p.get("type") == "curves":
+            p["subsample"] = 0.0   # match regen.py's @curves patch
+    sp.write_text(json.dumps(d))
+    _compare(str(sp), "hair_128x72_256spp.pfm",
+             spp=16, mean_tol=0.55, ds_tol=0.16)

@@ -88,6 +88,24 @@ def test_mlt_converges_to_pt(integ):
     assert abs(img.mean() - img_pt.mean()) / img_pt.mean() < 0.12
 
 
+CONT_SLOTS = [mlt.rng.BounceDims.BSDF_LOBE, mlt.rng.BounceDims.BSDF_SAMPLE,
+              mlt.rng.BounceDims.BSDF_SAMPLE + 1,
+              mlt.rng.BounceDims.BSDF_LOBE2]
+NEE_SLOTS = [mlt.rng.BounceDims.LIGHT_SELECT, mlt.rng.BounceDims.LIGHT_SAMPLE,
+             mlt.rng.BounceDims.LIGHT_SAMPLE + 1,
+             mlt.rng.BounceDims.LIGHT_TRI]
+
+
+def _apply_swap(tape, rj_dims, rj_nee, ok):
+    t2 = np.asarray(tape).copy()
+    dim0 = mlt.rng.DIMS_CAMERA
+    for j, sl in enumerate(CONT_SLOTS):
+        t2[ok, dim0 + sl] = np.asarray(rj_dims)[ok, j]
+    for j, sl in enumerate(NEE_SLOTS):
+        t2[ok, dim0 + sl] = np.asarray(rj_nee)[ok, j]
+    return t2
+
+
 def test_rj_inversion_jump_machinery():
     # trace_tape_rj must produce valid inverted dims on a lambert scene
     # and the swap-proposed tape must re-trace to a light-carrying path
@@ -99,28 +117,63 @@ def test_rj_inversion_jump_machinery():
     D = mlt.tape_dims(s)
     tape = mlt._uniform_tape(np.uint32(11), 0, 0, R, D)
     b_pick = jnp.zeros((R,), jnp.int32)  # invert at the first bounce
-    rj_dims, rj_valid = mlt.trace_tape_rj(flat, s, tape, b_pick, 11)
+    rj_dims, rj_valid, rj_nee, rj_rev = mlt.trace_tape_rj(
+        flat, s, tape, b_pick, 11)
     rj_dims = np.asarray(rj_dims)
     rj_valid = np.asarray(rj_valid)
-    # inversion succeeds wherever a visible NEE connection exists at
-    # the bounce (~40% of uniform-tape paths on this scene; the rest
-    # miss the scene or face away from the lamp)
+    rj_rev = np.asarray(rj_rev)
+    # forward inversion succeeds wherever a visible NEE connection
+    # exists at the bounce (~40% of uniform-tape paths on this scene);
+    # the reverse side needs the continuation ray to hit the lamp
+    # front face (much rarer on uniform tapes)
     assert rj_valid.mean() > 0.3
     assert ((rj_dims[rj_valid] >= 0.0) & (rj_dims[rj_valid] < 1.0)).all()
+    ok = rj_valid & rj_rev
+    assert ok.any()  # some chains admit the full exchange
 
-    # swap the continuation dims at bounce 0 and re-trace: the proposed
-    # paths must be finite and mostly carry light (they aim at the lamp)
-    dim0 = mlt.rng.DIMS_CAMERA
-    slots = [mlt.rng.BounceDims.BSDF_LOBE, mlt.rng.BounceDims.BSDF_SAMPLE,
-             mlt.rng.BounceDims.BSDF_SAMPLE + 1,
-             mlt.rng.BounceDims.BSDF_LOBE2]
-    t2 = np.asarray(tape).copy()
-    for j, sl in enumerate(slots):
-        t2[rj_valid, dim0 + sl] = rj_dims[rj_valid, j]
+    # exchange both technique blocks at bounce 0 and re-trace: the
+    # proposed paths must be finite and carry light (both techniques
+    # aim at the lamp)
+    t2 = _apply_swap(tape, rj_dims, rj_nee, ok)
     rad, pixel, lum = mlt.trace_tape(flat, s, jnp.asarray(t2), 11)
     lum = np.asarray(lum)
     assert np.isfinite(lum).all()
-    assert (lum[rj_valid] > 0).mean() > 0.5
+    assert (lum[ok] > 0).all()
+
+
+def test_rj_exchange_is_involution():
+    """Applying the technique exchange twice recovers the original
+    deterministic slot values (the self-inverse property the RJ
+    acceptance relies on; lambert inversions are exact)."""
+    flat, s = flatten_scene(_scene({"type": "reversible_jump_mlt",
+                                    "max_bounces": 4}))
+    from dataclasses import replace as rep
+    s = rep(s, integrator_type="reversible_jump_mlt")
+    R = 128
+    D = mlt.tape_dims(s)
+    tape = mlt._uniform_tape(np.uint32(13), 0, 0, R, D)
+    b_pick = jnp.zeros((R,), jnp.int32)
+    d1, v1, n1, r1 = mlt.trace_tape_rj(flat, s, tape, b_pick, 13)
+    ok1 = np.asarray(v1) & np.asarray(r1)
+    t_y = _apply_swap(tape, d1, n1, ok1)
+    d2, v2, n2, r2 = mlt.trace_tape_rj(flat, s, jnp.asarray(t_y),
+                                       b_pick, 13)
+    ok2 = np.asarray(v2) & np.asarray(r2)
+    both = ok1 & ok2
+    assert both.any()
+    t_x2 = _apply_swap(t_y, d2, n2, both)
+    dim0 = mlt.rng.DIMS_CAMERA
+    x = np.asarray(tape)
+    # continuous slots recovered: continuation sample coords and the
+    # light position coords (discrete picks — lobe ids, alias bins,
+    # light-select bins — may land elsewhere in the same preimage
+    # cell, which regenerates the identical path)
+    for sl in (mlt.rng.BounceDims.BSDF_SAMPLE,
+               mlt.rng.BounceDims.BSDF_SAMPLE + 1,
+               mlt.rng.BounceDims.LIGHT_SAMPLE,
+               mlt.rng.BounceDims.LIGHT_SAMPLE + 1):
+        err = np.abs(t_x2[both, dim0 + sl] - x[both, dim0 + sl])
+        assert err.max() < 5e-3, (sl, err.max())
 
 
 def test_rj_render_finite_and_converges():

@@ -1008,6 +1008,9 @@ def trace_bdpt(scene, settings, pixel, sample_idx, seed, max_vertices=8,
         from tungsten_tpu.integrators import lights as L
         env_ok = cam["esc_valid"] & (cam["esc_edges"] <= ME) & \
             (cam["esc_edges"] >= settings.min_bounces)
+        if settings.mlt_path_length >= 0:
+            env_ok = env_ok & (cam["esc_edges"] ==
+                               settings.mlt_path_length)
         radiance = radiance + jnp.where(
             env_ok[..., None],
             cam["esc_alpha"] * L.env_eval(scene, cam["esc_d"]), 0.0)
@@ -1016,6 +1019,9 @@ def trace_bdpt(scene, settings, pixel, sample_idx, seed, max_vertices=8,
     for t in range(1, NV + 1):
         if t - 1 > ME:
             continue
+        if settings.mlt_path_length >= 0 and \
+                t - 1 != settings.mlt_path_length:
+            continue  # MMLT: this chain only measures length-k paths
         ci = t - 1  # camera vertex array index of the path's end
         v_ok = cam["valid"][:, ci]
         if settings.has_media:
@@ -1095,6 +1101,9 @@ def trace_bdpt(scene, settings, pixel, sample_idx, seed, max_vertices=8,
         for t in range(2, NV + 1):
             if s + t - 1 > ME:
                 continue
+            if settings.mlt_path_length >= 0 and \
+                    s + t - 1 != settings.mlt_path_length:
+                continue
             pair = cam["valid"][:, t - 1] & lig["valid"][:, s - 1]
             rays = rays + jnp.sum(pair.astype(jnp.int32))
             contrib, w, ok = _connect(scene, settings, cam, lig, root,
@@ -1105,6 +1114,8 @@ def trace_bdpt(scene, settings, pixel, sample_idx, seed, max_vertices=8,
     # ================= t = 1: light path to the lens (splat) ===========
     for s in range(1, NV + 1):
         if s > ME:
+            continue
+        if settings.mlt_path_length >= 0 and s != settings.mlt_path_length:
             continue
         rays = rays + jnp.sum(lig["valid"][:, s - 1].astype(jnp.int32))
         pixv, val, ok = _connect_lens(scene, settings, cam, lig, root, s, R,
@@ -1141,6 +1152,8 @@ def trace_light(scene, settings, pixel, sample_idx, seed, max_vertices=8,
     rays = lig["rays"]
     for s in range(1, NV + 1):
         if s > ME:
+            continue
+        if settings.mlt_path_length >= 0 and s != settings.mlt_path_length:
             continue
         rays = rays + jnp.sum(lig["valid"][:, s - 1].astype(jnp.int32))
         pixv, val, ok = _connect_lens(scene, settings, None, lig, root, s,

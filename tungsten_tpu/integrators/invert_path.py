@@ -87,6 +87,30 @@ def invert_area_light_point(scene, light_idx, tri, b1, b2, mu):
     return u_tri, u1, u2, ok
 
 
+def invert_choose_light(scene, settings, p, li, mu):
+    """Inverse of lights.choose_light: u_sel in the CDF bin of light
+    `li` as seen from p (radiance-weighted pick, ref
+    TraceBase::chooseLight).  mu covers the within-bin coordinate.
+    Single-light scenes accept any u_sel (weight-1 shortcut)."""
+    import jax.numpy as jnp
+    R = p.shape[0]
+    nl = settings.num_lights
+    if nl <= 1:
+        return mu, jnp.ones((R,), bool)
+    from tungsten_tpu.integrators.lights import _choose_light_weights
+    w, total = _choose_light_weights(scene, settings, p)
+    cdf = jnp.cumsum(w, axis=-1)
+    li_c = jnp.clip(li, 0, nl - 1)
+    lo = jnp.where(li_c > 0,
+                   jnp.take_along_axis(
+                       cdf, jnp.maximum(li_c - 1, 0)[..., None],
+                       axis=-1)[..., 0], 0.0)
+    w_i = jnp.take_along_axis(w, li_c[..., None], axis=-1)[..., 0]
+    u_sel = (lo + mu * jnp.maximum(w_i, 1e-12)) / jnp.maximum(total, 1e-30)
+    ok = (li >= 0) & (li < nl) & (w_i > 0.0)
+    return jnp.clip(u_sel, 0.0, 1.0 - 1e-7), ok
+
+
 # ------------------------------------------------- medium distance
 
 def invert_medium_distance(ttype, params, start_on_surface, t_unit):

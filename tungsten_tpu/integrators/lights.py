@@ -140,20 +140,12 @@ def alias_pick_tri(scene, light_idx, u):
     return scene.lt_tri[slot]
 
 
-def choose_light(scene, settings, p, u_sel):
-    """Radiance-weighted light selection (ref TraceBase::chooseLight,
-    TraceBase.cpp:416-459): per-light approximateRadiance at the shading
-    point drives the pick; returns (light index (R,), weight (R,) =
-    total/pdf_of_pick).  Area lights use their bounding sphere's solid
-    angle x peak emission (the reference returns -1 for meshes and falls
-    back to uniform; a sphere bound is strictly more informative and
-    exact for sphere emitters)."""
-    from tungsten_tpu.scene.flatten import (LIGHT_AREA, LIGHT_CAP,
-                                            LIGHT_POINT)
+def _choose_light_weights(scene, settings, p):
+    """Per-light selection weights at shading points p (R,3) and their
+    row totals — shared by choose_light and its inverse
+    (invert_path.invert_choose_light)."""
+    from tungsten_tpu.scene.flatten import LIGHT_AREA, LIGHT_POINT
     nl = settings.num_lights
-    if nl <= 1:
-        R = p.shape[0]
-        return jnp.zeros((R,), jnp.int32), jnp.ones((R,))
     lt = scene.light_type[:nl]                       # (L,)
     # area: bounding-sphere solid angle 2pi(1 - sqrt(1 - (r/d)^2))
     c = scene.light_bsr[:nl, :3]
@@ -176,6 +168,22 @@ def choose_light(scene, settings, p, u_sel):
     # all-zero rows fall back to uniform (ref: numNonNegative == 0)
     w = jnp.where(total[..., None] > 0.0, w, 1.0)
     total = jnp.where(total > 0.0, total, jnp.float32(nl))
+    return w, total
+
+
+def choose_light(scene, settings, p, u_sel):
+    """Radiance-weighted light selection (ref TraceBase::chooseLight,
+    TraceBase.cpp:416-459): per-light approximateRadiance at the shading
+    point drives the pick; returns (light index (R,), weight (R,) =
+    total/pdf_of_pick).  Area lights use their bounding sphere's solid
+    angle x peak emission (the reference returns -1 for meshes and falls
+    back to uniform; a sphere bound is strictly more informative and
+    exact for sphere emitters)."""
+    nl = settings.num_lights
+    if nl <= 1:
+        R = p.shape[0]
+        return jnp.zeros((R,), jnp.int32), jnp.ones((R,))
+    w, total = _choose_light_weights(scene, settings, p)
     cdf = jnp.cumsum(w, axis=-1)
     x = u_sel * total
     li = jnp.minimum(jnp.sum((cdf <= x[..., None]).astype(jnp.int32),

@@ -998,13 +998,24 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
             aov_recorded = s["aov_recorded"] | rec | esc
             del one
 
-        # ---- RJ technique-swap inversion (ref ReversibleJumpMlt-
-        # Tracer.cpp:128-196): at the chain's chosen bounce, map the
-        # NEE-strategy connection direction back to the CONTINUATION
-        # sampler's primary-sample coordinates via Bsdf::invert, so the
-        # MLT proposal can re-express this path as a bsdf-hit path ----
+        # ---- RJ technique-exchange inversion (ref ReversibleJumpMlt-
+        # Tracer.cpp:128-196, LightPath::invert): at the chain's chosen
+        # bounce, invert BOTH techniques' coordinates so the MLT
+        # proposal can EXCHANGE them —
+        #   forward: the NEE connection direction -> the CONTINUATION
+        #     sampler's primary-sample coordinates (Bsdf::invert);
+        #   reverse: the continuation ray's area-light hit -> the NEE
+        #     sampler's coordinates (invert_choose_light +
+        #     invert_area_light_point, the Primitive::invertPosition
+        #     machinery).
+        # Applying both at once makes the swap self-inverse (see
+        # integrators/mlt.py), matching the reference's auto-reject-on-
+        # failed-inversion acceptance. ----
         if "rj_dims" in s:
             from tungsten_tpu.bsdf.invert import bsdf_invert
+            from tungsten_tpu.integrators.invert_path import (
+                invert_area_light_point, invert_choose_light)
+            from tungsten_tpu.scene.flatten import LIGHT_AREA
             at_b = shade & (bounce == s["rj_b"])
             if settings.enable_light_sampling and settings.num_lights > 0:
                 wo_l = vm.to_local(tan, bit, ns, nee_dir)
@@ -1019,8 +1030,36 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
                 rj_dims = jnp.where(take[..., None], new_dims,
                                     s["rj_dims"])
                 rj_valid = s["rj_valid"] | take
+
+                # reverse side: does this bounce's continuation ray hit
+                # the front face of a samplable area light?
+                hit_prim2 = _hit_prim(scene, res)
+                li_hit = scene.prim_light[hit_prim2]
+                li_c = jnp.clip(li_hit, 0,
+                                max(scene.light_type.shape[0] - 1, 0))
+                ng_hit = _hit_ng(scene, res)
+                front2 = jnp.sum(d2 * ng_hit, axis=-1) < 0.0
+                is_area_hit = res["hit"] & (li_hit >= 0) & \
+                    (scene.light_type[li_c] == LIGHT_AREA) & front2 & \
+                    (res["tri"] >= 0)
+                mu2 = jnp.stack(rng.untracked_4d(
+                    seed ^ jnp.uint32(0x2E5),
+                    pixel, sample_idx, dim_base), axis=-1)
+                u_tri, lu1, lu2, ok_pos = invert_area_light_point(
+                    scene, li_c, jnp.clip(res["tri"], 0,
+                                          scene.lt_slot.shape[0] - 1),
+                    res["u"], res["v"], mu2[:, 0])
+                u_sel, ok_sel = invert_choose_light(
+                    scene, settings, info["p"], li_hit, mu2[:, 1])
+                take_r = at_b & alive2 & is_area_hit & ok_pos & ok_sel
+                nee_dims = jnp.stack([u_sel, lu1, lu2, u_tri], axis=-1)
+                rj_nee = jnp.where(take_r[..., None], nee_dims,
+                                   s["rj_nee"])
+                rj_rev_valid = s["rj_rev_valid"] | take_r
             else:
                 rj_dims, rj_valid = s["rj_dims"], s["rj_valid"]
+                rj_nee = s["rj_nee"]
+                rj_rev_valid = s["rj_rev_valid"]
 
         throughput = thr_next
 
@@ -1063,6 +1102,8 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
             out["rj_b"] = s["rj_b"]
             out["rj_dims"] = rj_dims
             out["rj_valid"] = rj_valid
+            out["rj_nee"] = rj_nee
+            out["rj_rev_valid"] = rj_rev_valid
         return out
 
     return body
@@ -1088,23 +1129,28 @@ def trace_wave(scene, settings, pixel, sample_idx, seed, with_stats=False):
 
 def trace_wave_rj(scene, settings, pixel, sample_idx, seed, rj_b):
     """Trace one sample per entry while recording, at per-ray bounce
-    rj_b, the inverted continuation-sampler coordinates that would aim
-    the bounce's BSDF sample at the NEE-chosen light direction (see the
-    rj block in _make_bounce_body).  Returns (radiance, rj_dims (R,4),
-    rj_valid (R,)) — the raw material for a reversible-jump
-    technique-swap proposal (NEE-connection path -> bsdf-hit path)."""
+    rj_b, BOTH technique inversions (see the rj block in
+    _make_bounce_body): the continuation-sampler coordinates that aim
+    the bounce's BSDF sample at the NEE-chosen light direction, and the
+    NEE-sampler coordinates that reproduce the continuation ray's
+    area-light hit.  Returns (radiance, rj_dims (R,4), rj_valid (R,),
+    rj_nee (R,4), rj_rev_valid (R,)) — the raw material for the
+    reversible-jump technique-EXCHANGE proposal."""
     state = _init_state(scene, settings, pixel, sample_idx, seed, False)
     R = pixel.shape[0]
     state["rj_b"] = jnp.broadcast_to(jnp.asarray(rj_b, jnp.int32), (R,))
     state["rj_dims"] = jnp.zeros((R, 4))
     state["rj_valid"] = jnp.zeros((R,), bool)
+    state["rj_nee"] = jnp.zeros((R, 4))
+    state["rj_rev_valid"] = jnp.zeros((R,), bool)
     body = _make_bounce_body(scene, settings, seed)
 
     def cond(s):
         return (s["bounce"] < settings.max_bounces) & jnp.any(s["alive"])
 
     final = jax.lax.while_loop(cond, body, state)
-    return final["emission"], final["rj_dims"], final["rj_valid"]
+    return (final["emission"], final["rj_dims"], final["rj_valid"],
+            final["rj_nee"], final["rj_rev_valid"])
 
 
 def trace_wave_aovs(scene, settings, pixel, sample_idx, seed):

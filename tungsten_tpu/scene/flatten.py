@@ -270,6 +270,11 @@ class RenderSettings:
     mlt_chains: int = 8192           # parallel chains per batch
     mlt_strategy_prob: float = 0.05  # strategy_perturbation_probability
     mlt_path_length: int = -1        # MMLT: restrict to one path length
+    # kelemen_mlt / multiplexed_mlt base sampler (ref
+    # KelemenMltSettings.hpp:19 "bidirectional", default true): chains
+    # mutate a BDPT tape (camera + light subpaths + connections)
+    # instead of the unidirectional PT tape
+    mlt_bidirectional: bool = True
     # output buffers (ref OutputBufferSettings): when True the wavefront
     # tracks depth/normal/albedo/visibility at the first non-specular
     # vertex (PathTracer.cpp:78-96) alongside the radiance
@@ -1320,6 +1325,7 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         mlt_sample_pool=int(integ.get("initial_sample_pool", 10000)),
         mlt_strategy_prob=float(
             integ.get("strategy_perturbation_probability", 0.05)),
+        mlt_bidirectional=bool(integ.get("bidirectional", True)),
     )
 
     tex_type, tex_const, tex_params, tex_bitmap_id, bitmaps = textures.finalize()

@@ -64,29 +64,45 @@ def bounce_dim(bounce, slot):
 # mod D) and ignore (seed, pixel, sample).
 
 _TAPE = None
+_TAPE_LIGHT_COLS = None
 
 
 class tape_mode:
-    """Context manager activating tape-driven randomness during tracing."""
+    """Context manager activating tape-driven randomness during tracing.
 
-    def __init__(self, tape):
+    light_cols: for bidirectional tapes, the tape column where the
+    light-walk dim region starts — dims >= 4096 (the bdpt
+    LIGHT_WALK_DIM_OFFSET) map to column (dim - 4096 + light_cols)
+    instead of wrapping mod D (which would alias camera- and
+    light-walk coordinates onto the same mutation slots)."""
+
+    def __init__(self, tape, light_cols=None):
         self.tape = tape
+        self.light_cols = light_cols
 
     def __enter__(self):
-        global _TAPE
-        self._prev = _TAPE
+        global _TAPE, _TAPE_LIGHT_COLS
+        self._prev = (_TAPE, _TAPE_LIGHT_COLS)
         _TAPE = self.tape
+        _TAPE_LIGHT_COLS = self.light_cols
         return self
 
     def __exit__(self, *exc):
-        global _TAPE
-        _TAPE = self._prev
+        global _TAPE, _TAPE_LIGHT_COLS
+        _TAPE, _TAPE_LIGHT_COLS = self._prev
         return False
+
+
+_LIGHT_DIM_OFFSET = 4096  # == integrators.bdpt.LIGHT_WALK_DIM_OFFSET
 
 
 def _tape_read(dim):
     d = _TAPE.shape[1]
-    return _TAPE[:, jnp.asarray(dim) % d]
+    dim = jnp.asarray(dim)
+    if _TAPE_LIGHT_COLS is not None:
+        dim = jnp.where(dim >= _LIGHT_DIM_OFFSET,
+                        dim - _LIGHT_DIM_OFFSET + _TAPE_LIGHT_COLS, dim)
+    return _TAPE[:, dim % d]
 
 
 # ------------------------------------------------------------ sampler mode
