@@ -97,6 +97,55 @@ def test_beam_map_matches_points_brightness():
     assert 0.6 < ratio < 1.7, f"beams/points brightness ratio {ratio}"
 
 
+def test_plane_records_emitted():
+    """Planes mode records a parallelogram per interior volume-scatter
+    pair (ref precomputePlane0D: p1 must be a volume vertex, power =
+    |p1-p0| * l1 * continued throughput)."""
+    from tungsten_tpu.integrators.photon_map import trace_photons
+    desc = _fog_scene()
+    desc.integrator["volume_photon_type"] = "planes"
+    scene, settings = flatten_scene(desc)
+    ph = trace_photons(scene, settings, 4096, np.uint32(7), np.uint32(0))
+    pv = np.asarray(ph["pl_valid"])
+    assert pv.any(), "no planes recorded"
+    l1 = np.asarray(ph["pl_l1"])[pv]
+    pw = np.asarray(ph["pl_pow"])[pv]
+    p0 = np.asarray(ph["pl_p0"])[pv]
+    p1 = np.asarray(ph["pl_p1"])[pv]
+    assert (l1 > 0).all()
+    assert np.isfinite(pw).all() and (pw >= 0).all() and pw.max() > 0
+    # first edge is a real segment
+    assert (np.linalg.norm(p1 - p0, axis=-1) > 0).all()
+    # a plane roots at a volume vertex — its p1 must match some volume
+    # photon deposit position
+    volpos = np.asarray(ph["pos"])[np.asarray(ph["valid"])
+                                   & np.asarray(ph["vol"])]
+    d = np.min(np.linalg.norm(volpos[None, :50] - p1[:20, None],
+                              axis=-1), axis=1)
+    assert (d < 1e-4).any()
+
+
+def test_plane_map_matches_points_brightness():
+    """The 2D photon-plane estimator (volume_photon_type "planes") must
+    agree with the 0D points estimator on the fog fixture (ref
+    PhotonMapSettings volumePhotonType "planes", evalPlane0D
+    PhotonTracer.cpp:138-157)."""
+    desc = _fog_scene()
+    desc.integrator["volume_photon_type"] = "planes"
+    desc.integrator["volume_photon_count"] = 2000
+    from tungsten_tpu.render import render
+    scene_b, settings_b = flatten_scene(desc)
+    assert settings_b.vol_photon_type == "planes"
+    img_pl = np.asarray(render(scene_b, settings_b, spp=2))
+    assert np.isfinite(img_pl).all() and img_pl.mean() > 0
+
+    desc_p = _fog_scene()
+    scene_p, settings_p = flatten_scene(desc_p)
+    img_pts = np.asarray(render(scene_p, settings_p, spp=2))
+    ratio = img_pl.mean() / max(img_pts.mean(), 1e-9)
+    assert 0.5 < ratio < 2.0, f"planes/points brightness ratio {ratio}"
+
+
 def test_ppm_radius_schedule():
     """gamma_i = prod_{k=1..i} (k+alpha)/(k+1)
     (ref ProgressivePhotonMapIntegrator.cpp:58-60)."""

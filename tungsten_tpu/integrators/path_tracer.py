@@ -255,6 +255,38 @@ def _shadow_transmittance(scene, settings, o, d, dist, medium,
 
 # ----------------------------------------------------------------- NEE
 
+def _one_sample_mis(settings) -> bool:
+    """True when the simple path uses ONE-SAMPLE MIS: the continuation
+    bsdf sample doubles as the bsdf-side MIS strategy (emitter hits get
+    power-heuristic weights against the light-selection-aware NEE pdf)
+    instead of the reference's independent estimateDirect re-sample
+    (TraceBase::bsdfSample).  Identical expectation — both are unbiased
+    MIS combinations of the same two strategies — but one fewer bsdf
+    sample AND one fewer closest-hit ray per shading vertex (round-4
+    perf: the per-bounce ray census drops 3R -> 2R and the two
+    traversal launches merge into one).  Media / forward-lobe /
+    cap-light / fixed-path-length (MMLT) scenes keep the reference
+    estimator structure."""
+    return (not settings.has_media and not _has_forward_types(settings)
+            and bool(settings.enable_light_sampling)
+            and settings.num_lights > 0 and settings.num_caps == 0
+            and settings.mlt_path_length < 0)
+
+
+def _light_select_pmf(scene, settings, p, li):
+    """P(choose_light picks li | shading point p) — the selection factor
+    of the NEE strategy's directional density, needed by the
+    one-sample-MIS emitter-hit weight (counterpart of
+    TraceBase::chooseLight's weights)."""
+    nl = settings.num_lights
+    if nl <= 1:
+        return jnp.ones(li.shape)
+    w, total = L._choose_light_weights(scene, settings, p)
+    wi = jnp.take_along_axis(w, jnp.clip(li, 0, nl - 1)[..., None],
+                             axis=-1)[..., 0]
+    return wi / jnp.maximum(total, 1e-30)
+
+
 def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
          detach=False, extra_ray=None, want_tr=False, want_dir=False):
     """Next-event estimation with both MIS strategies toward one chosen
@@ -369,6 +401,50 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
 
     endcap = jnp.where(ltype == LIGHT_AREA, scene.light_prim[li], -2)
     shadow_o = p + d * EPSILON
+
+    if _one_sample_mis(settings):
+        # ONE-SAMPLE MIS: no independent bsdf strategy here — the
+        # continuation ray (extra_ray) carries it, weighted at its
+        # emitter hit in the bounce body.  The NEE weight's counter is
+        # therefore the FULL NEE density (selection pmf x directional
+        # pdf) vs the bsdf pdf, and the shadow ray joins the
+        # continuation in ONE closest-hit traversal (any-hit is ~1.5x
+        # cheaper per ray, but a second launch pays its own sort +
+        # cull + dispatch).
+        far_sh = jnp.where(do_shadow,
+                           jnp.where(dist >= INF, INF,
+                                     dist * SHADOW_FUDGE), 0.0)
+        parts_o = [shadow_o]
+        parts_d = [d]
+        parts_t = [far_sh]
+        if extra_ray is not None:
+            parts_o.append(extra_ray[0])
+            parts_d.append(extra_ray[1])
+            parts_t.append(extra_ray[2])
+        res_all = bvh_intersect(scene, jnp.concatenate(parts_o, axis=0),
+                                jnp.concatenate(parts_d, axis=0), 0.0,
+                                jnp.concatenate(parts_t, axis=0))
+        if detach:
+            res_all = _detach(res_all)
+        occ = res_all["hit"][:R]
+        res_extra = {k: v[R:] for k, v in res_all.items()} \
+            if extra_ray is not None else None
+        tr = jnp.where((do_shadow & ~occ)[..., None], 1.0, 0.0)
+
+        pmf = jnp.ones((R,)) / sel_weight
+        mis_l = L.power_heuristic(pdf * pmf, pdf_counter)
+        mis_l = jnp.where(is_dirac, 1.0, mis_l)
+        out = f * tr * emis / jnp.maximum(pdf, 1e-20)[..., None] \
+            * mis_l[..., None] * sel_weight[..., None]
+        rets = (out,)
+        if extra_ray is not None:
+            rets = rets + (res_extra,)
+        if want_tr:
+            rets = rets + ((tr, do_shadow),)
+        if want_dir:
+            visible = do_shadow & (jnp.max(tr, axis=-1) > 0.0)
+            rets = rets + ((d, visible),)
+        return rets + (jnp.sum(do_shadow.astype(jnp.int32)),)
 
     # ---------------- bsdf/phase strategy (independent sample) ----------
     ub = rng.random_1d(seed, pixel, sample_idx,
@@ -659,6 +735,11 @@ def _init_state(scene, settings, pixel, sample_idx, seed, detach):
         state["medium"] = jnp.full((R,), scene.cam_medium, jnp.int32)
         state["med_first"] = jnp.ones((R,), bool)
         state["med_bounce"] = jnp.zeros((R,), jnp.int32)
+    if _one_sample_mis(settings):
+        # pdf of the bsdf sample that produced the current ray (the
+        # one-sample-MIS forward density; primaries are specular-rooted
+        # so the value is never read at bounce 0)
+        state["pdf_fwd"] = jnp.zeros((R,))
     if settings.track_aovs:
         # output-value tracking (ref PathTracer.cpp:43-44,78-96):
         # recorded once per path at the first non-specular (or
@@ -783,6 +864,7 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
         escaped = alive & ~s["hit"] & ~vol_scatter
 
         # ---- escaped rays: environment + caps (ref handleInfiniteLights) ----
+        one_sample = _one_sample_mis(settings)
         if settings.has_env or settings.num_caps > 0:
             env_ok = escaped & (bounce >= settings.min_bounces)
             if settings.mlt_path_length >= 0:
@@ -791,11 +873,25 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
             guard = (~jnp.bool_(settings.enable_light_sampling)) | \
                 s["was_specular"]
             if settings.has_env:
-                env_guard = guard | (scene.env_light_index < 0)
                 env_val = L.env_eval(scene, s["d"])
-                emission = emission + jnp.where(
-                    (env_ok & env_guard)[..., None],
-                    throughput * env_val, 0.0)
+                if one_sample:
+                    # one-sample MIS: a non-specular escape into a
+                    # samplable env light is power-heuristic-weighted
+                    # against the NEE density (selection pmf x env pdf)
+                    eli = jnp.full((R,), scene.env_light_index, jnp.int32)
+                    epdf = L.env_pdf(scene, s["d"]) * \
+                        _light_select_pmf(scene, settings, s["o"], eli)
+                    w_env = jnp.where(
+                        guard | (scene.env_light_index < 0), 1.0,
+                        L.power_heuristic(s["pdf_fwd"], epdf))
+                    emission = emission + jnp.where(
+                        env_ok[..., None],
+                        throughput * env_val * w_env[..., None], 0.0)
+                else:
+                    env_guard = guard | (scene.env_light_index < 0)
+                    emission = emission + jnp.where(
+                        (env_ok & env_guard)[..., None],
+                        throughput * env_val, 0.0)
             if settings.num_caps > 0:
                 cap_samp, cap_unsamp = L.eval_caps(scene, s["d"])
                 emission = emission + jnp.where(
@@ -955,12 +1051,30 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
         e_val = scene.light_emission[li]
         e_tex = scene.tex_const[jnp.clip(etex, 0, scene.tex_const.shape[0] - 1)]
         e_hit = jnp.where(samplable[..., None], e_val, e_tex)
-        take_emit = shade & is_emissive & front & \
-            (bounce >= settings.min_bounces) & guard
-        if settings.mlt_path_length >= 0:
-            take_emit = take_emit & (bounce + 1 == settings.mlt_path_length)
-        emission = emission + jnp.where(
-            take_emit[..., None], throughput * e_hit, 0.0)
+        if one_sample:
+            # one-sample MIS (see _one_sample_mis): non-specular hits
+            # on samplable area lights count with the power-heuristic
+            # weight vs the NEE density toward this hit; guard cases
+            # (specular / unsamplable / light sampling off) keep full
+            # credit exactly as the reference's emitter-hit guard
+            lpdf = L.area_light_direct_pdf(scene, li, s["t"], s["d"],
+                                           info["ng"]) * \
+                _light_select_pmf(scene, settings, s["o"], li)
+            w_emit = jnp.where(guard, 1.0,
+                               L.power_heuristic(s["pdf_fwd"], lpdf))
+            take_emit = shade & is_emissive & front & \
+                (bounce >= settings.min_bounces)
+            emission = emission + jnp.where(
+                take_emit[..., None],
+                throughput * e_hit * w_emit[..., None], 0.0)
+        else:
+            take_emit = shade & is_emissive & front & \
+                (bounce >= settings.min_bounces) & guard
+            if settings.mlt_path_length >= 0:
+                take_emit = take_emit & \
+                    (bounce + 1 == settings.mlt_path_length)
+            emission = emission + jnp.where(
+                take_emit[..., None], throughput * e_hit, 0.0)
 
         # ---- output-value capture (ref PathTracer.cpp:78-96,133-140):
         # depth/normal/albedo/visibility at the first non-specular or
@@ -1091,6 +1205,8 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
             out["medium"] = medium
             out["med_first"] = med_first
             out["med_bounce"] = med_bounce
+        if one_sample:
+            out["pdf_fwd"] = jnp.where(shade & ok, pdf, s["pdf_fwd"])
         if settings.track_aovs:
             out["aov_recorded"] = aov_recorded
             out["aov_dist"] = aov_dist
@@ -1336,3 +1452,45 @@ def compact_wave(state, new_r: int):
     # compacted-away padding must not resurrect
     out["alive"] = out["alive"] & (jnp.arange(new_r) < jnp.sum(state["alive"]))
     return out
+
+
+def trace_wave_staged(scene, settings, pixel, sample_idx, seed,
+                      n_total: int, min_wave: int = 4096, step: int = 2):
+    """The ENTIRE width-staged bounce schedule as ONE device program:
+    primary trace, then a static chain of narrowing stages — each stage
+    runs the bounce body at a fixed wavefront width until the survivors
+    fit the next width (a device-side while_loop condition), banks every
+    ray's radiance into the framebuffer, and compacts on-device.
+
+    This replaces the round-3/4 host-driven schedule whose per-bounce
+    `int(jnp.sum(alive))` sync + re-dispatch cost ~2x the actual
+    traversal on this remote-TPU backend (each host round trip pays the
+    ~25 ms axon dispatch floor; a 64-bounce materialtest render made
+    ~60 of them).  Fused, the host submits ONE program per (chunk, spp
+    batch) and syncs once at the end.
+
+    Returns ((n_total, 3) framebuffer sum, rays traced)."""
+    R = pixel.shape[0]
+    body = _make_bounce_body(scene, settings, seed)
+    state = _init_state(scene, settings, pixel, sample_idx, seed, False)
+    fb = jnp.zeros((n_total, 3))
+
+    w = R
+    while w // step >= min_wave:
+        nxt = w // step
+
+        def cond(s, nxt=nxt):
+            return (s["bounce"] < settings.max_bounces) & \
+                (jnp.sum(s["alive"].astype(jnp.int32)) > nxt)
+
+        state = jax.lax.while_loop(cond, body, state)
+        fb = fb + bank_emission(state, n_total)
+        state = compact_wave(state, nxt)
+        w = nxt
+
+    def cond_tail(s):
+        return (s["bounce"] < settings.max_bounces) & jnp.any(s["alive"])
+
+    state = jax.lax.while_loop(cond_tail, body, state)
+    fb = fb + bank_emission(state, n_total)
+    return fb, state["rays"]

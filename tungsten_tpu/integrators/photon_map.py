@@ -52,7 +52,7 @@ from tungsten_tpu.integrators import lights as L
 from tungsten_tpu.media import grid as GR
 from tungsten_tpu.media import phase as PH
 from tungsten_tpu.media import transmittance as TR
-from tungsten_tpu.ops.intersect import bvh_intersect
+from tungsten_tpu.ops.intersect import bvh_intersect, occluded
 from tungsten_tpu.utils import rng
 from tungsten_tpu.utils import vecmath as vm
 
@@ -109,9 +109,29 @@ def trace_photons(scene, settings, n_paths: int, seed, path_offset):
         b_len=jnp.zeros((R, B)), b_pow=jnp.zeros((R, B, 3)),
         b_valid=jnp.zeros((R, B), bool),
     )
+    planes_mode = settings.vol_photon_type == "planes"
+    if planes_mode:
+        # photon PLANES (ref PhotonPlane0D, Photon.hpp:83-100;
+        # precomputePlane0D, PhotonMapIntegrator.cpp:151-162): the 2D
+        # volume estimator — a parallelogram spanned by the segment
+        # INTO a volume scatter vertex (p0 -> p1) and the UNCLAMPED
+        # sampled length l1 along the direction OUT of it (d1).  Power
+        # = |p1-p0| * l1 * (continued throughput at the far vertex) —
+        # the two lengths cancel the distance-sampling pdfs so the
+        # camera-side 0D estimate divides only by the plane Jacobian.
+        out.update(
+            pl_p0=jnp.zeros((R, B, 3)), pl_p1=jnp.zeros((R, B, 3)),
+            pl_d1=jnp.zeros((R, B, 3)), pl_l1=jnp.zeros((R, B)),
+            pl_pow=jnp.zeros((R, B, 3)),
+            pl_valid=jnp.zeros((R, B), bool),
+        )
 
     def body(i, carry):
-        out, o, d, thr, alive, med, med_first, nrays = carry
+        if planes_mode:
+            (out, o, d, thr, alive, med, med_first, nrays,
+             pp0, pp1, plen0, pact) = carry
+        else:
+            out, o, d, thr, alive, med, med_first, nrays = carry
         nrays = nrays + jnp.sum(alive.astype(jnp.int32))
         dims = PHOTON_DIM_OFFSET + 16 + i * rng.DIMS_PER_BOUNCE
         res = bvh_intersect(scene, o, d, 0.0, jnp.where(alive, INF, 0.0))
@@ -182,6 +202,42 @@ def trace_photons(scene, settings, n_paths: int, seed, path_offset):
             vol_scatter = in_med & ~exited
             vol_point = o + d * t_s[..., None]
             vol_power = thr * jnp.where(in_med[..., None], w_vol, 1.0)
+            if planes_mode:
+                # continued (UNCLAMPED) distance + weight of this
+                # segment (ref MediumSample::continuedT /
+                # continuedWeight, HomogeneousMedium.cpp:86-100): the
+                # plane extends l1 = continuedT past any surface hit,
+                # with the volume-scatter weight evaluated at that
+                # unclamped length
+                t_unc = jnp.minimum(t_m, 1e7)
+                tau_cont = sigma_t * t_unc[..., None]
+                tr_cont = TR.eval_tr(tt, tau_cont, tp, med_first,
+                                     jnp.zeros_like(exited))
+                p_cont = jnp.mean(
+                    sigma_t * TR.medium_pdf(tt, tau_cont, tp, med_first),
+                    axis=-1)
+                w_cont = sigma_s * sbar[..., None] * tr_cont / \
+                    jnp.maximum(p_cont, 1e-20)[..., None]
+                # emit the plane pending from the PREVIOUS bounce's
+                # volume vertex (precomputePlane0D: power =
+                # |p1-p0| * l1 * p2.power with p2.power = thr(p1) *
+                # continuedWeight of this segment)
+                emit = pact & in_med & alive & (plen0 > 0) & (t_unc > 0)
+                ppow = plen0[..., None] * t_unc[..., None] * \
+                    seg_pow * w_cont
+                ppow = jnp.where(jnp.isfinite(ppow), ppow, 0.0)
+                out = dict(out)
+                out["pl_p0"] = out["pl_p0"].at[:, i].set(
+                    jnp.where(emit[..., None], pp0, 0.0))
+                out["pl_p1"] = out["pl_p1"].at[:, i].set(
+                    jnp.where(emit[..., None], pp1, 0.0))
+                out["pl_d1"] = out["pl_d1"].at[:, i].set(
+                    jnp.where(emit[..., None], d, 0.0))
+                out["pl_l1"] = out["pl_l1"].at[:, i].set(
+                    jnp.where(emit, t_unc, 0.0))
+                out["pl_pow"] = out["pl_pow"].at[:, i].set(
+                    jnp.where(emit[..., None], ppow, 0.0))
+                out["pl_valid"] = out["pl_valid"].at[:, i].set(emit)
             thr = thr * jnp.where(in_med[..., None], w, 1.0)
             # a volume scatter preempts the surface this bounce
             hit = hit & ~vol_scatter
@@ -216,11 +272,20 @@ def trace_photons(scene, settings, n_paths: int, seed, path_offset):
                                  < 1e-9, 1e-9,
                                  jnp.sum(info["ng"] * d, axis=-1)))
         p_pow = thr * jnp.clip(asym, 0.0, 8.0)[..., None]
-        if settings.has_media and settings.vol_photon_type == "beams":
+        if settings.has_media and settings.vol_photon_type in ("beams",
+                                                              "planes"):
             # the beam spans the whole unoccluded segment (to the
             # surface hit), independent of where the walk scattered —
-            # its transmittance is applied analytically at gather time
+            # its transmittance is applied analytically at gather time.
+            # In PLANES mode only LOW-ORDER segments (starting at the
+            # light root or a surface vertex) become beams; interior
+            # volume-to-volume segments are covered by the planes
+            # (ref buildPlaneGrid: insertDicedBeam gated on
+            # p1.onSurface() && lowOrderScattering, planes on
+            # !p1.onSurface(), PhotonMapIntegrator.cpp:305-330)
             in_med_seg = alive & (med >= 0)
+            if planes_mode:
+                in_med_seg = in_med_seg & ~pact
             blen = jnp.where(res["hit"], res["t"], 1e8)
             out = dict(out)
             out["b_o"] = out["b_o"].at[:, i].set(
@@ -294,6 +359,15 @@ def trace_photons(scene, settings, n_paths: int, seed, path_offset):
         else:
             med2 = med
         alive2 = (hit | vol_scatter) & ok & (jnp.max(thr2, axis=-1) > 0)
+        if planes_mode:
+            # next bounce's pending plane roots at THIS bounce's volume
+            # vertex: segment start o, scatter point, segment length
+            pact2 = vol_scatter & alive2
+            pp0_2 = vm.where3(vol_scatter, o, pp0)
+            pp1_2 = vm.where3(vol_scatter, vol_point, pp1)
+            plen0_2 = jnp.where(vol_scatter, t_s, plen0)
+            return (out2, o2, new_d, thr2, alive2, med2, med_first,
+                    nrays, pp0_2, pp1_2, plen0_2, pact2)
         return out2, o2, new_d, thr2, alive2, med2, med_first, nrays
 
     carry = (out, root["q"] + root["d0"] * EPSILON, root["d0"], thr0,
@@ -301,8 +375,11 @@ def trace_photons(scene, settings, n_paths: int, seed, path_offset):
              root.get("med", jnp.full((R,), -1, jnp.int32))
              if settings.has_media else jnp.full((R,), -1, jnp.int32),
              jnp.ones((R,), bool), jnp.int32(0))
+    if planes_mode:
+        carry = carry + (jnp.zeros((R, 3)), jnp.zeros((R, 3)),
+                         jnp.zeros((R,)), jnp.zeros((R,), bool))
     carry = jax.lax.fori_loop(0, B, body, carry)
-    out, nrays = carry[0], carry[-1]
+    out, nrays = carry[0], carry[7]
     res = {k: v.reshape((R * B,) + v.shape[2:]) for k, v in out.items()}
     res["rays"] = nrays
     return res
@@ -548,6 +625,198 @@ def _beam_eval(scene, settings, bgrid, radius, o, d, t1):
                     jnp.where(okb[..., None], w, 0.0), axis=1)
     acc = acc.reshape(R, M, 3).sum(axis=1)
     return jnp.where(in_med[..., None], acc, 0.0)
+
+
+# ------------------------------------------------------------ photon planes
+
+PLANE_U = 12     # rasterized samples along the first segment
+PLANE_V = 24     # rasterized samples along the extrusion (long planes
+                 # truncate, like BEAM_CELLS)
+PLANE_CAP = 16   # candidate planes scanned per grid cell
+
+
+def build_plane_grid(photons, radius):
+    """Hash grid over photon PLANES (the 2D volume estimator's accel;
+    ref GridAccel rasterization of the PhotonPlane0D quad,
+    PhotonMapIntegrator::buildPlaneGrid): each parallelogram
+    p0 + u*(p1-p0) + v*l1*d1 is point-sampled on a PLANE_U x PLANE_V
+    lattice (spacing capped at one cell), the per-plane cell keys are
+    sorted + deduplicated exactly, and the (cell, plane) pairs sorted
+    by key.  Ownership at query time = the camera ray's plane-hit
+    point must lie in the queried cell, so each (ray, plane) pair
+    counts exactly once."""
+    p0 = photons["pl_p0"]
+    p1 = photons["pl_p1"]
+    d1 = photons["pl_d1"]
+    l1 = photons["pl_l1"]
+    valid = photons["pl_valid"]
+    N = p0.shape[0]
+    cell = 2.0 * radius
+    inv = 1.0 / cell
+    corners = jnp.stack([p0, p1, p1 + d1 * l1[..., None],
+                         p0 + d1 * l1[..., None]], axis=1)  # (N,4,3)
+    lo = jnp.min(jnp.where(valid[..., None, None], corners, jnp.inf),
+                 axis=(0, 1)) - 2.0 * cell
+    lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+
+    u_k = (jnp.arange(PLANE_U, dtype=jnp.float32) + 0.5) / PLANE_U
+    v_k = (jnp.arange(PLANE_V, dtype=jnp.float32) + 0.5) * cell
+    # v spacing = one cell up to the truncation cap (coverage along the
+    # extrusion mirrors the beam rasterization)
+    pts = (p0[:, None, None, :]
+           + (p1 - p0)[:, None, None, :] * u_k[None, :, None, None]
+           + d1[:, None, None, :] * v_k[None, None, :, None])
+    ok = valid[:, None, None] & \
+        (v_k[None, None, :] <= l1[:, None, None] + cell)
+    cid = jnp.clip(((pts - lo) * inv).astype(jnp.int32), 1, GRID_RES - 3)
+    key = (cid[..., 0] * GRID_RES + cid[..., 1]) * GRID_RES + cid[..., 2]
+    key = jnp.where(ok, key, jnp.int32(2**31 - 1)).reshape(N, -1)
+    # exact per-plane dedup: sort the lattice keys, drop repeats
+    key = jnp.sort(key, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((N, 1), bool), key[:, 1:] == key[:, :-1]], axis=1)
+    key = jnp.where(dup, jnp.int32(2**31 - 1), key)
+    pid = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None],
+                           key.shape)
+    key = key.reshape(-1)
+    pid = pid.reshape(-1)
+    order = jnp.argsort(key)
+    return dict(key=key[order], pid=pid[order],
+                p0=p0, p1=p1, d1=d1, l1=l1, pow=photons["pl_pow"],
+                lo=lo, inv_cell=jnp.float32(inv))
+
+
+def _plane_eval(scene, settings, pgrid, o, d, t1):
+    """In-scattered radiance along the camera segment from the PLANE
+    map (ref evalPlane0D, PhotonTracer.cpp:138-157): for each plane the
+    ray pierces, add
+      sigma_t(x)^2 * |invDet| * phase(d1, -d) * Tr_cam(t) * power
+    at the exact ray-plane intersection (0D: no kernel width), with the
+    reference's occlusion test from the hit point back along -d1 for
+    v*l1 applied to the LARGEST contribution per march cell (the common
+    <=1-hit-per-cell case is exact; extra same-cell hits go untested —
+    documented estimator approximation).  Homogeneous camera media only
+    (render.py falls back to points otherwise, like beams)."""
+    R = o.shape[0]
+    med = jnp.full((R,), scene.cam_medium, jnp.int32)
+    in_med = med >= 0
+    mi = jnp.clip(med, 0, max(scene.med_sigma_a.shape[0] - 1, 0))
+    sigma_t = scene.med_sigma_s[mi] + scene.med_sigma_a[mi]   # (R,3)
+    ptype = scene.med_phase[mi]
+    pg = scene.med_g[mi]
+
+    M = VOL_MARCH_STEPS
+    step = t1 / M
+    j = jnp.arange(M, dtype=jnp.float32)[None, :]
+    tj = (j + 0.5) * step[:, None]
+    xj = o[:, None, :] + d[:, None, :] * tj[..., None]
+    cj = jnp.clip(((xj - pgrid["lo"]) * pgrid["inv_cell"])
+                  .astype(jnp.int32), 1, GRID_RES - 3)
+    ckey = (cj[..., 0] * GRID_RES + cj[..., 1]) * GRID_RES + cj[..., 2]
+    fresh = jnp.concatenate(
+        [jnp.ones((R, 1), bool), ckey[:, 1:] != ckey[:, :-1]], axis=1)
+
+    N = R * M
+    rep = lambda a: jnp.repeat(a, M, axis=0)
+    oN, dN, t1N = rep(o), rep(d), jnp.repeat(t1, M)
+    stN = rep(sigma_t)
+    ptN, pgN = jnp.repeat(ptype, M), jnp.repeat(pg, M)
+    cjN = cj.reshape(N, 3)
+    freshN = fresh.reshape(N)
+
+    keys = pgrid["key"]
+    NK = keys.shape[0]
+    acc = jnp.zeros((N, 3))
+    # shadow-test slot: largest-luminance hit per march row
+    best_w = jnp.zeros((N, 3))
+    best_x = jnp.zeros((N, 3))
+    best_d1 = jnp.zeros((N, 3))
+    best_len = jnp.zeros((N,))
+    qr = jnp.arange(PLANE_CAP, dtype=jnp.int32)[None, :]
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                k = ((cjN[:, 0] + dx) * GRID_RES
+                     + (cjN[:, 1] + dy)) * GRID_RES + (cjN[:, 2] + dz)
+                start = jnp.searchsorted(keys, k, side="left")
+                end = jnp.minimum(
+                    jnp.searchsorted(keys, k, side="right"),
+                    start + PLANE_CAP)
+                ix = jnp.minimum(start[:, None] + qr, NK - 1)
+                okq = freshN[:, None] & ((start[:, None] + qr)
+                                         < end[:, None])
+                p = pgrid["pid"][ix]                     # (N, CAP)
+                p0 = pgrid["p0"][p]                      # (N, CAP, 3)
+                p1 = pgrid["p1"][p]
+                d1 = pgrid["d1"][p]
+                l1 = pgrid["l1"][p]
+                ppow = pgrid["pow"][p]
+                oN2 = oN[:, None, :]
+                dN2 = dN[:, None, :]
+                # Moller-Trumbore against the parallelogram with
+                # e1 = p1-p0 (first segment), e2 = d1*l1 (extrusion)
+                # (ref intersectPlane0D, PhotonTracer.cpp:67-95)
+                e1 = p1 - p0
+                e2 = d1 * l1[..., None]
+                P = jnp.cross(dN2, e2)
+                det = jnp.sum(e1 * P, axis=-1)
+                inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-8,
+                                          1e-8, det)
+                T = oN2 - p0
+                uu = jnp.sum(T * P, axis=-1) * inv_det
+                Q = jnp.cross(T, e1)
+                vv = jnp.sum(dN2 * Q, axis=-1) * inv_det
+                t = jnp.sum(e2 * Q, axis=-1) * inv_det
+                okb = (okq & (jnp.abs(det) > 1e-8)
+                       & (uu >= 0.0) & (uu <= 1.0)
+                       & (vv >= 0.0) & (vv <= 1.0)
+                       & (t > 1e-4) & (t < t1N[:, None]))
+                x = oN2 + dN2 * t[..., None]
+                cb = jnp.clip(((x - pgrid["lo"]) * pgrid["inv_cell"])
+                              .astype(jnp.int32), 1, GRID_RES - 3)
+                bkey = (cb[..., 0] * GRID_RES + cb[..., 1]) * \
+                    GRID_RES + cb[..., 2]
+                okb = okb & (bkey == k[:, None])
+                ph = PH.phase_eval(ptN[:, None], pgN[:, None], d1, -dN2)
+                tr = jnp.exp(-stN[:, None, :] * t[..., None])
+                w = (stN[:, None, :] ** 2 * jnp.abs(inv_det)[..., None]
+                     * ph[..., None] * tr * ppow)
+                w = jnp.where(okb[..., None], w, 0.0)
+                acc = acc + jnp.sum(w, axis=1)
+                # track the largest hit of this cell block for the
+                # shadow pass
+                lum = jnp.sum(w, axis=-1)
+                bi = jnp.argmax(lum, axis=1)
+                bl = jnp.take_along_axis(lum, bi[:, None], axis=1)[:, 0]
+                better = bl > jnp.sum(best_w, axis=-1)
+                g = lambda a: jnp.take_along_axis(
+                    a, bi[:, None, None], axis=1)[:, 0]
+                best_w = jnp.where(better[:, None], g(w), best_w)
+                best_x = jnp.where(better[:, None], g(x), best_x)
+                best_d1 = jnp.where(better[:, None], g(d1), best_d1)
+                blen = jnp.take_along_axis(vv * l1, bi[:, None],
+                                           axis=1)[:, 0]
+                best_len = jnp.where(better, blen, best_len)
+    # occlusion along -d1 for v*l1 (ref evalPlane0D's shadowRay):
+    # subtract occluded best-slot contributions
+    do_sh = jnp.sum(best_w, axis=-1) > 0.0
+    occ = occluded(scene, best_x, -best_d1, EPSILON,
+                   jnp.where(do_sh, best_len * (1.0 - 1e-3), 0.0))
+    acc = acc - jnp.where((do_sh & occ)[:, None], best_w, 0.0)
+    acc = acc.reshape(R, M, 3).sum(axis=1)
+    return jnp.where(in_med[..., None], acc, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def plane_pass(scene, settings, pgrid, pixel, sample_idx, seed):
+    """Standalone plane-map camera pass (primary rays), mirroring
+    beam_pass."""
+    R = pixel.shape[0]
+    o, d = generate_rays(scene, settings, pixel, sample_idx, seed)
+    res = bvh_intersect(scene, o, d, 0.0, INF)
+    diag = jnp.linalg.norm(scene.bvh_max[0] - scene.bvh_min[0])
+    t1 = jnp.where(res["hit"], res["t"], diag * 1.5)
+    return _plane_eval(scene, settings, pgrid, o, d, t1)
 
 
 # ------------------------------------------------------------ camera pass

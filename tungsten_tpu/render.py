@@ -93,47 +93,25 @@ def _jit_compact(state, new_r: int):
     return compact_wave(state, new_r)
 
 
+@functools.partial(jax.jit, static_argnames=("settings", "n_total",
+                                             "min_wave", "step"))
+def _jit_staged(scene, settings, pixel, sample_idx, seed, n_total: int,
+                min_wave: int, step: int):
+    from tungsten_tpu.integrators.path_tracer import trace_wave_staged
+    return trace_wave_staged(scene, settings, pixel, sample_idx,
+                             jnp.uint32(seed), n_total,
+                             min_wave=min_wave, step=step)
+
+
 def _trace_chunk_staged(scene, settings, pixel, sample_idx, seed, n_total):
-    """One pixel chunk, one sample: staged bounce loop with host-driven
-    wavefront compaction.  Returns ((n_total, 3) radiance sum, rays)."""
-    state = _jit_init(scene, settings, pixel, sample_idx, seed)
-    fb = None
-    width = pixel.shape[0]
-    bounce = 0
-    seg0, step = _schedule_params()
-    seg = seg0
-    prev_alive = pixel.shape[0]
-    while True:
-        state = _jit_run(scene, settings, seed, state,
-                         min(bounce + seg, settings.max_bounces))
-        bounce += seg
-        if bounce >= settings.max_bounces:
-            break
-        alive = int(jnp.sum(state["alive"]))
-        if alive == 0:
-            break
-        # /2-step width menu (TPU): the long-path tail often settles
-        # just above a /4 boundary (materialtest: ~17k trapped rays at
-        # width 65536 = 27% occupancy for 60 bounces)
-        w = width
-        while w // step >= max(alive, MIN_WAVE):
-            w //= step
-        if w < width:
-            part = _jit_bank(state, n_total)
-            fb = part if fb is None else fb + part
-            state = _jit_compact(state, w)
-            width = w
-            seg = seg0
-        elif alive > 0.9 * prev_alive:
-            # alive count has plateaued (trapped long paths) — grow
-            # the segment geometrically so the tail doesn't pay one
-            # host sync per bounce; while it is still decaying, keep
-            # short segments so the next compaction isn't missed
-            seg = min(seg * 2, 32)
-        prev_alive = alive
-    part = _jit_bank(state, n_total)
-    fb = part if fb is None else fb + part
-    return fb, int(state["rays"])
+    """One pixel chunk, one spp batch: the full width-staged bounce
+    schedule fused into one device program (path_tracer.py
+    trace_wave_staged) — zero mid-render host syncs.  Returns
+    ((n_total, 3) radiance sum, rays)."""
+    _, step = _schedule_params()
+    fb, rays = _jit_staged(scene, settings, pixel, sample_idx, seed,
+                           n_total, MIN_WAVE, step)
+    return fb, int(rays)
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "n_total"))
@@ -193,10 +171,11 @@ def _render_pass_photon(scene: FlatScene, settings: RenderSettings,
     pad = (-n) % C
     pixels = np.arange(n + pad, dtype=np.uint32).reshape(-1, C)
     progressive = settings.integrator_type == "progressive_photon_map"
-    if settings.vol_photon_type == "beams" and settings.has_media:
+    if settings.vol_photon_type in ("beams", "planes") and \
+            settings.has_media:
         from tungsten_tpu.media.grid import MED_HOMOGENEOUS
         if any(k != MED_HOMOGENEOUS for k in settings.med_kinds):
-            # beams' analytic transmittance covers homogeneous
+            # beams'/planes' analytic transmittance covers homogeneous
             # exponential media; fall back to the points estimator
             settings = replace(settings, vol_photon_type="points")
 
@@ -236,19 +215,31 @@ def _render_pass_photon(scene: FlatScene, settings: RenderSettings,
             # Beams currently assume homogeneous exponential media for
             # their analytic transmittance — heterogeneous or
             # non-exponential scenes fall back to points.
-            from tungsten_tpu.integrators.photon_map import build_beam_grid
+            from tungsten_tpu.integrators.photon_map import (
+                build_beam_grid, build_plane_grid, plane_pass)
             vradius = settings.vol_gather_radius * float(np.sqrt(gamma))
             use_beams = settings.vol_photon_type == "beams"
-            if use_beams:
-                # the beam map subsamples volume_photon_count paths
-                # (ref PhotonMapSettings volumePhotonCount): beams are
-                # long 1D primitives — a full photon population
-                # overflows any per-cell candidate cap in dense media
+            use_planes = settings.vol_photon_type == "planes"
+            if use_beams or use_planes:
+                # the beam/plane maps subsample volume_photon_count
+                # paths (ref PhotonMapSettings volumePhotonCount):
+                # beams/planes are long 1D/2D primitives — a full
+                # photon population overflows any per-cell candidate
+                # cap in dense media
                 n_vb = min(settings.vol_photon_count, n_paths)
                 nb = n_vb * B
-                beams = {k: v[:nb] for k, v in photons.items()}
-                beams["b_pow"] = beams["b_pow"] / n_vb
-                vgrid = build_beam_grid(beams, vradius)
+                sub = {k: v[:nb] for k, v in photons.items()}
+                sub["b_pow"] = sub["b_pow"] / n_vb
+                if use_beams:
+                    vgrid = build_beam_grid(sub, vradius)
+                else:
+                    # planes mode: planes for interior volume-volume
+                    # segments + LOW-ORDER beams for segments rooted on
+                    # the light/surfaces (ref lowOrderScattering default
+                    # true, PhotonMapIntegrator::buildPlaneGrid)
+                    sub["pl_pow"] = sub["pl_pow"] / n_vb
+                    vgrid = (build_beam_grid(sub, vradius),
+                             build_plane_grid(sub, vradius))
             else:
                 vol = dict(photons)
                 vol["valid"] = photons["valid"] & photons["vol"]
@@ -256,20 +247,29 @@ def _render_pass_photon(scene: FlatScene, settings: RenderSettings,
             vradius = np.float32(vradius)
 
         # ---- camera gather pass ----
-        use_beams_i = vgrid is not None and use_beams
+        use_1d = vgrid is not None and (use_beams or use_planes)
         for ci in range(pixels.shape[0]):
             rad, gr = gather_pass(scene, settings, grid,
                                   np.float32(radius),
                                   jnp.asarray(pixels[ci]), np.uint32(it),
                                   np.uint32(seed),
-                                  vgrid=None if use_beams_i else vgrid,
+                                  vgrid=None if use_1d else vgrid,
                                   vradius=vradius)
             rays += int(gr)  # measured camera-walk rays
-            if use_beams_i:
-                rad = rad + beam_pass(scene, settings, vgrid, vradius,
-                                      jnp.asarray(pixels[ci]),
-                                      np.uint32(it), np.uint32(seed))
-                rays += C  # beam_pass re-traces the primaries
+            if use_1d:
+                if use_beams:
+                    rad = rad + beam_pass(scene, settings, vgrid, vradius,
+                                          jnp.asarray(pixels[ci]),
+                                          np.uint32(it), np.uint32(seed))
+                else:
+                    bgrid, pgrid = vgrid
+                    rad = rad + beam_pass(scene, settings, bgrid, vradius,
+                                          jnp.asarray(pixels[ci]),
+                                          np.uint32(it), np.uint32(seed))
+                    rad = rad + plane_pass(scene, settings, pgrid,
+                                           jnp.asarray(pixels[ci]),
+                                           np.uint32(it), np.uint32(seed))
+                rays += C  # beam/plane pass re-traces the primaries
             rad = jnp.where(jnp.isfinite(rad), rad, 0.0)
             acc = acc.at[ci * C:(ci + 1) * C].add(rad)
     return acc[:n].reshape(h, w, 3), rays
