@@ -534,6 +534,29 @@ def _sample_light_root(scene, settings, R, seed, pixel, sample_idx):
     n = jnp.cross(e1, e2)
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
 
+    # analytic disk / cylinder emitters (ref Disk::samplePosition,
+    # Cylinder::samplePosition): uniform-area point + outward normal
+    if settings.has_disk_lights:
+        from tungsten_tpu.scene.flatten import LIGHT_DISK
+        is_dl = scene.light_type[li] == LIGHT_DISK
+        slot = jnp.clip(scene.light_slot[li], 0, scene.dsk_r.shape[0] - 1)
+        nd = scene.dsk_n[slot]
+        tan_d, bit_d = vm.ortho_frame(nd)
+        rho = jnp.sqrt(jnp.maximum(u1, 0.0)) * scene.dsk_r[slot]
+        phi = u2 * 2.0 * jnp.pi
+        qd = scene.dsk_c[slot] + (jnp.cos(phi) * rho)[..., None] * bit_d \
+            + (jnp.sin(phi) * rho)[..., None] * tan_d
+        q = vm.where3(is_dl, qd, q)
+        n = vm.where3(is_dl, nd, n)
+    if settings.has_cyl_lights:
+        from tungsten_tpu.integrators.lights import cyl_position_sample
+        from tungsten_tpu.scene.flatten import LIGHT_CYLINDER
+        is_cl = scene.light_type[li] == LIGHT_CYLINDER
+        slot = jnp.clip(scene.light_slot[li], 0, scene.cyl_r.shape[0] - 1)
+        qc, nc = cyl_position_sample(scene, slot, u1, u2, u_tri)
+        q = vm.where3(is_cl, qc, q)
+        n = vm.where3(is_cl, nc, n)
+
     area = scene.light_area[li]
     pdf_a = pick_pdf / jnp.maximum(area, 1e-20)
     Le = scene.light_emission[li]

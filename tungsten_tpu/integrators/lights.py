@@ -161,7 +161,10 @@ def _choose_light_weights(scene, settings, p):
     w_point = INV_FOUR_PI * scene.light_lum[None, :nl] / \
         jnp.maximum(jnp.sum(pvec * pvec, axis=-1), 1e-12)
     # env / cap: position-independent, baked into light_lum at flatten
-    w = jnp.where(lt[None, :] == LIGHT_AREA, w_area,
+    from tungsten_tpu.scene.flatten import LIGHT_CYLINDER, LIGHT_DISK
+    area_like = jnp.isin(lt, jnp.asarray(
+        [LIGHT_AREA, LIGHT_DISK, LIGHT_CYLINDER]))
+    w = jnp.where(area_like[None, :], w_area,
                   jnp.where(lt[None, :] == LIGHT_POINT, w_point,
                             scene.light_lum[None, :nl]))
     total = jnp.sum(w, axis=-1)
@@ -246,6 +249,90 @@ def area_light_direct_pdf(scene, light_idx, hit_t, d, hit_normal):
         cos_theta > 1e-6,
         hit_t * hit_t / jnp.maximum(cos_theta * area, 1e-20),
         0.0)
+
+
+# ------------------------------------------------- analytic disk / cylinder
+
+def disk_light_sample(scene, light_idx, p, u1, u2):
+    """Uniform point on an analytic disk emitter as seen from p
+    (ref Disk::sampleDirect, Disk.cpp:177-195): rejects shading points
+    behind the disk and directions outside the emission cone; pdf is
+    the usual area->solid-angle conversion rSq/(cosTheta * area).
+    Returns dict(d, dist, pdf, emission, valid)."""
+    slot = jnp.clip(scene.light_slot[light_idx], 0,
+                    scene.dsk_r.shape[0] - 1)
+    c = scene.dsk_c[slot]
+    n = scene.dsk_n[slot]
+    r = scene.dsk_r[slot]
+    from tungsten_tpu.utils.vecmath import ortho_frame
+    tan, bit = ortho_frame(n)
+    # SampleWarp::uniformDisk (polar)
+    rho = jnp.sqrt(jnp.maximum(u2, 0.0)) * r
+    phi = u1 * 2.0 * jnp.pi
+    q = c + (jnp.cos(phi) * rho)[..., None] * bit \
+        + (jnp.sin(phi) * rho)[..., None] * tan
+    dvec = q - p
+    r_sq = jnp.sum(dvec * dvec, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(r_sq, 1e-20))
+    d = dvec / dist[..., None]
+    cos_theta = -jnp.sum(d * n, axis=-1)
+    front = jnp.sum(n * (p - c), axis=-1) > 0.0
+    in_cone = cos_theta >= scene.dsk_cos[slot]
+    area = scene.light_area[light_idx]
+    pdf = r_sq / jnp.maximum(cos_theta * area, 1e-20)
+    valid = front & in_cone & (cos_theta > 0.0) & (area > 0.0)
+    return dict(d=d, dist=dist, pdf=pdf,
+                emission=scene.light_emission[light_idx], valid=valid)
+
+
+def cyl_position_sample(scene, slot, u1, u2, u3):
+    """Uniform-area point + outward normal on analytic cylinder `slot`
+    (ref Cylinder::samplePosition, Cylinder.cpp:152-173): the cap faces
+    take their area fraction of samples, the side the rest.  Returns
+    (q (R,3) world, n (R,3) world unit normal)."""
+    r = scene.cyl_r[slot]
+    hh = scene.cyl_hh[slot]
+    capped = scene.cyl_capped[slot]
+    cap_area = jnp.where(capped, 2.0 * jnp.pi * r * r, 0.0)
+    side_area = 2.0 * jnp.pi * r * 2.0 * hh
+    p_cap = cap_area / jnp.maximum(cap_area + side_area, 1e-20)
+    take_cap = u3 < p_cap
+    # remap u3 into the chosen branch for the cap-sign pick
+    sign = jnp.where(u3 / jnp.maximum(p_cap, 1e-20) < 0.5, -1.0, 1.0)
+    phi = u1 * 2.0 * jnp.pi
+    cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+    rho = jnp.sqrt(jnp.maximum(u2, 0.0))
+    q_cap = jnp.stack([rho * cphi * r, sign * hh, rho * sphi * r], -1)
+    n_cap = jnp.stack([jnp.zeros_like(sign), sign,
+                       jnp.zeros_like(sign)], -1)
+    h = (2.0 * u2 - 1.0) * hh
+    q_side = jnp.stack([cphi * r, h, sphi * r], -1)
+    n_side = jnp.stack([cphi, jnp.zeros_like(h), sphi], -1)
+    q_loc = jnp.where(take_cap[..., None], q_cap, q_side)
+    n_loc = jnp.where(take_cap[..., None], n_cap, n_side)
+    rot = scene.cyl_rot[slot]
+    q = jnp.einsum("...ij,...j->...i", rot, q_loc) + scene.cyl_pos[slot]
+    n = jnp.einsum("...ij,...j->...i", rot, n_loc)
+    return q, n
+
+
+def cyl_light_sample(scene, light_idx, p, u1, u2, u3):
+    """Analytic cylinder emitter NEE sample (ref Cylinder::sampleDirect,
+    Cylinder.cpp:185-201): uniform-area position, pdf rSq/(cosTheta *
+    area), rejected when the sampled normal faces away."""
+    slot = jnp.clip(scene.light_slot[light_idx], 0,
+                    scene.cyl_r.shape[0] - 1)
+    q, n = cyl_position_sample(scene, slot, u1, u2, u3)
+    dvec = q - p
+    r_sq = jnp.sum(dvec * dvec, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(r_sq, 1e-20))
+    d = dvec / dist[..., None]
+    cos_theta = -jnp.sum(d * n, axis=-1)
+    area = scene.light_area[light_idx]
+    pdf = r_sq / jnp.maximum(cos_theta * area, 1e-20)
+    valid = (cos_theta > 0.0) & (area > 0.0)
+    return dict(d=d, dist=dist, pdf=pdf,
+                emission=scene.light_emission[light_idx], valid=valid)
 
 
 # ----------------------------------------------------------- cap / point

@@ -49,6 +49,10 @@ INF = jnp.float32(3.0e38)
 EPSILON = 5e-4  # ray-offset epsilon (ref TraceableScene.hpp:39 DefaultEpsilon)
 SHADOW_FUDGE = 1.0 - 1e-3
 MAX_SHADOW_HOPS = 8  # forward-surface crossings a shadow ray may pass
+# one-sample-MIS shadow rays: True routes them through the any-hit wave
+# drain as their own launch (A/B'd on TPU vs the round-4 fused 2R
+# closest-hit batch — see PROFILE_r05.md)
+SHADOW_ANY_HIT = True
 
 
 def _detach(tree):
@@ -98,6 +102,16 @@ def _hit_prim(scene, res):
         sprim = scene.sph_prim[
             jnp.clip(res["sph"], 0, scene.sph_prim.shape[0] - 1)]
         prim = jnp.where(res["sph"] >= 0, sprim, prim)
+    if getattr(scene, "dsk_prim", None) is not None and \
+            scene.dsk_prim.shape[0] > 0 and "dsk" in res:
+        dprim = scene.dsk_prim[
+            jnp.clip(res["dsk"], 0, scene.dsk_prim.shape[0] - 1)]
+        prim = jnp.where(res["dsk"] >= 0, dprim, prim)
+    if getattr(scene, "cyl_prim", None) is not None and \
+            scene.cyl_prim.shape[0] > 0 and "cyl" in res:
+        yprim = scene.cyl_prim[
+            jnp.clip(res["cyl"], 0, scene.cyl_prim.shape[0] - 1)]
+        prim = jnp.where(res["cyl"] >= 0, yprim, prim)
     if scene.crv_seg_prim.shape[0] > 0 and "crv" in res:
         cprim = scene.crv_seg_prim[
             jnp.clip(res["crv"], 0, scene.crv_seg_prim.shape[0] - 1)]
@@ -105,16 +119,43 @@ def _hit_prim(scene, res):
     return prim
 
 
-def _hit_ng(scene, res):
-    """Geometric normal of a triangle hit (safe placeholder when the
-    scene has no triangles — callers only use it where tri >= 0)."""
+def _hit_ng(scene, res, o=None, d=None):
+    """Geometric normal of a triangle (or, with o/d given, analytic
+    disk/cylinder) hit.  Callers only use it where a matching channel
+    is >= 0; tri-only callers may omit o/d."""
     if scene.tri_v0.shape[0] == 0:
-        return jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
-                                res["t"].shape + (3,))
-    tri = jnp.clip(res["tri"], 0, scene.tri_v0.shape[0] - 1)
-    ng = jnp.cross(scene.tri_e1[tri], scene.tri_e2[tri])
-    return ng / jnp.maximum(
-        jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
+        ng = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                              res["t"].shape + (3,))
+    else:
+        tri = jnp.clip(res["tri"], 0, scene.tri_v0.shape[0] - 1)
+        ng = jnp.cross(scene.tri_e1[tri], scene.tri_e2[tri])
+        ng = ng / jnp.maximum(
+            jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
+    if o is not None and getattr(scene, "dsk_r", None) is not None \
+            and scene.dsk_r.shape[0] > 0 and "dsk" in res:
+        di = jnp.clip(res["dsk"], 0, scene.dsk_r.shape[0] - 1)
+        ng = vm.where3(res["dsk"] >= 0, scene.dsk_n[di], ng)
+    if o is not None and getattr(scene, "cyl_r", None) is not None \
+            and scene.cyl_r.shape[0] > 0 and "cyl" in res:
+        is_y = res["cyl"] >= 0
+        yi = jnp.clip(res["cyl"], 0, scene.cyl_r.shape[0] - 1)
+        p = o + d * res["t"][..., None]
+        rot = scene.cyl_rot[yi]
+        pl = jnp.einsum("ri,rij->rj", p - scene.cyl_pos[yi], rot)
+        r_y = jnp.maximum(scene.cyl_r[yi], 1e-20)
+        hh = jnp.maximum(scene.cyl_hh[yi], 1e-20)
+        px, py, pz = pl[..., 0] / r_y, pl[..., 1], pl[..., 2] / r_y
+        on_cap = (jnp.abs(jnp.abs(py) - hh) < 1e-4 * hh) & \
+            (px * px + pz * pz < 1.0) & scene.cyl_capped[yi]
+        n_side = jnp.stack([px, jnp.zeros_like(px), pz], -1)
+        n_side = n_side / jnp.maximum(
+            jnp.linalg.norm(n_side, axis=-1, keepdims=True), 1e-20)
+        n_cap = jnp.stack([jnp.zeros_like(py),
+                           jnp.where(py >= 0, 1.0, -1.0),
+                           jnp.zeros_like(py)], -1)
+        n_loc = vm.where3(on_cap, n_cap, n_side)
+        ng = vm.where3(is_y, jnp.einsum("rij,rj->ri", rot, n_loc), ng)
+    return ng
 
 
 def _hit_uv_bsdf(scene, res):
@@ -133,6 +174,14 @@ def _hit_uv_bsdf(scene, res):
     if scene.sph_prim.shape[0] > 0:
         si = jnp.clip(res["sph"], 0, scene.sph_prim.shape[0] - 1)
         prim = jnp.where(res["sph"] >= 0, scene.sph_prim[si], prim)
+    if getattr(scene, "dsk_prim", None) is not None and \
+            scene.dsk_prim.shape[0] > 0 and "dsk" in res:
+        di = jnp.clip(res["dsk"], 0, scene.dsk_prim.shape[0] - 1)
+        prim = jnp.where(res["dsk"] >= 0, scene.dsk_prim[di], prim)
+    if getattr(scene, "cyl_prim", None) is not None and \
+            scene.cyl_prim.shape[0] > 0 and "cyl" in res:
+        yi = jnp.clip(res["cyl"], 0, scene.cyl_prim.shape[0] - 1)
+        prim = jnp.where(res["cyl"] >= 0, scene.cyl_prim[yi], prim)
     if scene.crv_seg_prim.shape[0] > 0 and "crv" in res:
         ci = jnp.clip(res["crv"], 0, scene.crv_seg_prim.shape[0] - 1)
         is_crv = res["crv"] >= 0
@@ -391,6 +440,24 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
         emis = jnp.where(is_pt[..., None], scene.light_emission[li], emis)
         valid = jnp.where(is_pt, True, valid)
         is_dirac = is_dirac | is_pt
+    if settings.has_disk_lights:
+        from tungsten_tpu.scene.flatten import LIGHT_DISK
+        is_dl = ltype == LIGHT_DISK
+        dl = L.disk_light_sample(scene, li, p, u1, u2)
+        d = vm.where3(is_dl, dl["d"], d)
+        dist = jnp.where(is_dl, dl["dist"], dist)
+        pdf = jnp.where(is_dl, dl["pdf"], pdf)
+        emis = jnp.where(is_dl[..., None], dl["emission"], emis)
+        valid = jnp.where(is_dl, dl["valid"], valid)
+    if settings.has_cyl_lights:
+        from tungsten_tpu.scene.flatten import LIGHT_CYLINDER
+        is_cl = ltype == LIGHT_CYLINDER
+        cl = L.cyl_light_sample(scene, li, p, u1, u2, u_tri)
+        d = vm.where3(is_cl, cl["d"], d)
+        dist = jnp.where(is_cl, cl["dist"], dist)
+        pdf = jnp.where(is_cl, cl["pdf"], pdf)
+        emis = jnp.where(is_cl[..., None], cl["emission"], emis)
+        valid = jnp.where(is_cl, cl["valid"], valid)
 
     f, _ = eval_f_pdf(d)
     _, pdf_counter = eval_f_pdf(d)
@@ -399,7 +466,10 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
     if gate is not None:
         do_shadow = do_shadow & gate
 
-    endcap = jnp.where(ltype == LIGHT_AREA, scene.light_prim[li], -2)
+    from tungsten_tpu.scene.flatten import LIGHT_CYLINDER as _LCY
+    from tungsten_tpu.scene.flatten import LIGHT_DISK as _LDK
+    surface_light = jnp.isin(ltype, jnp.asarray([LIGHT_AREA, _LDK, _LCY]))
+    endcap = jnp.where(surface_light, scene.light_prim[li], -2)
     shadow_o = p + d * EPSILON
 
     if _one_sample_mis(settings):
@@ -407,28 +477,43 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
         # continuation ray (extra_ray) carries it, weighted at its
         # emitter hit in the bounce body.  The NEE weight's counter is
         # therefore the FULL NEE density (selection pmf x directional
-        # pdf) vs the bsdf pdf, and the shadow ray joins the
-        # continuation in ONE closest-hit traversal (any-hit is ~1.5x
-        # cheaper per ray, but a second launch pays its own sort +
-        # cull + dispatch).
+        # pdf) vs the bsdf pdf.
         far_sh = jnp.where(do_shadow,
                            jnp.where(dist >= INF, INF,
                                      dist * SHADOW_FUDGE), 0.0)
-        parts_o = [shadow_o]
-        parts_d = [d]
-        parts_t = [far_sh]
-        if extra_ray is not None:
-            parts_o.append(extra_ray[0])
-            parts_d.append(extra_ray[1])
-            parts_t.append(extra_ray[2])
-        res_all = bvh_intersect(scene, jnp.concatenate(parts_o, axis=0),
-                                jnp.concatenate(parts_d, axis=0), 0.0,
-                                jnp.concatenate(parts_t, axis=0))
-        if detach:
-            res_all = _detach(res_all)
-        occ = res_all["hit"][:R]
-        res_extra = {k: v[R:] for k, v in res_all.items()} \
-            if extra_ray is not None else None
+        if SHADOW_ANY_HIT:
+            # shadow rays through the ANY-HIT drain (~1.4x cheaper per
+            # ray and the segments are light-clipped), continuation
+            # through closest-hit; both launches live inside the same
+            # fused bounce program so the split costs no dispatch
+            occ = jnp.zeros((R,), bool)
+            res_extra = None
+            if extra_ray is not None:
+                res_extra = bvh_intersect(scene, extra_ray[0],
+                                          extra_ray[1], 0.0, extra_ray[2])
+            occ = bvh_intersect(scene, shadow_o, d, 0.0, far_sh,
+                                any_hit=True)["hit"]
+            if detach:
+                occ = jax.lax.stop_gradient(occ)
+                res_extra = _detach(res_extra)
+        else:
+            # fused 2R closest-hit batch (one sort + cull amortized)
+            parts_o = [shadow_o]
+            parts_d = [d]
+            parts_t = [far_sh]
+            if extra_ray is not None:
+                parts_o.append(extra_ray[0])
+                parts_d.append(extra_ray[1])
+                parts_t.append(extra_ray[2])
+            res_all = bvh_intersect(scene,
+                                    jnp.concatenate(parts_o, axis=0),
+                                    jnp.concatenate(parts_d, axis=0), 0.0,
+                                    jnp.concatenate(parts_t, axis=0))
+            if detach:
+                res_all = _detach(res_all)
+            occ = res_all["hit"][:R]
+            res_extra = {k: v[R:] for k, v in res_all.items()} \
+                if extra_ray is not None else None
         tr = jnp.where((do_shadow & ~occ)[..., None], 1.0, 0.0)
 
         pmf = jnp.ones((R,)) / sel_weight
@@ -527,14 +612,14 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
 
     hit_prim = _hit_prim(scene, res_b)
 
-    # area light: first hit must be the chosen light, front side.
-    # (hit_t sanitized: misses carry t=INF whose square is inf and would
-    # poison gradients through the untaken where-branch)
-    nb = _hit_ng(scene, res_b)
+    # area/disk/cylinder light: first hit must be the chosen light,
+    # front side.  (hit_t sanitized: misses carry t=INF whose square is
+    # inf and would poison gradients through the untaken where-branch)
+    nb = _hit_ng(scene, res_b, p + wd * EPSILON, wd)
     hit_t = jnp.where(res_b["hit"], res_b["t"], 1.0)
     lpdf_area = L.area_light_direct_pdf(scene, li, hit_t, wd, nb)
     front = jnp.sum(wd * nb, axis=-1) < 0.0
-    hit_light_area = (ltype == LIGHT_AREA) & res_b["hit"] & \
+    hit_light_area = surface_light & res_b["hit"] & \
         (hit_prim == scene.light_prim[li]) & front
     e_area = scene.light_emission[li]
 
@@ -635,6 +720,62 @@ def _expand_hit(scene, o, d, res):
     else:
         ng, ns, prim, uv = ng_tri, ns_tri, prim_tri, uv_tri
 
+    if getattr(scene, "dsk_r", None) is not None and \
+            scene.dsk_r.shape[0] > 0 and "dsk" in res:
+        # ref Disk::intersectionInfo (Disk.cpp:113-127): Ng = Ns = n,
+        # uv = (atan2 azimuth, radial fraction) in the disk frame
+        is_d = res["dsk"] >= 0
+        di = jnp.clip(res["dsk"], 0, scene.dsk_r.shape[0] - 1)
+        nd = scene.dsk_n[di]
+        dv = p - scene.dsk_c[di]
+        tan_d, bit_d = vm.ortho_frame(nd)
+        x = jnp.sum(dv * bit_d, axis=-1)
+        y = jnp.sum(dv * tan_d, axis=-1)
+        r_frac = jnp.linalg.norm(dv, axis=-1) / \
+            jnp.maximum(scene.dsk_r[di], 1e-20)
+        u_d = jnp.arctan2(y, x) * vm.INV_TWO_PI + 0.5
+        ng = vm.where3(is_d, nd, ng)
+        ns = vm.where3(is_d, nd, ns)
+        prim = jnp.where(is_d, scene.dsk_prim[di], prim)
+        uv = jnp.where(is_d[..., None],
+                       jnp.stack([u_d, r_frac], -1), uv)
+
+    if getattr(scene, "cyl_r", None) is not None and \
+            scene.cyl_r.shape[0] > 0 and "cyl" in res:
+        # ref Cylinder::intersectionInfo (Cylinder.cpp:123-133): cap
+        # hits take the axial normal + planar uv, side hits the radial
+        # normal + (azimuth, height) uv — classified from the local hit
+        is_y = res["cyl"] >= 0
+        yi = jnp.clip(res["cyl"], 0, scene.cyl_r.shape[0] - 1)
+        rot = scene.cyl_rot[yi]                       # (R, 3, 3)
+        pl = jnp.einsum("ri,rij->rj", p - scene.cyl_pos[yi], rot)
+        r_y = jnp.maximum(scene.cyl_r[yi], 1e-20)
+        hh = jnp.maximum(scene.cyl_hh[yi], 1e-20)
+        px, py, pz = pl[..., 0] / r_y, pl[..., 1], pl[..., 2] / r_y
+        # cap iff the hit lies on an end plane (within tolerance) and
+        # inside the unit circle; the rim is owned by the side normal
+        rr = px * px + pz * pz
+        on_cap = (jnp.abs(jnp.abs(py) - hh) < 1e-4 * hh) & (rr < 1.0) & \
+            scene.cyl_capped[yi]
+        n_side = jnp.stack(
+            [px, jnp.zeros_like(px), pz], -1)
+        n_side = n_side / jnp.maximum(
+            jnp.linalg.norm(n_side, axis=-1, keepdims=True), 1e-20)
+        n_cap = jnp.stack([jnp.zeros_like(py),
+                           jnp.where(py >= 0, 1.0, -1.0),
+                           jnp.zeros_like(py)], -1)
+        n_loc = vm.where3(on_cap, n_cap, n_side)
+        n_w = jnp.einsum("rij,rj->ri", rot, n_loc)
+        u_side = jnp.arctan2(pz, px) * vm.INV_TWO_PI + 0.5
+        v_side = py / (2.0 * hh) + 0.5
+        uv_y = jnp.where(on_cap[..., None],
+                         jnp.stack([px, pz], -1) * 0.5 + 0.5,
+                         jnp.stack([u_side, v_side], -1))
+        ng = vm.where3(is_y, n_w, ng)
+        ns = vm.where3(is_y, n_w, ns)
+        prim = jnp.where(is_y, scene.cyl_prim[yi], prim)
+        uv = jnp.where(is_y[..., None], uv_y, uv)
+
     out = dict()
     if scene.crv_seg_p0.shape[0] > 0 and "crv" in res:
         # curve hit expansion (ref Curves::intersectionInfo,
@@ -722,6 +863,7 @@ def _init_state(scene, settings, pixel, sample_idx, seed, detach):
     state = dict(
         o=o, d=d,
         t=res["t"], tri=res["tri"], sph=res["sph"], crv=res["crv"],
+        dsk=res["dsk"], cyl=res["cyl"],
         u=res["u"], v=res["v"], hit=res["hit"],
         throughput=jnp.ones((R, 3)),
         emission=jnp.zeros((R, 3)),
@@ -1192,6 +1334,7 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
         out = dict(
             o=o2, d=d2,
             t=res["t"], tri=res["tri"], sph=res["sph"], crv=res["crv"],
+            dsk=res["dsk"], cyl=res["cyl"],
             u=res["u"], v=res["v"], hit=res["hit"] & alive2,
             throughput=throughput,
             emission=emission,

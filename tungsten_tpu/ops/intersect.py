@@ -135,6 +135,8 @@ def bvh_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
         res["t"] = jnp.where(better, ct, res["t"])
         res["tri"] = jnp.where(better, -1, res["tri"])
         res["sph"] = jnp.where(better, -1, res["sph"])
+        res["dsk"] = jnp.where(better, -1, res["dsk"])
+        res["cyl"] = jnp.where(better, -1, res["cyl"])
         res["u"] = jnp.where(better, cu, res["u"])
         res["v"] = jnp.where(better, cv, res["v"])
         res["hit"] = res["hit"] | chit
@@ -288,17 +290,16 @@ def _curve_traverse(scene, o, d, t_min, t_max, any_hit: bool):
     return best
 
 
-def _tri_sph_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
-    """Triangle-BVH + analytic-sphere traversal (no curves)."""
+def _analytic_prims(scene, o, d, t_min, t_max):
+    """Dense tests against every analytic primitive (spheres, disks,
+    cylinders — counts are tiny).  Returns (best_t, sph, dsk, cyl)
+    winner channels, each -1 where that type did not win."""
     R = o.shape[0]
-    num_nodes = scene.bvh_meta.shape[0]
-    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d >= 0, 1e-20, -1e-20), d)
-    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
-    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
-
-    # --- spheres first (dense; S is tiny) ---
     best_t = t_max
     best_sph = jnp.full((R,), -1, jnp.int32)
+    best_dsk = jnp.full((R,), -1, jnp.int32)
+    best_cyl = jnp.full((R,), -1, jnp.int32)
+
     S = scene.sph_radius.shape[0]
     if S > 0:
         hs, ts = ray_sphere(
@@ -313,14 +314,101 @@ def _tri_sph_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
         best_t = jnp.where(got, tk, best_t)
         best_sph = jnp.where(got, k.astype(jnp.int32), best_sph)
 
+    dsk_r = getattr(scene, "dsk_r", None)
+    D = dsk_r.shape[0] if dsk_r is not None else 0
+    if D > 0:
+        # world-space plane test (ref Disk.cpp:64-87)
+        nd = jnp.sum(d[:, None, :] * scene.dsk_n[None], -1)     # (R, D)
+        nd = jnp.where(jnp.abs(nd) < 1e-12,
+                       jnp.where(nd >= 0, 1e-12, -1e-12), nd)
+        tp = jnp.sum((scene.dsk_c[None] - o[:, None, :])
+                     * scene.dsk_n[None], -1) / nd
+        q = o[:, None, :] + tp[..., None] * d[:, None, :]
+        vq = q - scene.dsk_c[None]
+        r_sq = jnp.sum(vq * vq, -1)
+        ok = (tp > t_min[:, None]) & (tp < best_t[:, None]) & \
+            (r_sq <= (scene.dsk_r * scene.dsk_r)[None])
+        ts = jnp.where(ok, tp, INF)
+        k = jnp.argmin(ts, axis=1)
+        tk = jnp.take_along_axis(ts, k[:, None], axis=1)[:, 0]
+        got = tk < best_t
+        best_t = jnp.where(got, tk, best_t)
+        best_dsk = jnp.where(got, k.astype(jnp.int32), best_dsk)
+        best_sph = jnp.where(got, -1, best_sph)
+
+    cyl_r = getattr(scene, "cyl_r", None)
+    Y = cyl_r.shape[0] if cyl_r is not None else 0
+    if Y > 0:
+        # local-space caps + quadric side (ref Cylinder.cpp:56-109).
+        # pLocal = rot^T (o - pos); xz scaled by 1/r -> unit circle
+        rel = o[:, None, :] - scene.cyl_pos[None]               # (R, Y, 3)
+        pl = jnp.einsum("ryi,yij->ryj", rel, scene.cyl_rot)
+        dl = jnp.einsum("ri,yij->ryj", d, scene.cyl_rot)
+        inv_r = 1.0 / jnp.maximum(scene.cyl_r, 1e-20)[None]     # (1, Y)
+        px, py, pz = pl[..., 0] * inv_r, pl[..., 1], pl[..., 2] * inv_r
+        dx, dy, dz = dl[..., 0] * inv_r, dl[..., 1], dl[..., 2] * inv_r
+        hh = scene.cyl_hh[None]
+        tbest = jnp.broadcast_to(best_t[:, None], px.shape)
+        found = jnp.zeros(px.shape, bool)
+        # caps
+        dy_s = jnp.where(jnp.abs(dy) < 1e-6,
+                         jnp.where(dy >= 0, 1e-6, -1e-6), dy)
+        for sign in (1.0, -1.0):
+            tc = (sign * hh - py) / dy_s
+            cx = px + tc * dx
+            cz = pz + tc * dz
+            okc = scene.cyl_capped[None] & (jnp.abs(dy) > 1e-6) & \
+                (tc > t_min[:, None]) & (tc < tbest) & \
+                (cx * cx + cz * cz < 1.0)
+            tbest = jnp.where(okc, tc, tbest)
+            found = found | okc
+        # side quadric in the scaled xz plane
+        A = dx * dx + dz * dz
+        B = px * dx + pz * dz
+        C = px * px + pz * pz - 1.0
+        det_sq = B * B - A * C
+        det = jnp.sqrt(jnp.maximum(det_sq, 0.0))
+        A_s = jnp.maximum(A, 1e-20)
+        for sign in (1.0, -1.0):
+            tq = (-B - sign * det) / A_s
+            h = py + dy * tq
+            okq = (det_sq >= 0.0) & (tq > t_min[:, None]) & (tq < tbest) \
+                & (h >= -hh) & (h <= hh)
+            tbest = jnp.where(okq, tq, tbest)
+            found = found | okq
+        ts = jnp.where(found, tbest, INF)
+        k = jnp.argmin(ts, axis=1)
+        tk = jnp.take_along_axis(ts, k[:, None], axis=1)[:, 0]
+        got = tk < best_t
+        best_t = jnp.where(got, tk, best_t)
+        best_cyl = jnp.where(got, k.astype(jnp.int32), best_cyl)
+        best_sph = jnp.where(got, -1, best_sph)
+        best_dsk = jnp.where(got, -1, best_dsk)
+
+    return best_t, best_sph, best_dsk, best_cyl
+
+
+def _tri_sph_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
+    """Triangle-BVH + analytic-primitive traversal (no curves)."""
+    R = o.shape[0]
+    num_nodes = scene.bvh_meta.shape[0]
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d >= 0, 1e-20, -1e-20), d)
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+
+    # --- analytic primitives first (dense; counts are tiny) ---
+    best_t, best_sph, best_dsk, best_cyl = _analytic_prims(
+        scene, o, d, t_min, t_max)
+
     if scene.tri_v0.shape[0] == 0:
-        hit = best_sph >= 0
-        return dict(t=best_t, tri=jnp.full((R,), -1, jnp.int32), sph=best_sph,
+        hit = (best_sph >= 0) | (best_dsk >= 0) | (best_cyl >= 0)
+        return dict(t=best_t, tri=jnp.full((R,), -1, jnp.int32),
+                    sph=best_sph, dsk=best_dsk, cyl=best_cyl,
                     u=jnp.zeros((R,)), v=jnp.zeros((R,)), hit=hit)
 
     if USE_PALLAS:
-        return _wave_dispatch(scene, o, d, t_min, best_t, best_sph,
-                              any_hit)
+        return _wave_dispatch(scene, o, d, t_min, best_t,
+                              (best_sph, best_dsk, best_cyl), any_hit)
 
     # Several traversal steps are unrolled per while_loop iteration: this
     # backend has high fixed cost per loop iteration, so trading a few
@@ -380,8 +468,11 @@ def _tri_sph_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
 
     got_tri = tri >= 0
     sph = jnp.where(got_tri, -1, best_sph)
-    hit = got_tri | (sph >= 0)
-    return dict(t=t, tri=tri, sph=sph, u=u, v=v, hit=hit)
+    dsk = jnp.where(got_tri, -1, best_dsk)
+    cyl = jnp.where(got_tri, -1, best_cyl)
+    hit = got_tri | (sph >= 0) | (dsk >= 0) | (cyl >= 0)
+    return dict(t=t, tri=tri, sph=sph, dsk=dsk, cyl=cyl, u=u, v=v,
+                hit=hit)
 
 
 def _sort_for_wave(scene, o, d, t_min=None, t_max=None):
@@ -452,7 +543,7 @@ def _sort_for_wave(scene, o, d, t_min=None, t_max=None):
     return o_srt, d_srt, tmin_v, tmax_v, order
 
 
-def _wave_dispatch(scene, o, d, t_min, best_t, best_sph, any_hit):
+def _wave_dispatch(scene, o, d, t_min, best_t, best_ana, any_hit):
     """Sort + pad rays and run the Pallas wave-traversal kernel
     (ops/wave_trace.py), then scatter results back to submission
     order."""
@@ -490,15 +581,19 @@ def _wave_dispatch(scene, o, d, t_min, best_t, best_sph, any_hit):
             is_stable=False)
     else:
         t, tri, u, v = t[:R], tri[:R], u[:R], v[:R]
+    best_sph, best_dsk, best_cyl = best_ana
     got_tri = tri >= 0
     sph = jnp.where(got_tri, -1, best_sph)
+    dsk = jnp.where(got_tri, -1, best_dsk)
+    cyl = jnp.where(got_tri, -1, best_cyl)
+    hit = got_tri | (sph >= 0) | (dsk >= 0) | (cyl >= 0)
     if any_hit:
         # occlusion: a triangle hit anywhere on the segment counts;
         # t from the kernel is a sentinel, keep best_t for callers
-        return dict(t=best_t, tri=tri, sph=sph, u=u, v=v,
-                    hit=got_tri | (sph >= 0))
+        return dict(t=best_t, tri=tri, sph=sph, dsk=dsk, cyl=cyl,
+                    u=u, v=v, hit=hit)
     return dict(t=jnp.where(got_tri, t, best_t), tri=tri, sph=sph,
-                u=u, v=v, hit=got_tri | (sph >= 0))
+                dsk=dsk, cyl=cyl, u=u, v=v, hit=hit)
 
 
 

@@ -30,6 +30,8 @@ LIGHT_AREA = 0
 LIGHT_INFINITE = 1
 LIGHT_CAP = 2
 LIGHT_POINT = 3
+LIGHT_DISK = 4       # analytic disk emitter (ref Disk::sampleDirect)
+LIGHT_CYLINDER = 5   # analytic cylinder emitter (ref Cylinder::sampleDirect)
 
 def _lt_slot_of_tri(lt_tri_l, num_tris):
     """Reverse map: global triangle id -> its alias-table slot."""
@@ -104,6 +106,20 @@ class FlatScene:
     sph_center: Any     # (S,3)
     sph_radius: Any     # (S,)
     sph_prim: Any       # (S,) i32
+    # --- analytic disks / cylinders (ref Disk.cpp:64-87 /
+    # Cylinder.cpp:56-109: exact plane/quadric tests, not the previous
+    # triangulated proxies whose silhouettes were polygonal) ---
+    dsk_c: Any          # (D,3) center
+    dsk_n: Any          # (D,3) unit normal
+    dsk_r: Any          # (D,) radius (ref: max xz scale, unit radius 1)
+    dsk_cos: Any        # (D,) cos(cone_angle) visibility gate
+    dsk_prim: Any       # (D,) i32
+    cyl_pos: Any        # (Y,3) center
+    cyl_rot: Any        # (Y,3,3) local->world rotation (orthonormal)
+    cyl_r: Any          # (Y,) radius = 0.5 * max xz scale
+    cyl_hh: Any         # (Y,) half height = 0.5 * y scale
+    cyl_capped: Any     # (Y,) bool
+    cyl_prim: Any       # (Y,) i32
     # --- curves (ref src/core/primitives/Curves.cpp): quadratic B-spline
     # segments, pre-subdivided into linear "pieces" for the TPU-friendly
     # branchless leaf test; the segment table keeps the exact spline for
@@ -151,6 +167,7 @@ class FlatScene:
     # --- lights ---
     light_type: Any     # (L,) i32
     light_prim: Any     # (L,) i32
+    light_slot: Any     # (L,) i32 analytic-table row (disk/cyl lights)
     light_emission: Any  # (L,3) constant emission (area lights)
     lt_prob: Any        # (S,) f32 flat per-light triangle alias tables
     lt_alias: Any       # (S,) i32 alias slot (light-local index)
@@ -234,6 +251,8 @@ class RenderSettings:
     has_media: bool = False
     num_caps: int = 0
     has_points: bool = False
+    has_disk_lights: bool = False  # analytic disk emitters present
+    has_cyl_lights: bool = False   # analytic cylinder emitters present
     has_curves: bool = False
     curve_modes: tuple = ()  # CURVE_MODE_* values present in the scene
     med_kinds: tuple = ()    # medium kinds present (grid.MED_*)
@@ -899,6 +918,8 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
     geom = _GeomAccum()
     curve_segs = []  # per-curves-prim dicts of segment arrays
     spheres_c, spheres_r, spheres_p = [], [], []
+    disks = dict(c=[], n=[], r=[], cos=[], prim=[])
+    cyls = dict(pos=[], rot=[], r=[], hh=[], capped=[], prim=[])
     prim_int_med, prim_ext_med = [], []
     prim_bsdf, prim_emission_tex = [], []
     prim_power: dict[int, np.ndarray] = {}
@@ -979,17 +1000,30 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
             verts, uvs, normals, tris = _cube_tris(m)
             geom.add_tris(verts, uvs, normals, tris, prim_id)
         elif ptype == "disk":
-            # Triangulated approximation (analytic disk TODO).
-            segs = 64
-            ang = np.linspace(0, 2 * np.pi, segs, endpoint=False)
-            local = np.stack([0.5 * np.cos(ang), np.zeros(segs), 0.5 * np.sin(ang)], axis=1)
-            local = np.concatenate([[[0, 0, 0]], local])
-            world = xform.transform_points(m, local).astype(np.float32)
+            # Analytic disk (ref Disk.cpp:315-327 prepareForRender:
+            # center = T*0, radius = max xz scale of a UNIT-radius disk,
+            # normal = T*(0,1,0); Disk.cpp:64-87 world-space plane test)
+            center = xform.transform_point(m, [0, 0, 0])
+            sv = xform.transform_vectors(m, [[1, 0, 0], [0, 0, 1]])
+            r = float(max(np.linalg.norm(sv[0]), np.linalg.norm(sv[1])))
             n = xform.transform_normals(m, [[0, 1, 0]])[0]
             n = (n / max(np.linalg.norm(n), 1e-30)).astype(np.float32)
-            tris = np.array([[0, 1 + (i + 1) % segs, 1 + i] for i in range(segs)], np.int32)
-            uvs = np.zeros((segs + 1, 2), np.float32)
-            geom.add_tris(world, uvs, np.repeat(n[None], segs + 1, 0), tris, prim_id)
+            cone = float(prim.get("cone_angle", 90.0))
+            disks["c"].append(np.asarray(center, np.float32))
+            disks["n"].append(n)
+            disks["r"].append(r)
+            disks["cos"].append(np.cos(np.deg2rad(cone)))
+            disks["prim"].append(prim_id)
+            if etex >= 0 and samplable:
+                lights.append({"type": LIGHT_DISK, "prim": prim_id,
+                               "tex": etex, "slot": len(disks["r"]) - 1})
+                light_tri_ranges.append((tri_start, tri_start))
+            if prim_id in prim_power:
+                # powerToRadianceFactor = INV_PI / area (Disk.cpp:40-43)
+                textures.const[etex] = (
+                    prim_power.pop(prim_id)
+                    / (np.pi * max(np.pi * r * r, 1e-20))
+                ).astype(np.float32)
         elif ptype == "sphere":
             center = xform.transform_point(m, [0, 0, 0])
             radius = float(np.linalg.norm(xform.transform_vectors(m, [[1, 0, 0]])[0]))
@@ -997,31 +1031,36 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
             spheres_r.append(radius)
             spheres_p.append(prim_id)
         elif ptype == "cylinder":
-            # y-aligned unit cylinder (radius 1, half-height 1 in local
-            # space, ref Cylinder.cpp:56-81), triangulated tube + caps
-            segs = 64
+            # Analytic y-aligned cylinder (ref Cylinder.cpp:288-303
+            # prepareForRender: rot = extractRotation, radius = 0.5 *
+            # max xz scale, halfHeight = 0.5 * y scale; Cylinder.cpp:
+            # 56-109 local-space cap + quadric tests)
             capped = bool(prim.get("capped", True))
-            ang = np.linspace(0, 2 * np.pi, segs, endpoint=False)
-            ring = np.stack([np.cos(ang), np.zeros(segs), np.sin(ang)], 1)
-            local_v = np.concatenate([ring + [0, -1, 0], ring + [0, 1, 0],
-                                      [[0, -1, 0], [0, 1, 0]]])
-            world = xform.transform_points(m, local_v).astype(np.float32)
-            nrm_local = np.concatenate([ring, ring,
-                                        [[0, -1, 0], [0, 1, 0]]])
-            nrm = xform.transform_normals(m, nrm_local).astype(np.float32)
-            nrm /= np.maximum(
-                np.linalg.norm(nrm, axis=1, keepdims=True), 1e-30)
-            tris = []
-            for i in range(segs):
-                j = (i + 1) % segs
-                tris.append((i, segs + i, segs + j))
-                tris.append((i, segs + j, j))
-                if capped:
-                    tris.append((2 * segs, j, i))
-                    tris.append((2 * segs + 1, segs + i, segs + j))
-            uvs = np.zeros((len(local_v), 2), np.float32)
-            geom.add_tris(world, uvs, nrm, np.asarray(tris, np.int32),
-                          prim_id)
+            pos = np.asarray(xform.transform_point(m, [0, 0, 0]),
+                             np.float32)
+            cols = xform.transform_vectors(
+                m, [[1, 0, 0], [0, 1, 0], [0, 0, 1]])
+            scale = np.linalg.norm(cols, axis=-1)
+            rot = (np.asarray(cols).T
+                   / np.maximum(scale[None, :], 1e-30)).astype(np.float32)
+            r = float(0.5 * max(scale[0], scale[2]))
+            hh = float(0.5 * scale[1])
+            cyls["pos"].append(pos)
+            cyls["rot"].append(rot)
+            cyls["r"].append(r)
+            cyls["hh"].append(hh)
+            cyls["capped"].append(capped)
+            cyls["prim"].append(prim_id)
+            area = (2.0 * np.pi * r * r if capped else 0.0) \
+                + 2.0 * np.pi * r * 2.0 * hh
+            if etex >= 0 and samplable:
+                lights.append({"type": LIGHT_CYLINDER, "prim": prim_id,
+                               "tex": etex, "slot": len(cyls["r"]) - 1})
+                light_tri_ranges.append((tri_start, tri_start))
+            if prim_id in prim_power:
+                textures.const[etex] = (
+                    prim_power.pop(prim_id)
+                    / (np.pi * max(area, 1e-20))).astype(np.float32)
         elif ptype == "mesh":
             mesh = mesh_io.load_mesh(desc.resolve_path(prim["file"]))
             if bool(prim.get("recompute_normals", False)) or not np.any(mesh.normal):
@@ -1100,7 +1139,8 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
             raise NotImplementedError(f"primitive type not yet supported: {ptype}")
 
         tri_end = geom.count()
-        if etex >= 0 and samplable and ptype != "infinite_sphere":
+        if etex >= 0 and samplable and ptype not in (
+                "infinite_sphere", "disk", "cylinder"):
             lights.append({"type": LIGHT_AREA, "prim": prim_id, "tex": etex})
             light_tri_ranges.append((tri_start, tri_end))
 
@@ -1150,6 +1190,7 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
     light_lum = np.zeros(max(L, 1), np.float32)
     light_tri_off = np.zeros(max(L, 1), np.int32)
     light_tri_cnt = np.zeros(max(L, 1), np.int32)
+    light_slot = np.full(max(L, 1), -1, np.int32)
     lt_prob_l, lt_alias_l, lt_tri_l = [], [], []
     prim_light = np.full(max(num_prims, 1), -1, np.int32)
 
@@ -1164,6 +1205,31 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
             power / (np.pi * max(area, 1e-20))).astype(np.float32)
 
     for li, (light, (t0, t1)) in enumerate(zip(lights, light_tri_ranges)):
+        if light["type"] in (LIGHT_DISK, LIGHT_CYLINDER):
+            # analytic emitters: area + bounding sphere from the
+            # primitive tables, no triangle alias rows
+            slot = light["slot"]
+            light_type[li] = light["type"]
+            light_prim[li] = light["prim"]
+            light_slot[li] = slot
+            light_emission[li] = textures.const[light["tex"]]
+            light_tri_off[li] = sum(len(x) for x in lt_tri_l)
+            light_tri_cnt[li] = 0
+            if light["type"] == LIGHT_DISK:
+                r = disks["r"][slot]
+                light_area[li] = np.pi * r * r
+                light_bsr[li, :3] = disks["c"][slot]
+                light_bsr[li, 3] = r
+            else:
+                r, hh = cyls["r"][slot], cyls["hh"][slot]
+                light_area[li] = (2.0 * np.pi * r * r
+                                  if cyls["capped"][slot] else 0.0) \
+                    + 2.0 * np.pi * r * 2.0 * hh
+                light_bsr[li, :3] = cyls["pos"][slot]
+                light_bsr[li, 3] = np.sqrt(r * r + hh * hh)
+            light_lum[li] = float(np.max(textures.const[light["tex"]]))
+            prim_light[light["prim"]] = li
+            continue
         # triangles of this prim (they were permuted; select by prim id)
         ids = np.nonzero(tri_prim == light["prim"])[0]
         areas = tri_area[ids]
@@ -1308,6 +1374,8 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         has_media=num_media > 0,
         num_caps=len(caps),
         has_points=len(points) > 0,
+        has_disk_lights=any(lt["type"] == LIGHT_DISK for lt in lights),
+        has_cyl_lights=any(lt["type"] == LIGHT_CYLINDER for lt in lights),
         med_kinds=tuple(sorted(set(med_kind))),
         voxel_integration=voxel_integration,
         voxel_sampling=voxel_sampling,
@@ -1349,6 +1417,17 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         sph_center=dev(np.asarray(spheres_c, np.float32).reshape(-1, 3)),
         sph_radius=dev(np.asarray(spheres_r, np.float32)),
         sph_prim=dev(np.asarray(spheres_p, np.int32)),
+        dsk_c=dev(np.asarray(disks["c"], np.float32).reshape(-1, 3)),
+        dsk_n=dev(np.asarray(disks["n"], np.float32).reshape(-1, 3)),
+        dsk_r=dev(np.asarray(disks["r"], np.float32)),
+        dsk_cos=dev(np.asarray(disks["cos"], np.float32)),
+        dsk_prim=dev(np.asarray(disks["prim"], np.int32)),
+        cyl_pos=dev(np.asarray(cyls["pos"], np.float32).reshape(-1, 3)),
+        cyl_rot=dev(np.asarray(cyls["rot"], np.float32).reshape(-1, 3, 3)),
+        cyl_r=dev(np.asarray(cyls["r"], np.float32)),
+        cyl_hh=dev(np.asarray(cyls["hh"], np.float32)),
+        cyl_capped=dev(np.asarray(cyls["capped"], bool)),
+        cyl_prim=dev(np.asarray(cyls["prim"], np.int32)),
         **{k: dev(v) for k, v in _build_curve_tables(curve_segs).items()},
         **{k: dev(v) for k, v in _stack_hair_tables(fiber_tables).items()},
         prim_bsdf=dev(np.asarray(prim_bsdf, np.int32)),
@@ -1362,6 +1441,7 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         tex_params=dev(tex_params), tex_bitmap_id=dev(tex_bitmap_id),
         bitmaps=tuple(bitmaps),
         light_type=dev(light_type), light_prim=dev(light_prim),
+        light_slot=dev(light_slot),
         light_emission=dev(light_emission), light_area=dev(light_area),
         light_aux=dev(light_aux), light_bsr=dev(light_bsr),
         light_lum=dev(light_lum),
