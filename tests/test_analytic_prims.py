@@ -138,6 +138,23 @@ def test_disk_light_nee_consistency():
     np.testing.assert_allclose(m_n, m_b, rtol=0.08)
 
 
+def test_sphere_light_nee_consistency():
+    # cone-sampled sphere emitter (ref Sphere::sampleDirect): NEE vs
+    # brute-force emitter-hit estimator must agree
+    scene, settings = _scene([
+        {"type": "quad", "bsdf_index": 0,
+         "transform": {"position": [0, 0, 0], "scale": 20.0}},
+        {"type": "sphere", "bsdf_index": 0, "emission": [20.0, 16.0, 12.0],
+         "transform": {"position": [0.4, 2.2, 0.3], "scale": 0.5}},
+    ])
+    assert settings.has_sphere_lights and settings.num_lights == 1
+    nee = _render_direct(scene, settings, 48, True)
+    brute = _render_direct(scene, settings, 768, False)
+    m_n, m_b = nee.mean(axis=(0, 1)), brute.mean(axis=(0, 1))
+    assert m_b.mean() > 1e-4
+    np.testing.assert_allclose(m_n, m_b, rtol=0.08)
+
+
 def test_cylinder_light_nee_consistency():
     scene, settings = _scene([
         {"type": "quad", "bsdf_index": 0,

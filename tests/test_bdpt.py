@@ -137,3 +137,39 @@ def test_bdpt_env_escape_matches_pt():
     assert np.isfinite(img_bdpt).all()
     ratio = img_bdpt.mean() / max(img_pt.mean(), 1e-9)
     assert 0.85 < ratio < 1.18, f"bdpt/pt env ratio {ratio}"
+
+
+def test_bdpt_heterogeneous_media_matches_pt():
+    """Heterogeneous (exponential falloff) medium: BDPT's subpath
+    distance sampling inverts the unit optical depth and connection
+    edges integrate tau along the density field — must agree with the
+    forward volumetric PT on the same scene."""
+    from tungsten_tpu.scene.parse import SceneDesc
+    from tungsten_tpu.scene.flatten import flatten_scene
+    desc = SceneDesc(
+        path="/tmp/het_bdpt.json", json={},
+        bsdfs=[{"type": "lambert", "albedo": 0.6}],
+        primitives=[
+            {"type": "quad", "bsdf_index": 0,
+             "transform": {"position": [0, -1.0, 0], "scale": 6.0}},
+            {"type": "quad", "bsdf_index": 0, "emission": [8.0] * 3,
+             "transform": {"position": [0, 2.5, 0], "scale": 1.5,
+                           "rotation": [0, 0, 180]}},
+        ],
+        media=[{"type": "exponential", "falloff_scale": 1.1,
+                "unit_point": [0.0, -1.0, 0.0],
+                "falloff_direction": [0.0, 1.0, 0.0],
+                "sigma_a": 0.1, "sigma_s": 0.45}],
+        camera={"type": "pinhole", "resolution": [24, 16], "fov": 70,
+                "medium": 0,
+                "transform": {"position": [0, 0.4, 3.2],
+                              "look_at": [0, 0.2, 0]}},
+        integrator={"type": "path_tracer", "max_bounces": 3},
+        renderer={"spp": 1})
+    scene, settings = flatten_scene(desc)
+    me = 3
+    s = replace(settings, width=24, height=16, max_bounces=me)
+    pt = render(scene, s, spp=192, spp_chunk=64)
+    bd = _bdpt_image_scene(scene, s, 64, me + 1, me)
+    rel = np.abs(bd.mean((0, 1)) - pt.mean((0, 1))) / pt.mean((0, 1))
+    assert rel.max() < 0.07, (bd.mean((0, 1)), pt.mean((0, 1)))

@@ -110,11 +110,47 @@ _CUBE_BV = [[3, 3, 4, 5, 3, 3], [3, 2, 0, 1, 3, 3],
             [3, 3, 4, 5, 3, 3], [3, 3, 4, 5, 3, 3]]
 
 
+def sample_aperture(scene, settings, u3, u4, u5):
+    """Thinlens lens-plane position (R,3) in camera-local space,
+    importance-sampled from the aperture shape (ref ThinlensCamera::
+    samplePosition).  Default = uniform disk (DiskTexture); with a
+    bitmap aperture, alias-table texel pick (u5) + in-texel jitter —
+    sampling is proportional to the texture so the sample weight is 1."""
+    if settings.aperture_tex:
+        nt = scene.cam_ap_prob.shape[0]
+        x = u5 * nt
+        idx = jnp.minimum(x.astype(jnp.int32), nt - 1)
+        f = x - idx
+        keep = f < scene.cam_ap_prob[idx]
+        texel = jnp.where(keep, idx, scene.cam_ap_alias[idx])
+        w_ap = scene.cam_ap_hw[1]
+        row = texel // w_ap
+        col = texel - row * w_ap
+        ax = ((col + u3) / w_ap) * 2.0 - 1.0
+        ay = 1.0 - ((row + u4) / scene.cam_ap_hw[0]) * 2.0
+        return jnp.stack([ax, ay, jnp.zeros_like(ax)],
+                         axis=-1) * settings.aperture_size
+    r = jnp.sqrt(u3) * settings.aperture_size
+    phi = u4 * (2.0 * jnp.pi)
+    return jnp.stack([jnp.cos(phi) * r, jnp.sin(phi) * r,
+                      jnp.zeros_like(r)], axis=-1)
+
+
 def generate_rays(scene, settings, pixel, sample_idx, seed):
-    """pixel (R,) linear index, sample_idx (R,) -> (o (R,3), d (R,3)).
+    """pixel (R,) linear index, sample_idx (R,) -> (o (R,3), d (R,3))."""
+    o, d, _ = generate_rays_w(scene, settings, pixel, sample_idx, seed)
+    return o, d
+
+
+def generate_rays_w(scene, settings, pixel, sample_idx, seed):
+    """pixel (R,) linear index, sample_idx (R,) -> (o, d, weight (R,)).
 
     The subpixel offset is addressed by (pixel, sample) through the
-    counter RNG so any sharding generates identical rays.
+    counter RNG so any sharding generates identical rays.  `weight` is
+    1 except for thinlens cat-eye-vignetted samples (weight 0 — the
+    reference's sampleDirection returns false and the sample counts
+    black, ThinlensCamera.cpp:118-123); aperture-texture lens samples
+    are importance-sampled so their weight stays 1.
     """
     w = settings.width
     px = (pixel % w).astype(jnp.float32)
@@ -134,7 +170,7 @@ def generate_rays(scene, settings, pixel, sample_idx, seed):
                            jnp.sin(phi) * sin_t], axis=-1)
         d = local @ scene.cam_mat[:3, :3].T
         o = jnp.broadcast_to(scene.cam_mat[:3, 3], d.shape)
-        return o, d
+        return o, d, jnp.ones(d.shape[:1])
 
     if settings.camera_type == "cubemap":
         mode = _CUBE_MODES.get(getattr(settings, "cubemap_mode",
@@ -163,7 +199,7 @@ def generate_rays(scene, settings, pixel, sample_idx, seed):
         # dead zones of the cross layouts get a degenerate ray that
         # cannot hit anything (t_max handling zeroes it out downstream)
         d = jnp.where(ok[:, None], d, jnp.asarray([0.0, 1.0, 0.0]))
-        return o, d
+        return o, d, jnp.ones(d.shape[:1])
 
     inv_w = 1.0 / w
     # aspect ratio follows the *render* resolution (ref Camera::precompute
@@ -174,27 +210,34 @@ def generate_rays(scene, settings, pixel, sample_idx, seed):
     lz = jnp.broadcast_to(scene.cam_plane_dist, lx.shape)
 
     if settings.camera_type == "thinlens":
-        # ref ThinlensCamera::sampleDirection: aperture-disk lens position,
+        # ref ThinlensCamera::sampleDirection: aperture lens position,
         # direction through the focus plane
         u3, u4 = rng.random_2d(seed, pixel, sample_idx, rng.DIM_CAMERA + 2)
-        r = jnp.sqrt(u3) * settings.aperture_size
-        phi = u4 * (2.0 * jnp.pi)
-        lens = jnp.stack([jnp.cos(phi) * r, jnp.sin(phi) * r,
-                          jnp.zeros_like(r)], axis=-1)
+        u5 = rng.random_1d(seed ^ jnp.uint32(0xA9E27),
+                           pixel, sample_idx, rng.DIM_CAMERA + 2)
+        lens = sample_aperture(scene, settings, u3, u4, u5)
         plane = jnp.stack([lx, ly, lz], axis=-1)
         plane = plane * (settings.focus_distance / plane[..., 2:3])
         local = plane - lens
         local = local / jnp.linalg.norm(local, axis=-1, keepdims=True)
+        w = jnp.ones(local.shape[:1])
+        if settings.cat_eye > 0.0:
+            # cat-eye bokeh vignetting (ref ThinlensCamera.cpp:118-123):
+            # project the lens point onto the virtual diaphragm plane
+            # along the ray; outside the aperture radius -> black
+            dia = lens[..., :2] - settings.cat_eye * scene.cam_plane_dist                 * local[..., :2] / jnp.maximum(local[..., 2:3], 1e-9)
+            inside = jnp.sum(dia * dia, axis=-1) <=                 settings.aperture_size ** 2
+            w = jnp.where(inside, w, 0.0)
         d = local @ scene.cam_mat[:3, :3].T
         o = lens @ scene.cam_mat[:3, :3].T + scene.cam_mat[:3, 3]
-        return o, d
+        return o, d, w
 
     local = jnp.stack([lx, ly, lz], axis=-1)
     local = local / jnp.linalg.norm(local, axis=-1, keepdims=True)
 
     d = local @ scene.cam_mat[:3, :3].T
     o = jnp.broadcast_to(scene.cam_mat[:3, 3], d.shape)
-    return o, d
+    return o, d, jnp.ones(d.shape[:1])
 
 
 def tonemap(name: str, c):

@@ -28,8 +28,12 @@ LightPath.cpp:32-180):
   * Dirac (specular) vertices are excluded from the connectable set;
     medium vertices are connectable (no Dirac phase functions).
 
-Media scope: homogeneous media (the volumetric-caustic fixture);
-heterogeneous grids are treated by their homogeneous sigma values.
+Media scope: homogeneous AND heterogeneous media.  Subpath walks
+distance-sample heterogeneous densities by inverting the unit optical
+depth (GR.inverse_unit_tau — the same machinery as the forward
+tracer's ref VoxelMedium::sampleDistance parity), and connection edges
+integrate their transmittance/pdfs along the actual density field
+(GR.unit_tau); event pdfs carry the local density factor.
 Envmap radiance enters through camera-subpath escapes (s'=0, weight 1 —
 light subpaths never root on the env, so no other strategy samples
 these paths); the env is not yet a sampled connection strategy.
@@ -46,6 +50,7 @@ from tungsten_tpu.cameras.camera import generate_rays
 from tungsten_tpu.integrators.path_tracer import (
     EPSILON, INF, _expand_hit, _has_forward_types, _hit_prim, _hit_uv_bsdf,
     _select_medium, shading_frame)
+from tungsten_tpu.media import grid as GR
 from tungsten_tpu.media import phase as PH
 from tungsten_tpu.media import transmittance as TR
 from tungsten_tpu.ops.intersect import bvh_intersect, occluded
@@ -102,10 +107,29 @@ def _medium_segment(scene, settings, med, med_first, o, d, max_t,
     comp = jnp.minimum((u_c * 3).astype(jnp.int32), 2)
     sigma_tc = jnp.take_along_axis(sigma_t, comp[..., None], axis=-1)[..., 0]
     t_law = TR.sample_distance(tt, tp, med_first, u_d, u_e)
-    t_m = t_law / jnp.maximum(sigma_tc, 1e-20)
-    exited = (t_m >= max_t) | absorb_only
-    t_used = jnp.where(exited, max_t, t_m)
-    tau = sigma_t * jnp.where(jnp.isfinite(t_used), t_used, 3e38)[..., None]
+    het = any(k != GR.MED_HOMOGENEOUS for k in settings.med_kinds)
+    if het:
+        # heterogeneous: invert the unit optical depth along the actual
+        # density field (ref VoxelMedium/ExponentialMedium::
+        # sampleDistance) — same structure as the forward path tracer
+        tau_c = t_law / jnp.maximum(sigma_tc, 1e-20)
+        t_m, rho, tau_tot = GR.inverse_unit_tau(
+            scene, settings, mi, o, d, max_t, tau_c)
+        exited = (t_m >= max_t) | absorb_only
+        ut_used = jnp.where(exited, tau_tot, tau_c)
+        rho_e = jnp.where(exited, 1.0, rho)
+        t_used = jnp.minimum(jnp.where(absorb_only, max_t, t_m), max_t)
+        tau = sigma_t * ut_used[..., None]
+        # density at the segment START (the reverse pdf's event factor)
+        rho0 = GR.density(scene, settings, mi, o)
+    else:
+        t_m = t_law / jnp.maximum(sigma_tc, 1e-20)
+        exited = (t_m >= max_t) | absorb_only
+        t_used = jnp.where(exited, max_t, t_m)
+        tau = sigma_t * jnp.where(jnp.isfinite(t_used), t_used,
+                                  3e38)[..., None]
+        rho_e = 1.0
+        rho0 = 1.0
 
     ones = jnp.ones((R,), bool)
     zeros = jnp.zeros((R,), bool)
@@ -113,19 +137,22 @@ def _medium_segment(scene, settings, med, med_first, o, d, max_t,
     w_exit = TR.eval_tr(tt, tau, tp, med_first, ones)
     p_exit = jnp.mean(TR.surface_probability(tt, tau, tp, med_first), axis=-1)
     tr_med = TR.eval_tr(tt, tau, tp, med_first, zeros)
-    w_scat = tr_med * sigma_s * sbar[..., None]
-    p_scat = jnp.mean(sigma_t * TR.medium_pdf(tt, tau, tp, med_first),
-                      axis=-1)
+    w_scat = tr_med * (rho_e[..., None] if het else 1.0) * sigma_s \
+        * sbar[..., None]
+    p_scat = jnp.mean((rho_e[..., None] if het else 1.0) * sigma_t
+                      * TR.medium_pdf(tt, tau, tp, med_first), axis=-1)
     w = jnp.where(exited[..., None], w_exit, w_scat) / jnp.maximum(
         jnp.where(exited, p_exit, p_scat), 1e-20)[..., None]
     w = jnp.where(absorb_only[..., None], w_exit, w)
     pf = jnp.where(exited, p_exit, p_scat)
     pf = jnp.where(absorb_only, 1.0, pf)
-    # backward: reverse ray starts at the sampled endpoint
+    # backward: reverse ray starts at the sampled endpoint; its event
+    # density factor sits at the segment start (rho0 for heterogeneous)
     pb = jnp.where(start_surf,
                    jnp.mean(TR.surface_probability(tt, tau, tp, exited),
                             axis=-1),
-                   jnp.mean(sigma_t * TR.medium_pdf(tt, tau, tp, exited),
+                   jnp.mean((rho0[..., None] if het else 1.0) * sigma_t
+                            * TR.medium_pdf(tt, tau, tp, exited),
                             axis=-1))
     pb = jnp.where(absorb_only, 1.0, pb)
     w = jnp.where(jnp.isfinite(w), w, 0.0)
@@ -139,32 +166,52 @@ def _medium_segment(scene, settings, med, med_first, o, d, max_t,
     )
 
 
-def _medium_pdf_dir(scene, settings, med, seg_len, start_surf, end_surf):
+def _seg_unit_tau(scene, settings, mi, o, d, seg_len):
+    """∫ rho dt over the segment: the heterogeneous generalization of
+    seg_len (rho = 1 for homogeneous media).  o/d None -> homogeneous."""
+    het = any(k != GR.MED_HOMOGENEOUS for k in settings.med_kinds)
+    if het and o is not None:
+        return GR.unit_tau(scene, settings, mi, o, d, seg_len)
+    return jnp.where(jnp.isfinite(seg_len), seg_len, 3e38)
+
+
+def _medium_pdf_dir(scene, settings, med, seg_len, start_surf, end_surf,
+                    o=None, d=None, rho_end=None):
     """Channel-averaged medium distance pdf of a full segment in ONE
-    direction (ref HomogeneousMedium::pdf): surfaceProbability when the
-    segment ends on a surface, sigma_t*mediumPdf when it ends at a medium
-    vertex.  start_surf drives the non-exponential laws."""
+    direction (ref HomogeneousMedium::pdf / VoxelMedium::pdf):
+    surfaceProbability when the segment ends on a surface,
+    rho_end*sigma_t*mediumPdf when it ends at a medium vertex.
+    start_surf drives the non-exponential laws.  With o/d given,
+    heterogeneous media integrate tau along the actual density field;
+    rho_end is the density at the medium endpoint (1 if None)."""
     mi = jnp.clip(med, 0, scene.med_sigma_a.shape[0] - 1)
     sigma_s = scene.med_sigma_s[mi]
     sigma_t = scene.med_sigma_a[mi] + sigma_s
     absorb_only = jnp.max(sigma_s, axis=-1) == 0.0
     tt = scene.med_trans_type[mi]
     tp = scene.med_trans_params[mi]
-    tau = sigma_t * jnp.where(jnp.isfinite(seg_len), seg_len, 3e38)[..., None]
+    ut = _seg_unit_tau(scene, settings, mi, o, d, seg_len)
+    tau = sigma_t * ut[..., None]
     p_surf = jnp.mean(TR.surface_probability(tt, tau, tp, start_surf),
                       axis=-1)
-    p_med = jnp.mean(sigma_t * TR.medium_pdf(tt, tau, tp, start_surf),
+    rho_f = 1.0 if rho_end is None else rho_end
+    p_med = jnp.mean(rho_f * sigma_t * TR.medium_pdf(tt, tau, tp,
+                                                     start_surf),
                      axis=-1)
     p = jnp.where(end_surf, p_surf, p_med)
     p = jnp.where(absorb_only, 1.0, p)
     return jnp.where(med >= 0, p, 1.0)
 
 
-def _medium_tr_seg(scene, settings, med, seg_len, start_surf, end_surf):
-    """Transmittance of a homogeneous segment (R,3)."""
+def _medium_tr_seg(scene, settings, med, seg_len, start_surf, end_surf,
+                   o=None, d=None):
+    """Transmittance of a medium segment (R,3); heterogeneous media
+    integrate the density along [o, o + d*seg_len] when o/d are given
+    (ref VoxelMedium::transmittance via the unit-tau machinery)."""
     mi = jnp.clip(med, 0, scene.med_sigma_a.shape[0] - 1)
     sigma_t = scene.med_sigma_a[mi] + scene.med_sigma_s[mi]
-    tau = sigma_t * jnp.where(jnp.isfinite(seg_len), seg_len, 3e38)[..., None]
+    ut = _seg_unit_tau(scene, settings, mi, o, d, seg_len)
+    tau = sigma_t * ut[..., None]
     tr = TR.eval_tr(scene.med_trans_type[mi], tau, scene.med_trans_params[mi],
                     start_surf, end_surf)
     tr = jnp.where(jnp.isfinite(tr), tr, 0.0)
@@ -212,11 +259,14 @@ def _connection_walk(scene, settings, o, d, dist, med, start_surf, end_surf,
         if settings.has_media:
             seg_end_surf = did_hit | end_surf
             seg_tr = _medium_tr_seg(scene, settings, s["med"], seg,
-                                    s["start_surf"], seg_end_surf)
+                                    s["start_surf"], seg_end_surf,
+                                    o=s["o"], d=d)
             seg_pf = _medium_pdf_dir(scene, settings, s["med"], seg,
-                                     s["start_surf"], seg_end_surf)
+                                     s["start_surf"], seg_end_surf,
+                                     o=s["o"], d=d)
             seg_pb = _medium_pdf_dir(scene, settings, s["med"], seg,
-                                     seg_end_surf, s["start_surf"])
+                                     seg_end_surf, s["start_surf"],
+                                     o=s["o"], d=d)
             tr = tr * jnp.where(s["active"][..., None], seg_tr, 1.0)
             pf = pf * jnp.where(s["active"], seg_pf, 1.0)
             pb = pb * jnp.where(s["active"], seg_pb, 1.0)
@@ -556,6 +606,20 @@ def _sample_light_root(scene, settings, R, seed, pixel, sample_idx):
         qc, nc = cyl_position_sample(scene, slot, u1, u2, u_tri)
         q = vm.where3(is_cl, qc, q)
         n = vm.where3(is_cl, nc, n)
+    if settings.has_sphere_lights:
+        # uniform point on the sphere (ref Sphere::samplePosition)
+        from tungsten_tpu.scene.flatten import LIGHT_SPHERE
+        is_sl = scene.light_type[li] == LIGHT_SPHERE
+        slot = jnp.clip(scene.light_slot[li], 0,
+                        scene.sph_radius.shape[0] - 1)
+        phi = u1 * 2.0 * jnp.pi
+        z = 2.0 * u2 - 1.0
+        sr = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+        ns_ = jnp.stack([jnp.cos(phi) * sr, jnp.sin(phi) * sr, z], -1)
+        qs = scene.sph_center[slot] + \
+            ns_ * scene.sph_radius[slot][..., None]
+        q = vm.where3(is_sl, qs, q)
+        n = vm.where3(is_sl, ns_, n)
 
     area = scene.light_area[li]
     pdf_a = pick_pdf / jnp.maximum(area, 1e-20)
@@ -595,6 +659,33 @@ def _camera_dir_pdf(scene, settings, d_world):
     plane_area = (2.0 / scene.cam_plane_dist) * \
         (2.0 * ratio / scene.cam_plane_dist)
     return (1.0 / plane_area) / jnp.maximum(cosz ** 3, 1e-9)
+
+
+def _thinlens_pixel(scene, settings, lens_local, d_world):
+    """Map a world direction leaving the thinlens at camera-local lens
+    position `lens_local` into (pixel_idx, valid): focus-plane
+    projection + cat-eye diaphragm gate (ref ThinlensCamera::
+    evalDirection, ThinlensCamera.cpp:150-176)."""
+    local = d_world @ scene.cam_mat[:3, :3]
+    ok = local[..., 2] > 0
+    lz = jnp.maximum(local[..., 2], 1e-9)
+    fp = local * (settings.focus_distance / lz)[..., None] + lens_local
+    fz = jnp.maximum(fp[..., 2], 1e-9)
+    lx = fp[..., 0] / fz * scene.cam_plane_dist
+    ly = fp[..., 1] / fz * scene.cam_plane_dist
+    w, h = settings.width, settings.height
+    ratio = h / w
+    px = (lx + 1.0) * 0.5 * w
+    py = (ratio - ly) * (0.5 * w)
+    ok = ok & (px >= 0) & (px < w) & (py >= 0) & (py < h)
+    if settings.cat_eye > 0.0:
+        dia = lens_local[..., :2] - settings.cat_eye * \
+            scene.cam_plane_dist * local[..., :2] / lz[..., None]
+        ok = ok & (jnp.sum(dia * dia, axis=-1)
+                   <= settings.aperture_size ** 2)
+    pix = jnp.clip(py.astype(jnp.int32), 0, h - 1) * w + \
+        jnp.clip(px.astype(jnp.int32), 0, w - 1)
+    return pix, ok
 
 
 def _camera_pixel(scene, settings, d_world):
@@ -897,13 +988,20 @@ def _connect(scene, settings, cam, lig, root, s, t, R):
 
 
 def _connect_lens(scene, settings, cam, lig, root, s, R, cam_pos,
-                  mis=True):
-    """t=1: connect light vertex s-1 to the pinhole lens; returns
+                  mis=True, lens_rng=None):
+    """t=1: connect light vertex s-1 to the lens; returns
     (pixel, value, ok) for splatting.  The camera root is forced
     connectable in its own strategy (ref misWeight's override).
     mis=False gives the plain light-tracing estimator (every lens
     connection at weight 1 — ref LightTracer.cpp:12-88, which has no
-    competing strategies).  Ref LightPath::bdptCameraConnect."""
+    competing strategies).  Ref LightPath::bdptCameraConnect.
+
+    Thinlens cameras (ref ThinlensCamera::sampleDirect): the connection
+    endpoint is a SAMPLED aperture point (per strategy, via lens_rng =
+    (seed, pixel, sample_idx)); the pixel mapping projects through the
+    focus plane and the cat-eye diaphragm gates the connection.  The
+    lens position is importance-sampled from the aperture shape, so no
+    extra weight factor appears (samplePosition.weight = 1)."""
     if s == 1:
         pl = root["q"]
         nl_ = root["n"]
@@ -925,12 +1023,28 @@ def _connect_lens(scene, settings, cam, lig, root, s, R, cam_pos,
         orig_l = lig["orig"][:, si]
         med_l = None
 
-    dvec = jnp.broadcast_to(cam_pos, (R, 3)) - pl
+    thinlens = settings.camera_type == "thinlens" and lens_rng is not None
+    if thinlens:
+        seed_l, pix_l, samp_l = lens_rng
+        from tungsten_tpu.cameras.camera import sample_aperture
+        # per-strategy decorrelated aperture sample (dim keyed by s)
+        u3, u4 = rng.random_2d(seed_l ^ jnp.uint32(0x7E15C0DE), pix_l,
+                               samp_l, 3 * s)
+        u5 = rng.random_1d(seed_l ^ jnp.uint32(0x7E15C0DE), pix_l,
+                           samp_l, 3 * s + 2)
+        lens_local = sample_aperture(scene, settings, u3, u4, u5)
+        cam_point = lens_local @ scene.cam_mat[:3, :3].T + cam_pos
+    else:
+        cam_point = jnp.broadcast_to(cam_pos, (R, 3))
+    dvec = cam_point - pl
     r2 = jnp.sum(dvec * dvec, axis=-1)
     dist = jnp.sqrt(jnp.maximum(r2, 1e-20))
     dw = dvec / dist[..., None]  # light vertex -> camera
 
-    pix, in_frame = _camera_pixel(scene, settings, -dw)
+    if thinlens:
+        pix, in_frame = _thinlens_pixel(scene, settings, lens_local, -dw)
+    else:
+        pix, in_frame = _camera_pixel(scene, settings, -dw)
     pdf_dir = _camera_dir_pdf(scene, settings, -dw)
     cos_l = jnp.sum(dw * nl_, axis=-1)
 
@@ -1003,12 +1117,15 @@ def trace_bdpt(scene, settings, pixel, sample_idx, seed, max_vertices=8,
     ME = max_edges if max_edges is not None else 2 * NV
 
     # ---- camera subpath ----
-    o, d = generate_rays(scene, settings, pixel, sample_idx, seed)
+    from tungsten_tpu.cameras.camera import generate_rays_w
+    o, d, cam_w = generate_rays_w(scene, settings, pixel, sample_idx, seed)
     cam_pos = scene.cam_mat[:3, 3]
     pdf_cam_dir = _camera_dir_pdf(scene, settings, d)
     cam_med0 = jnp.broadcast_to(scene.cam_medium, (R,)).astype(jnp.int32) \
         if settings.has_media else None
-    cam = _trace_subpath(scene, settings, o, d, jnp.ones((R, 3)), False,
+    cam = _trace_subpath(scene, settings, o, d,
+                         jnp.broadcast_to(cam_w[..., None], (R, 3)) * 1.0,
+                         False,
                          seed, pixel, sample_idx, rng.DIMS_CAMERA, NV,
                          pdf_cam_dir, jnp.broadcast_to(
                              scene.cam_mat[:3, 2], (R, 3)),
@@ -1142,7 +1259,8 @@ def trace_bdpt(scene, settings, pixel, sample_idx, seed, max_vertices=8,
             continue
         rays = rays + jnp.sum(lig["valid"][:, s - 1].astype(jnp.int32))
         pixv, val, ok = _connect_lens(scene, settings, cam, lig, root, s, R,
-                                      cam_pos)
+                                      cam_pos,
+                                      lens_rng=(seed, pixel, sample_idx))
         splat_pix.append(jnp.where(ok, pixv, 0))
         splat_val.append(jnp.where(ok[..., None], val, 0.0))
 
@@ -1180,7 +1298,8 @@ def trace_light(scene, settings, pixel, sample_idx, seed, max_vertices=8,
             continue
         rays = rays + jnp.sum(lig["valid"][:, s - 1].astype(jnp.int32))
         pixv, val, ok = _connect_lens(scene, settings, None, lig, root, s,
-                                      R, cam_pos, mis=False)
+                                      R, cam_pos, mis=False,
+                                      lens_rng=(seed, pixel, sample_idx))
         splat_pix.append(jnp.where(ok, pixv, 0))
         splat_val.append(jnp.where(ok[..., None], val, 0.0))
     return jnp.concatenate(splat_pix), jnp.concatenate(splat_val), rays

@@ -55,7 +55,7 @@ def env_pdf(scene, d):
     # BitmapTexture::pdf (src/core/textures/BitmapTexture.cpp:452-455)
     row = jnp.clip(((1.0 - uv[..., 1]) * h).astype(jnp.int32), 0, h - 1)
     col = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
-    tex_pdf = scene.env_alias[row * w + col, 2]  # one packed gather
+    tex_pdf = scene.env_pdf_tab[row * w + col]  # one narrow gather
     return jnp.where(
         sin_t > 1e-8,
         INV_PI * INV_TWO_PI * tex_pdf / jnp.maximum(sin_t, 1e-8),
@@ -93,7 +93,9 @@ def env_sample(scene, u1, u2):
     uv = jnp.stack([(col + u1) / w, 1.0 - (row + ry) / h], axis=-1)
     # NOTE ref flips v in BitmapTexture::sample; uvToDirection takes uv as-is
     d, sin_t = env_uv_to_direction(scene, uv)
-    tex_pdf = scene.env_alias[texel, 2]
+    # the cell gather already carries both candidate pdfs ([2] = self,
+    # [3] = alias target) — no second 512k-row gather
+    tex_pdf = jnp.where(keep, cell[..., 2], cell[..., 3])
     pdf = jnp.where(sin_t > 1e-8,
                     INV_PI * INV_TWO_PI * tex_pdf / jnp.maximum(sin_t, 1e-8),
                     0.0)
@@ -161,9 +163,10 @@ def _choose_light_weights(scene, settings, p):
     w_point = INV_FOUR_PI * scene.light_lum[None, :nl] / \
         jnp.maximum(jnp.sum(pvec * pvec, axis=-1), 1e-12)
     # env / cap: position-independent, baked into light_lum at flatten
-    from tungsten_tpu.scene.flatten import LIGHT_CYLINDER, LIGHT_DISK
+    from tungsten_tpu.scene.flatten import (LIGHT_CYLINDER, LIGHT_DISK,
+                                            LIGHT_SPHERE)
     area_like = jnp.isin(lt, jnp.asarray(
-        [LIGHT_AREA, LIGHT_DISK, LIGHT_CYLINDER]))
+        [LIGHT_AREA, LIGHT_DISK, LIGHT_CYLINDER, LIGHT_SPHERE]))
     w = jnp.where(area_like[None, :], w_area,
                   jnp.where(lt[None, :] == LIGHT_POINT, w_point,
                             scene.light_lum[None, :nl]))
@@ -239,16 +242,75 @@ def area_light_sample(scene, light_idx, p, u_tri, u1, u2):
     return dict(d=d, dist=dist, pdf=pdf, emission=emission, valid=valid)
 
 
-def area_light_direct_pdf(scene, light_idx, hit_t, d, hit_normal):
+def area_light_direct_pdf(scene, light_idx, hit_t, d, hit_normal,
+                          p=None, has_sphere_lights=False):
     """Solid-angle pdf that sampling light `light_idx` would have produced
     the given hit (for MIS of the bsdf strategy).
-    Matches Quad::directPdf r^2/(cos * area)."""
+    Matches Quad::directPdf r^2/(cos * area); analytic disks/cylinders
+    use the same conversion.  Sphere emitters use the cone pdf
+    (Sphere::directPdf) — pass the shading point `p` when the scene has
+    sphere lights."""
     cos_theta = -jnp.sum(d * hit_normal, axis=-1)
     area = scene.light_area[light_idx]
-    return jnp.where(
+    pdf = jnp.where(
         cos_theta > 1e-6,
         hit_t * hit_t / jnp.maximum(cos_theta * area, 1e-20),
         0.0)
+    if has_sphere_lights and p is not None:
+        from tungsten_tpu.scene.flatten import LIGHT_SPHERE
+        pdf = jnp.where(scene.light_type[light_idx] == LIGHT_SPHERE,
+                        sphere_light_direct_pdf(scene, light_idx, p), pdf)
+    return pdf
+
+
+# ------------------------------------------------- analytic sphere emitter
+
+def sphere_light_sample(scene, light_idx, p, u1, u2):
+    """Cone sampling toward the sphere's subtended spherical cap (ref
+    Sphere::sampleDirect, Sphere.cpp:173-194): uniform direction within
+    cos(theta_max) = sqrt(d^2 - r^2)/d, distance = nearest quadric root,
+    pdf = uniformSphericalCapPdf.  Invalid for points inside the
+    sphere.  Returns dict(d, dist, pdf, emission, valid)."""
+    slot = jnp.clip(scene.light_slot[light_idx], 0,
+                    scene.sph_radius.shape[0] - 1)
+    c = scene.sph_center[slot]
+    r = scene.sph_radius[slot]
+    Lv = c - p
+    d2 = jnp.sum(Lv * Lv, axis=-1)
+    dist_c = jnp.sqrt(jnp.maximum(d2, 1e-20))
+    C = d2 - r * r
+    outside = C > 0.0
+    cos_max = jnp.sqrt(jnp.maximum(C, 0.0)) / dist_c
+    ln = Lv / dist_c[..., None]
+    # uniform direction in the cap around ln
+    phi = u1 * 2.0 * jnp.pi
+    z = 1.0 + u2 * (cos_max - 1.0)
+    sr = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    from tungsten_tpu.utils.vecmath import ortho_frame, to_global
+    t, b = ortho_frame(ln)
+    d = to_global(t, b, ln, jnp.stack(
+        [jnp.cos(phi) * sr, jnp.sin(phi) * sr, z], axis=-1))
+    B = dist_c * z
+    det = jnp.sqrt(jnp.maximum(B * B - C, 0.0))
+    dist = B - det
+    pdf = INV_TWO_PI / jnp.maximum(1.0 - cos_max, 1e-9)
+    valid = outside & (dist > 0.0)
+    return dict(d=d, dist=dist, pdf=pdf,
+                emission=scene.light_emission[light_idx], valid=valid)
+
+
+def sphere_light_direct_pdf(scene, light_idx, p):
+    """Sphere::directPdf: the cap pdf as seen from p (independent of the
+    hit point)."""
+    slot = jnp.clip(scene.light_slot[light_idx], 0,
+                    scene.sph_radius.shape[0] - 1)
+    c = scene.sph_center[slot]
+    r = scene.sph_radius[slot]
+    Lv = c - p
+    d2 = jnp.sum(Lv * Lv, axis=-1)
+    cos_max = jnp.sqrt(jnp.maximum(d2 - r * r, 0.0)) / \
+        jnp.sqrt(jnp.maximum(d2, 1e-20))
+    return INV_TWO_PI / jnp.maximum(1.0 - cos_max, 1e-9)
 
 
 # ------------------------------------------------- analytic disk / cylinder

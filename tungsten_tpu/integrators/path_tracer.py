@@ -131,6 +131,12 @@ def _hit_ng(scene, res, o=None, d=None):
         ng = jnp.cross(scene.tri_e1[tri], scene.tri_e2[tri])
         ng = ng / jnp.maximum(
             jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
+    if o is not None and scene.sph_radius.shape[0] > 0 and "sph" in res:
+        si = jnp.clip(res["sph"], 0, scene.sph_radius.shape[0] - 1)
+        ps = o + d * res["t"][..., None]
+        ng_s = (ps - scene.sph_center[si]) / jnp.maximum(
+            scene.sph_radius[si][..., None], 1e-20)
+        ng = vm.where3(res["sph"] >= 0, ng_s, ng)
     if o is not None and getattr(scene, "dsk_r", None) is not None \
             and scene.dsk_r.shape[0] > 0 and "dsk" in res:
         di = jnp.clip(res["dsk"], 0, scene.dsk_r.shape[0] - 1)
@@ -407,7 +413,16 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
                            bounce_dim_base + rng.BounceDims.LIGHT_SAMPLE)
     u_tri = rng.random_1d(seed, pixel, sample_idx,
                           bounce_dim_base + rng.BounceDims.LIGHT_TRI)
-    a = L.area_light_sample(scene, li, p, u_tri, u1, u2)
+    if getattr(settings, "has_area_lights", True):
+        a = L.area_light_sample(scene, li, p, u_tri, u1, u2)
+    else:
+        # every light in the scene is env/cap/point/analytic — skip the
+        # triangle alias machinery (its ~6 random gathers per bounce
+        # are pure waste here; round-5 glue profile)
+        z = jnp.zeros((R,))
+        a = dict(d=jnp.zeros((R, 3)).at[:, 2].set(1.0), dist=z, pdf=z,
+                 emission=jnp.zeros((R, 3)),
+                 valid=jnp.zeros((R,), bool))
 
     if settings.has_env:
         ed, erad, epdf = L.env_sample(scene, u1, u2)
@@ -458,9 +473,17 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
         pdf = jnp.where(is_cl, cl["pdf"], pdf)
         emis = jnp.where(is_cl[..., None], cl["emission"], emis)
         valid = jnp.where(is_cl, cl["valid"], valid)
+    if settings.has_sphere_lights:
+        from tungsten_tpu.scene.flatten import LIGHT_SPHERE
+        is_sl = ltype == LIGHT_SPHERE
+        sl = L.sphere_light_sample(scene, li, p, u1, u2)
+        d = vm.where3(is_sl, sl["d"], d)
+        dist = jnp.where(is_sl, sl["dist"], dist)
+        pdf = jnp.where(is_sl, sl["pdf"], pdf)
+        emis = jnp.where(is_sl[..., None], sl["emission"], emis)
+        valid = jnp.where(is_sl, sl["valid"], valid)
 
-    f, _ = eval_f_pdf(d)
-    _, pdf_counter = eval_f_pdf(d)
+    f, pdf_counter = eval_f_pdf(d)
     do_shadow = valid & (jnp.max(f, axis=-1) > 0.0) & (pdf > 1e-20)
     gate = ctx.get("gate")
     if gate is not None:
@@ -468,7 +491,9 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
 
     from tungsten_tpu.scene.flatten import LIGHT_CYLINDER as _LCY
     from tungsten_tpu.scene.flatten import LIGHT_DISK as _LDK
-    surface_light = jnp.isin(ltype, jnp.asarray([LIGHT_AREA, _LDK, _LCY]))
+    from tungsten_tpu.scene.flatten import LIGHT_SPHERE as _LSP
+    surface_light = jnp.isin(ltype,
+                             jnp.asarray([LIGHT_AREA, _LDK, _LCY, _LSP]))
     endcap = jnp.where(surface_light, scene.light_prim[li], -2)
     shadow_o = p + d * EPSILON
 
@@ -617,7 +642,9 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
     # inf and would poison gradients through the untaken where-branch)
     nb = _hit_ng(scene, res_b, p + wd * EPSILON, wd)
     hit_t = jnp.where(res_b["hit"], res_b["t"], 1.0)
-    lpdf_area = L.area_light_direct_pdf(scene, li, hit_t, wd, nb)
+    lpdf_area = L.area_light_direct_pdf(
+        scene, li, hit_t, wd, nb, p=p,
+        has_sphere_lights=settings.has_sphere_lights)
     front = jnp.sum(wd * nb, axis=-1) < 0.0
     hit_light_area = surface_light & res_b["hit"] & \
         (hit_prim == scene.light_prim[li]) & front
@@ -687,17 +714,20 @@ def _expand_hit(scene, o, d, res):
 
     if scene.tri_v0.shape[0] > 0:
         tri = jnp.clip(res["tri"], 0, scene.tri_v0.shape[0] - 1)
-        e1 = scene.tri_e1[tri]
-        e2 = scene.tri_e2[tri]
+        # ONE packed gather row [e1, e2, n0, n1, n2, uv0, uv1, uv2]
+        # instead of eight table gathers (round-5 glue profile)
+        row = scene.tri_shade[tri]
+        e1 = row[..., 0:3]
+        e2 = row[..., 3:6]
         ng_tri = jnp.cross(e1, e2)
         ng_tri = ng_tri / jnp.maximum(
             jnp.linalg.norm(ng_tri, axis=-1, keepdims=True), 1e-20)
         w = 1.0 - u - v
-        ns_tri = scene.tri_n0[tri] * w + scene.tri_n1[tri] * u + scene.tri_n2[tri] * v
+        ns_tri = row[..., 6:9] * w + row[..., 9:12] * u + row[..., 12:15] * v
         ns_len = jnp.linalg.norm(ns_tri, axis=-1, keepdims=True)
         ns_tri = jnp.where(ns_len > 1e-6, ns_tri / jnp.maximum(ns_len, 1e-20), ng_tri)
-        uv_tri = (scene.tri_uv0[tri] * w + scene.tri_uv1[tri] * u
-                  + scene.tri_uv2[tri] * v)
+        uv_tri = (row[..., 15:17] * w + row[..., 17:19] * u
+                  + row[..., 19:21] * v)
         prim_tri = scene.tri_prim[tri]
     else:
         ng_tri = ns_tri = jnp.broadcast_to(
@@ -856,7 +886,8 @@ def shading_frame(settings, info, ns):
 
 def _init_state(scene, settings, pixel, sample_idx, seed, detach):
     R = pixel.shape[0]
-    o, d = generate_rays(scene, settings, pixel, sample_idx, seed)
+    from tungsten_tpu.cameras.camera import generate_rays_w
+    o, d, cam_w = generate_rays_w(scene, settings, pixel, sample_idx, seed)
     res = bvh_intersect(scene, o, d, 0.0, INF)
     if detach:
         res = _detach(res)
@@ -865,10 +896,10 @@ def _init_state(scene, settings, pixel, sample_idx, seed, detach):
         t=res["t"], tri=res["tri"], sph=res["sph"], crv=res["crv"],
         dsk=res["dsk"], cyl=res["cyl"],
         u=res["u"], v=res["v"], hit=res["hit"],
-        throughput=jnp.ones((R, 3)),
+        throughput=jnp.broadcast_to(cam_w[..., None], (R, 3)) * 1.0,
         emission=jnp.zeros((R, 3)),
         was_specular=jnp.ones((R,), bool),
-        alive=jnp.ones((R,), bool),
+        alive=cam_w > 0.0,
         bounce=jnp.int32(0),
         rays=jnp.int32(R),  # primary rays already traced
         pixel=pixel, sample=sample_idx,
@@ -1199,8 +1230,9 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
             # weight vs the NEE density toward this hit; guard cases
             # (specular / unsamplable / light sampling off) keep full
             # credit exactly as the reference's emitter-hit guard
-            lpdf = L.area_light_direct_pdf(scene, li, s["t"], s["d"],
-                                           info["ng"]) * \
+            lpdf = L.area_light_direct_pdf(
+                scene, li, s["t"], s["d"], info["ng"], p=s["o"],
+                has_sphere_lights=settings.has_sphere_lights) * \
                 _light_select_pmf(scene, settings, s["o"], li)
             w_emit = jnp.where(guard, 1.0,
                                L.power_heuristic(s["pdf_fwd"], lpdf))

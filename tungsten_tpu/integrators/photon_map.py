@@ -812,11 +812,12 @@ def plane_pass(scene, settings, pgrid, pixel, sample_idx, seed):
     """Standalone plane-map camera pass (primary rays), mirroring
     beam_pass."""
     R = pixel.shape[0]
-    o, d = generate_rays(scene, settings, pixel, sample_idx, seed)
+    from tungsten_tpu.cameras.camera import generate_rays_w
+    o, d, cam_w = generate_rays_w(scene, settings, pixel, sample_idx, seed)
     res = bvh_intersect(scene, o, d, 0.0, INF)
     diag = jnp.linalg.norm(scene.bvh_max[0] - scene.bvh_min[0])
     t1 = jnp.where(res["hit"], res["t"], diag * 1.5)
-    return _plane_eval(scene, settings, pgrid, o, d, t1)
+    return _plane_eval(scene, settings, pgrid, o, d, t1) * cam_w[..., None]
 
 
 # ------------------------------------------------------------ camera pass
@@ -898,10 +899,12 @@ def gather_pass(scene, settings, grid, radius, pixel, sample_idx, seed,
     Returns (radiance (R,3), rays traced — measured alive walks per
     bounce, not an upper bound)."""
     R = pixel.shape[0]
-    o, d = generate_rays(scene, settings, pixel, sample_idx, seed)
+    from tungsten_tpu.cameras.camera import generate_rays_w
+    o, d, cam_w = generate_rays_w(scene, settings, pixel, sample_idx, seed)
 
     state = dict(
-        o=o, d=d, thr=jnp.ones((R, 3)), result=jnp.zeros((R, 3)),
+        o=o, d=d, thr=jnp.broadcast_to(cam_w[..., None], (R, 3)) * 1.0,
+        result=jnp.zeros((R, 3)),
         alive=jnp.ones((R,), bool), stopped=jnp.zeros((R,), bool),
         bounce=jnp.zeros((R,), jnp.int32), nrays=jnp.int32(0),
         med=jnp.full((R,), scene.cam_medium, jnp.int32),
@@ -1049,11 +1052,13 @@ def beam_pass(scene, settings, bgrid, vradius, pixel, sample_idx, seed):
     fusing the 27x16-tap beam scan into the camera-walk graph measured
     pathological XLA:CPU compile times."""
     R = pixel.shape[0]
-    o, d = generate_rays(scene, settings, pixel, sample_idx, seed)
+    from tungsten_tpu.cameras.camera import generate_rays_w
+    o, d, cam_w = generate_rays_w(scene, settings, pixel, sample_idx, seed)
     res = bvh_intersect(scene, o, d, 0.0, INF)
     diag = jnp.linalg.norm(scene.bvh_max[0] - scene.bvh_min[0])
     t1 = jnp.where(res["hit"], res["t"], diag * 1.5)
-    return _beam_eval(scene, settings, bgrid, vradius, o, d, t1)
+    return _beam_eval(scene, settings, bgrid, vradius, o, d, t1) \
+        * cam_w[..., None]
 
 
 def ppm_gamma(iteration: int, alpha: float) -> float:

@@ -91,16 +91,23 @@ SORT_RAYS = True
 
 
 def enable_pallas_if_suitable(scene) -> bool:
-    """Turn the Pallas wave traversal on when running on a TPU backend
-    and the cluster tables fit comfortably in VMEM (~12 MB budget)."""
+    """Turn the Pallas wave traversal on when running on a TPU backend:
+    scenes whose cluster tables fit in VMEM (~12 MB) take the RESIDENT
+    kernel; larger scenes take the PAGED kernel (tables stream through
+    VMEM per 256-cluster page, wave_trace.wave_intersect_paged) — no
+    more silent fallback to the slow XLA gather loop."""
     global USE_PALLAS
     import jax
     try:
         platform = jax.devices()[0].platform
     except Exception:
         platform = "cpu"
-    size = scene.wk_attr.size * 4
-    USE_PALLAS = platform != "cpu" and size < 13 * 1024 * 1024
+    if platform == "cpu":
+        USE_PALLAS = False
+    elif scene.wk_attr.size * 4 < 13 * 1024 * 1024:
+        USE_PALLAS = True
+    else:
+        USE_PALLAS = "paged"
     return USE_PALLAS
 
 
@@ -119,6 +126,20 @@ def bvh_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
       crv (R,) [curve segment id, -1 otherwise], u, v (R,), hit (R,)
       bool.  For curve hits u = spline parameter, v = azimuthal coord.
     """
+    # clip every ray's far limit at the exit of the scene-wide occluder
+    # bounding box: no geometry exists past it, so INF rays (env shadow
+    # rays, continuations) become SHORT rays and the traversal's
+    # interval culls tighten to the populated region.  Escape semantics
+    # are unchanged — `hit` comes from the winner channels, not t.
+    if getattr(scene, "geo_lo", None) is not None:
+        safe_d = jnp.where(jnp.abs(d) < 1e-20,
+                           jnp.where(d >= 0, 1e-20, -1e-20), d)
+        tx = jnp.maximum((scene.geo_lo - o) / safe_d,
+                         (scene.geo_hi - o) / safe_d)
+        exit_t = jnp.maximum(jnp.min(tx, axis=-1), 0.0) * 1.0001 + 1e-4
+        t_max = jnp.minimum(
+            jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                             exit_t.shape), exit_t)
     res = _tri_sph_intersect(scene, o, d, t_min, t_max, any_hit)
     R = o.shape[0]
     crv = jnp.full((R,), -1, jnp.int32)
@@ -547,7 +568,8 @@ def _wave_dispatch(scene, o, d, t_min, best_t, best_ana, any_hit):
     """Sort + pad rays and run the Pallas wave-traversal kernel
     (ops/wave_trace.py), then scatter results back to submission
     order."""
-    from tungsten_tpu.ops.wave_trace import BLOCK, wave_intersect
+    from tungsten_tpu.ops.wave_trace import (BLOCK, wave_intersect,
+                                             wave_intersect_paged)
     R = o.shape[0]
     if SORT_RAYS:
         o_s, d_s, tmin_s, tmax_s, order = _sort_for_wave(
@@ -567,7 +589,9 @@ def _wave_dispatch(scene, o, d, t_min, best_t, best_ana, any_hit):
     # sampling, interior derivatives only) — cut the tape at the
     # kernel inputs so AD never tries to linearize pallas_call
     sg = jax.lax.stop_gradient
-    t, tri, u, v = wave_intersect(
+    kern = wave_intersect_paged if USE_PALLAS == "paged" \
+        else wave_intersect
+    t, tri, u, v = kern(
         sg(scene.wk_boxes), sg(scene.wk_cbox), sg(scene.wk_attr),
         scene.wk_remap, sg(scene.wk_sbox), sg(o_s), sg(d_s),
         sg(tmin_s), sg(tmax_s),

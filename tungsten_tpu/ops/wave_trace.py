@@ -78,9 +78,12 @@ FCOLS = 16          # ray feature columns: o d m 1 tmin tmax invd pad
 INF = 3.0e38
 NPINF = np.float32(3.0e38)
 BIGI = 1 << 30
-# VMEM budget for the resident tables; larger scenes fall back to the
-# XLA traversal (ops/intersect.py)
+# VMEM budget for the resident tables; larger scenes run the PAGED
+# variant (cluster tables stream through VMEM page by page via
+# scalar-prefetched block indices — see wave_intersect_paged)
 VMEM_TABLE_BUDGET = 12 * 1024 * 1024
+PAGE_SUP = 16                      # supers per streamed page
+PAGE_CLUSTERS = PAGE_SUP * SUP     # 256 clusters = 2 MB bf16 attr pair
 
 
 # --------------------------------------------------------------- host build
@@ -596,6 +599,429 @@ def _make_kernel(ncp: int, nsp: int, any_hit: bool, debug_phase: int = 2,
             tri_ref[0:1, col] = tri_v
 
     return kernel
+
+
+# ----------------------------------------------------- paged (streaming)
+
+def _cull_paged(o, d, tmin_c, tmax_c, sbox, G, n_pages):
+    """Phase A for the PAGED kernel: the same subwarp-interval cull as
+    _cull_sorted_supers, but per-warp pending lists sorted by
+    (page, entry) plus per-(warp, page-slot) index ranges and a compact
+    per-block page list.
+
+    Returns (pages (G, S) i32 block page list — ascending, padded by
+    repeating the last needed page so pad slots cost no DMA;
+    sent (G, 8, NSp) f32; sids (G, 8, NSp) i32;
+    offs/offe (G, 8, S) i32 slot ranges — empty on pad slots)."""
+    nsp = sbox.shape[1]
+    ns = o.shape[0] // SUBWARP
+    # --- identical cull math to _cull_sorted_supers ---
+    live = (tmax_c > 0.0).reshape(ns, SUBWARP, 1)
+    od = jnp.concatenate([o, d], axis=1).reshape(ns, SUBWARP, 6)
+    lo = jnp.min(jnp.where(live, od, INF), axis=1)
+    hi = jnp.max(jnp.where(live, od, -INF), axis=1)
+    tmin_s = jnp.min(jnp.where(live[..., 0],
+                               tmin_c.reshape(ns, SUBWARP), INF), axis=1)
+    tmax_s = jnp.max(jnp.where(live[..., 0],
+                               tmax_c.reshape(ns, SUBWARP), -INF), axis=1)
+    any_live = jnp.any(live[..., 0], axis=1)
+    tn = jnp.broadcast_to(tmin_s[:, None], (ns, nsp))
+    tf = jnp.broadcast_to(jnp.minimum(tmax_s, 1e37)[:, None], (ns, nsp))
+    for ax in range(3):
+        lo_row = sbox[ax][None, :]
+        hi_row = sbox[ax + 3][None, :]
+        d0 = lo[:, 3 + ax][:, None]
+        d1 = hi[:, 3 + ax][:, None]
+        same = (d0 > 0.0) | (d1 < 0.0)
+        i0 = 1.0 / jnp.where(same, d1, 1.0)
+        i1 = 1.0 / jnp.where(same, d0, 1.0)
+        n0_lo = lo_row - hi[:, ax][:, None]
+        n1_lo = lo_row - lo[:, ax][:, None]
+        n0_hi = hi_row - hi[:, ax][:, None]
+        n1_hi = hi_row - lo[:, ax][:, None]
+
+        def hull(n0, n1, i0=i0, i1=i1):
+            p = (n0 * i0, n0 * i1, n1 * i0, n1 * i1)
+            return (jnp.minimum(jnp.minimum(p[0], p[1]),
+                                jnp.minimum(p[2], p[3])),
+                    jnp.maximum(jnp.maximum(p[0], p[1]),
+                                jnp.maximum(p[2], p[3])))
+
+        a0_lo, a1_lo = hull(n0_lo, n1_lo)
+        a0_hi, a1_hi = hull(n0_hi, n1_hi)
+        tn = jnp.maximum(tn, jnp.where(same, jnp.minimum(a0_lo, a0_hi),
+                                       -INF))
+        tf = jnp.minimum(tf, jnp.where(same, jnp.maximum(a1_lo, a1_hi),
+                                       INF))
+    pend = (tn <= tf * 1.00000024) & (sbox[9][None, :] > 0.0) & \
+        any_live[:, None]
+    entry = jnp.where(pend, tn, INF)
+    entry_w = entry.reshape(G, 8, WARP // SUBWARP, nsp).min(axis=2)
+    # --- (page, entry) two-key sort ---
+    page_col = (jnp.arange(nsp, dtype=jnp.int32) // PAGE_SUP)[None, None]
+    page_w = jnp.where(entry_w < INF,
+                       jnp.broadcast_to(page_col, entry_w.shape),
+                       jnp.int32(n_pages))           # sentinel: sorts last
+    ids = jnp.broadcast_to(
+        jnp.arange(nsp, dtype=jnp.int32)[None, None, :], entry_w.shape)
+    spage, sent, sids = jax.lax.sort([page_w, entry_w, ids], num_keys=2)
+    # --- per-(warp, PAGE) offsets by batched binary search ---
+    flat_pages = spage.reshape(G * 8, nsp)
+    targets = jnp.arange(n_pages + 1, dtype=jnp.int32)
+    off_pg = jax.vmap(
+        lambda row: jnp.searchsorted(row, targets, side="left"))(
+        flat_pages).reshape(G, 8, n_pages + 1).astype(jnp.int32)
+    # --- block page list (union over warps), compacted ascending ---
+    cnt = off_pg[:, :, 1:] - off_pg[:, :, :-1]       # (G, 8, P)
+    present = jnp.any(cnt > 0, axis=1)               # (G, P)
+    order = jnp.argsort(~present, axis=1, stable=True).astype(jnp.int32)
+    npg = jnp.sum(present, axis=1).astype(jnp.int32)  # (G,)
+    slot = jnp.arange(n_pages, dtype=jnp.int32)[None, :]
+    last = jnp.take_along_axis(
+        order, jnp.maximum(npg - 1, 0)[:, None], axis=1)
+    pages = jnp.where(slot < npg[:, None], order, last)
+    pages = jnp.where((npg == 0)[:, None], 0, pages)  # all-dead block
+    # --- per-slot ranges (empty on pad slots) ---
+    pages_b = jnp.repeat(pages[:, None, :], 8, axis=1)   # (G, 8, S)
+    offs = jnp.take_along_axis(off_pg[:, :, :-1], pages_b, axis=2)
+    offe = jnp.take_along_axis(off_pg[:, :, 1:], pages_b, axis=2)
+    pad = slot[:, :] >= npg[:, None]                 # (G, S)
+    offs = jnp.where(pad[:, None, :], 0, offs)
+    offe = jnp.where(pad[:, None, :], 0, offe)
+    return pages, sent, sids, offs, offe
+
+
+def _make_kernel_paged(ncp: int, nsp: int, n_pages: int, any_hit: bool):
+    nsup = ncp // SUP
+
+    def kernel(pages_ref,                      # (G, S) SMEM (prefetched)
+               ft_ref,                         # (16, 1024) ray features^T
+               sent_ref,                       # (8, NSp) SMEM f32 entries
+               sids_ref,                       # (8, NSp) SMEM i32 ids
+               offs_ref,                       # (8, S) SMEM i32
+               offe_ref,                       # (8, S) SMEM i32
+               cbox_ref,                       # (PAGE_CLUSTERS, 8) VMEM
+               attrh_ref,                      # (PAGE_CLUSTERS*16,128) bf16
+               attrl_ref,
+               res_ref,                        # (8, 1024) f32 rows
+               tri_ref,                        # (8, 1024) i32 row 0
+               b2_ref):                        # (48, 4096) bf16 scratch
+        i = pl.program_id(0)
+        p = pl.program_id(1)
+        page0 = pages_ref[i, p]
+        cl_base = page0 * PAGE_CLUSTERS        # first global cluster here
+
+        tmax_all = jnp.minimum(ft_ref[11:12, :], 1e37)
+
+        @pl.when(p == 0)
+        def _init_out():
+            res_ref[0:1, :] = tmax_all
+            res_ref[1:8, :] = jnp.zeros((7, BLOCK), jnp.float32)
+            tri_ref[:] = jnp.full((8, BLOCK), -1, jnp.int32)
+
+        @pl.when((pl.program_id(0) == 0) & (p == 0))
+        def _init_scratch():
+            b2_ref[:, :] = jnp.zeros((48, 4096), jnp.bfloat16)
+
+        sub_tri = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, WARP), 0)
+
+        for w in range(8):
+            col = slice(w * WARP, (w + 1) * WARP)
+            ftw = ft_ref[:, col]
+            fth = ftw.astype(jnp.bfloat16)
+            ftl = (ftw - fth.astype(jnp.float32)).astype(jnp.bfloat16)
+            f3 = jnp.concatenate([fth, fth, ftl], axis=0)
+            rtmin = ftw[10:11, :]
+            tmax_w = jnp.minimum(ftw[11:12, :], 1e37)
+            live0 = tmax_w > 0.0
+            ox, oy, oz = ftw[0:1, :], ftw[1:2, :], ftw[2:3, :]
+            ix, iy, iz = ftw[12:13, :], ftw[13:14, :], ftw[14:15, :]
+
+            # best-so-far carried ACROSS PAGES in the resident out block
+            tb0 = res_ref[0:1, col]
+            tri0 = tri_ref[0:1, col]
+
+            def warp_bound(tb, live0=live0):
+                if any_hit:
+                    live = live0 & (tb > -1e37)
+                else:
+                    live = live0
+                return jnp.max(jnp.where(live, tb, -INF))
+
+            def quad_leaf(c0, c1, c2, c3, tb, tri_v, f3=f3,
+                          rtmin=rtmin):
+                """Same MXU quad leaf as the resident kernel, with
+                PAGE-LOCAL attr indexing (c* are local cluster slots;
+                packed winner keys carry GLOBAL cluster ids)."""
+                for qi, cid in enumerate((c0, c1, c2, c3)):
+                    base = pl.multiple_of(cid * ATTR_ROWS, ATTR_ROWS)
+                    bh = attrh_ref[pl.ds(base, ATTR_ROWS), :]
+                    bl = attrl_ref[pl.ds(base, ATTR_ROWS), :]
+                    c = qi * 512
+                    for ko, blk in ((0, bh), (16, bl), (32, bh)):
+                        b2_ref[ko + 4:ko + 10, c + 128:c + 256] = blk[0:6, :]
+                        b2_ref[ko + 4:ko + 10, c + 256:c + 384] = blk[6:12, :]
+                        b2_ref[ko + 0:ko + 4, c + 384:c + 512] = blk[12:16, :]
+                        b2_ref[ko + 4:ko + 7, c + 0:c + 128] = -blk[12:15, :]
+
+                s = jax.lax.dot_general(
+                    b2_ref[:, 0:2048], f3,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+                if any_hit:
+                    gotv = jnp.zeros((1, WARP), bool)
+                    for qi in range(4):
+                        q = qi * 512
+                        det = s[q:q + 128, :]
+                        sg = jnp.where(det >= 0.0, 1.0, -1.0)
+                        ad = det * sg
+                        un = s[q + 128:q + 256, :] * sg
+                        vn = s[q + 256:q + 384, :] * sg
+                        tn_ = s[q + 384:q + 512, :] * sg
+                        ok = ((un >= 0.0) & (vn >= 0.0) & (un + vn <= ad)
+                              & (tn_ > rtmin * ad) & (tn_ < tb * ad)
+                              & (ad > 1e-16))
+                        gotv = gotv | jnp.any(ok, axis=0, keepdims=True)
+                    return (jnp.where(gotv, -INF, tb),
+                            jnp.where(gotv, (cl_base + c0) * CLUSTER,
+                                      tri_v))
+
+                tb_key = jax.lax.bitcast_convert_type(tb, jnp.int32)
+                kmin = jnp.full((1, WARP), jnp.int32(0x7F800000))
+                for qi in range(4):
+                    q = qi * 512
+                    det = s[q:q + 128, :]
+                    sg = jnp.where(det >= 0.0, 1.0, -1.0)
+                    ad = det * sg
+                    un = s[q + 128:q + 256, :] * sg
+                    vn = s[q + 256:q + 384, :] * sg
+                    tn_ = s[q + 384:q + 512, :] * sg
+                    ok = ((un >= 0.0) & (vn >= 0.0) & (un + vn <= ad)
+                          & (tn_ > rtmin * ad) & (tn_ < tb * ad)
+                          & (ad > 1e-16))
+                    tc = tn_ / jnp.maximum(ad, 1e-30)
+                    key = jax.lax.bitcast_convert_type(tc, jnp.int32)
+                    key = jnp.where(ok, (key & ~511) | (qi << 7) | sub_tri,
+                                    jnp.int32(0x7F800000))
+                    kmin = jnp.minimum(
+                        kmin, jnp.min(key, axis=0, keepdims=True))
+                got = kmin < tb_key
+                qv = (kmin >> 7) & 3
+                csel = jnp.where(qv == 0, c0,
+                                 jnp.where(qv == 1, c1,
+                                           jnp.where(qv == 2, c2, c3)))
+                t_new = jax.lax.bitcast_convert_type(kmin & ~511,
+                                                     jnp.float32)
+                return (jnp.where(got, t_new, tb),
+                        jnp.where(got,
+                                  (cl_base + csel) * CLUSTER
+                                  + (kmin & 127), tri_v))
+
+            def slab16(sid_local, valid, tb):
+                base = pl.multiple_of(sid_local * SUP, SUP)
+                cb = cbox_ref[pl.ds(base, SUP), :]
+                t0x = (cb[:, 0:1] - ox) * ix
+                t1x = (cb[:, 3:4] - ox) * ix
+                t0y = (cb[:, 1:2] - oy) * iy
+                t1y = (cb[:, 4:5] - oy) * iy
+                t0z = (cb[:, 2:3] - oz) * iz
+                t1z = (cb[:, 5:6] - oz) * iz
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x),
+                                jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), rtmin))
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x),
+                                jnp.maximum(t0y, t1y)),
+                    jnp.minimum(jnp.maximum(t0z, t1z), tb))
+                hit = (tn <= tf * 1.00000024) & (cb[:, 6:7] > 0.0) & live0
+                return jnp.any(hit, axis=1, keepdims=True) & valid
+
+            pw32 = jnp.left_shift(
+                jnp.int32(1),
+                jax.lax.broadcasted_iota(jnp.int32, (2 * SUP, 1), 0))
+
+            def extract(bits):
+                lsb = bits & -bits
+                slot = jnp.int32(0)
+                for sh, mask in ((16, -65536), (8, -16711936),
+                                 (4, -252645136), (2, -858993460),
+                                 (1, -1431655766)):
+                    slot = slot + jnp.where(
+                        (lsb & jnp.int32(mask)) != 0, sh, 0)
+                slot = jnp.where(lsb == 0, -1, slot)
+                return bits & (bits - 1), slot
+
+            ks = offs_ref[w, p]
+            ke = offe_ref[w, p]
+
+            def sup_cond(s, w=w):
+                k, bound, tb, tri_v = s
+                e = sent_ref[w, jnp.minimum(k, nsp - 1)]
+                return (k < ke) & (e <= bound)
+
+            def sup_body(s, w=w, col=col):
+                k, bound, tb, tri_v = s
+                masks = []
+                lbases = []
+                for j in range(2):
+                    kj = jnp.minimum(k + j, nsp - 1)
+                    e_j = sent_ref[w, kj]
+                    sid = jnp.minimum(sids_ref[w, kj], nsup - 1)
+                    sid_local = jnp.clip(sid - page0 * PAGE_SUP, 0,
+                                         PAGE_SUP - 1)
+                    ok_j = (k + j < ke) & (e_j <= bound)
+                    masks.append(slab16(sid_local, ok_j, tb))
+                    lbases.append(sid_local * SUP)
+                m = jnp.concatenate(masks, axis=0)
+                bits0 = jnp.sum(jnp.where(m, pw32, 0))
+                b0, b1 = lbases
+
+                def cid_of(slot, c0):
+                    cid = jnp.where(slot >= SUP, b1 + (slot - SUP),
+                                    b0 + slot)
+                    return jnp.where(slot < 0, c0, cid)
+
+                def mini_cond(s):
+                    return s[0] != 0
+
+                def mini_body(s):
+                    bits, tb, tri_v = s
+                    ss = []
+                    for _ in range(4):
+                        bits, sk = extract(bits)
+                        ss.append(sk)
+                    c0 = cid_of(ss[0], jnp.int32(0))
+                    tb, tri_v = quad_leaf(
+                        c0, *[cid_of(s_, c0) for s_ in ss[1:]], tb, tri_v)
+                    return bits, tb, tri_v
+
+                _, tb, tri_v = jax.lax.while_loop(mini_cond, mini_body,
+                                                  (bits0, tb, tri_v))
+                return k + 2, warp_bound(tb), tb, tri_v
+
+            _, _, tb, tri_v = jax.lax.while_loop(
+                sup_cond, sup_body, (ks, warp_bound(tb0), tb0, tri0))
+            res_ref[0:1, col] = tb
+            tri_ref[0:1, col] = tri_v
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ncp", "any_hit", "interpret"))
+def wave_intersect_paged(boxes, cbox, attr, remap, sbox, o, d, t_min,
+                         t_max, ncp: int, any_hit: bool = False,
+                         interpret: bool = False,
+                         tri_v0=None, tri_e1=None, tri_e2=None):
+    """PAGED traversal for scenes whose cluster tables exceed the VMEM
+    budget: grid (ray blocks x page slots); the attr/cbox tables live in
+    HBM and stream through VMEM one 256-cluster page at a time, with the
+    per-block page list SCALAR-PREFETCHED so Pallas's block pipeline
+    fetches exactly the pages a block needs (pad slots repeat the last
+    page id — a repeated block index costs no DMA).  Per-warp walk
+    order stays (page, entry)-sorted with the same early-exit bound;
+    front-to-back ordering holds within a page, so the paged kernel
+    visits somewhat more clusters than the resident kernel but never
+    falls back to the XLA gather loop."""
+    R = o.shape[0]
+    G = R // BLOCK
+    # pad cluster tables to a page multiple
+    ncp_pg = -(-ncp // PAGE_CLUSTERS) * PAGE_CLUSTERS
+    if ncp_pg != ncp:
+        pad_c = ncp_pg - ncp
+        cbox = jnp.concatenate(
+            [cbox, jnp.zeros((pad_c, 8), cbox.dtype)], axis=0)
+        attr = jnp.concatenate(
+            [attr, jnp.zeros((pad_c * ATTR_ROWS, 128), attr.dtype)],
+            axis=0)
+    nsp = sbox.shape[1]
+    n_pages = ncp_pg // PAGE_CLUSTERS
+
+    m = jnp.cross(o, d)
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20,
+                            jnp.where(d >= 0, 1e-20, -1e-20), d)
+    ones = jnp.ones((R, 1))
+    tmin_c = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32),
+                              (R,))[:, None]
+    tmax_c = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                              (R,))[:, None]
+    f = jnp.concatenate([
+        o, ones, d, m, tmin_c, tmax_c, inv_d, jnp.zeros((R, 1)),
+    ], axis=1).reshape(G, BLOCK, FCOLS).transpose(0, 2, 1)
+
+    attr_h = attr.astype(jnp.bfloat16)
+    attr_l = (attr - attr_h.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    pages, sent, sids, offs, offe = _cull_paged(
+        o, d, tmin_c, tmax_c, sbox, G, n_pages)
+    S = pages.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G, S),
+        in_specs=[
+            pl.BlockSpec((None, FCOLS, BLOCK),
+                         lambda i, p, pg: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 8, nsp), lambda i, p, pg: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 8, nsp), lambda i, p, pg: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 8, S), lambda i, p, pg: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 8, S), lambda i, p, pg: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((PAGE_CLUSTERS, 8),
+                         lambda i, p, pg: (pg[i, p], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PAGE_CLUSTERS * ATTR_ROWS, 128),
+                         lambda i, p, pg: (pg[i, p], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PAGE_CLUSTERS * ATTR_ROWS, 128),
+                         lambda i, p, pg: (pg[i, p], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, 8, BLOCK), lambda i, p, pg: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 8, BLOCK), lambda i, p, pg: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((48, 4096), jnp.bfloat16)],
+    )
+    res, tri = pl.pallas_call(
+        _make_kernel_paged(ncp_pg, nsp, n_pages, any_hit),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((G, 8, BLOCK), jnp.float32),
+            jax.ShapeDtypeStruct((G, 8, BLOCK), jnp.int32),
+        ],
+        interpret=interpret,
+    )(pages, f, sent, sids, offs, offe, cbox, attr_h, attr_l)
+
+    t = res[:, 0, :].reshape(R)
+    tri = tri[:, 0, :].reshape(R)
+    if any_hit:
+        hit_ok = t <= -1.0
+    else:
+        hit_ok = tri >= 0
+    tri = jnp.where(hit_ok,
+                    remap[jnp.clip(tri, 0, remap.shape[0] - 1)], -1)
+
+    u = jnp.zeros((R,))
+    v = jnp.zeros((R,))
+    if tri_v0 is not None and not any_hit and tri_v0.shape[0] > 0:
+        from tungsten_tpu.ops.intersect import ray_tri
+        tid = jnp.clip(tri, 0, tri_v0.shape[0] - 1)
+        _, tf, uf, vf = ray_tri(o, d, tri_v0[tid], tri_e1[tid],
+                                tri_e2[tid], -INF, INF)
+        fine = hit_ok & jnp.isfinite(tf)
+        t = jnp.where(fine, tf, t)
+        u = jnp.where(fine, uf, u)
+        v = jnp.where(fine, vf, v)
+    return t, tri, u, v
 
 
 @functools.partial(jax.jit,

@@ -32,6 +32,8 @@ LIGHT_CAP = 2
 LIGHT_POINT = 3
 LIGHT_DISK = 4       # analytic disk emitter (ref Disk::sampleDirect)
 LIGHT_CYLINDER = 5   # analytic cylinder emitter (ref Cylinder::sampleDirect)
+LIGHT_SPHERE = 6     # analytic sphere emitter: cone sampling toward the
+                     # subtended cap (ref Sphere::sampleDirect)
 
 def _lt_slot_of_tri(lt_tri_l, num_tris):
     """Reverse map: global triangle id -> its alias-table slot."""
@@ -84,6 +86,10 @@ class FlatScene:
     tri_v0: Any
     tri_e1: Any
     tri_e2: Any
+    tri_shade: Any      # (T, 21) packed [e1, e2, n0, n1, n2, uv0..uv2]:
+                        # hit expansion reads ONE gather row instead of
+                        # eight separate table gathers (round-5 profile:
+                        # random gathers are a dominant bounce-glue cost)
     tri_n0: Any
     tri_n1: Any
     tri_n2: Any
@@ -186,6 +192,11 @@ class FlatScene:
     cap_emission: Any   # (C, 3)
     cap_samplable: Any  # (C,) bool
     # --- media ---
+    # --- scene-wide occluder bounds (tris + every analytic primitive
+    # + curves): rays clipped to their exit of this box cannot be
+    # occluded past it — used to shorten env/cap shadow rays ---
+    geo_lo: Any          # (3,)
+    geo_hi: Any          # (3,)
     med_sigma_a: Any     # (M,3) material sigma_a * density
     med_sigma_s: Any     # (M,3)
     med_phase: Any       # (M,) i32
@@ -211,7 +222,10 @@ class FlatScene:
     env_cond_cdf: Any   # (H,W+1)
     env_marg_pdf: Any   # (H,)
     env_marg_cdf: Any   # (H+1,)
-    env_alias: Any      # (H*W, 4) packed [prob, alias, texel_pdf, 0]
+    env_alias: Any      # (H*W, 4) packed [prob, alias, pdf_self, pdf_alias]
+    env_pdf_tab: Any    # (H*W,) texel pdf only (env_pdf's hot gather:
+                        # 4x smaller rows than env_alias -> smaller
+                        # random-access working set)
     env_to_world: Any   # (3,3)
     env_to_local: Any   # (3,3)
     env_light_index: Any  # () i32, -1 if none
@@ -219,6 +233,9 @@ class FlatScene:
     # --- camera ---
     cam_mat: Any        # (4,4) camera-to-world
     cam_plane_dist: Any  # ()
+    cam_ap_prob: Any    # (N,) thinlens aperture alias keep-probability
+    cam_ap_alias: Any   # (N,) i32
+    cam_ap_hw: Any      # (2,) i32 aperture bitmap (H, W)
     cam_ratio: Any      # ()
 
 
@@ -241,6 +258,7 @@ class RenderSettings:
     fov_deg: float = 60.0
     focus_distance: float = 1.0
     aperture_size: float = 0.001
+    aperture_tex: bool = False  # thinlens custom aperture bitmap present
     cat_eye: float = 0.0
     spp_step: int = 16
     stratified_sampler: bool = False  # scrambled Sobol' vs pcg4d hash
@@ -253,6 +271,8 @@ class RenderSettings:
     has_points: bool = False
     has_disk_lights: bool = False  # analytic disk emitters present
     has_cyl_lights: bool = False   # analytic cylinder emitters present
+    has_sphere_lights: bool = False  # analytic sphere emitters present
+    has_area_lights: bool = True   # any triangle-mesh area light
     has_curves: bool = False
     curve_modes: tuple = ()  # CURVE_MODE_* values present in the scene
     med_kinds: tuple = ()    # medium kinds present (grid.MED_*)
@@ -755,7 +775,13 @@ def _build_env_distribution(img: np.ndarray):
     packed = np.zeros((n, 4), np.float32)
     packed[:, 0] = prob
     packed[:, 1] = alias
-    packed[:, 2] = p_tex * n  # texel_pdf relative to uniform
+    pdf_rel = p_tex * n  # texel_pdf relative to uniform
+    packed[:, 2] = pdf_rel
+    # pdf of the ALIAS TARGET texel: lets env_sample resolve the chosen
+    # texel's pdf from the one cell gather instead of a second random
+    # 512k-row gather (round-5 slope profile: ~2.6 ms per such gather
+    # at 262k rays)
+    packed[:, 3] = pdf_rel[alias]
     return (cond_pdf.astype(np.float32), cond_cdf,
             marg.astype(np.float32), marg_cdf, packed)
 
@@ -1030,6 +1056,18 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
             spheres_c.append(center)
             spheres_r.append(radius)
             spheres_p.append(prim_id)
+            if etex >= 0 and samplable:
+                # cone-sampled sphere emitter (ref Sphere::sampleDirect)
+                lights.append({"type": LIGHT_SPHERE, "prim": prim_id,
+                               "tex": etex,
+                               "slot": len(spheres_r) - 1})
+                light_tri_ranges.append((tri_start, tri_start))
+            if prim_id in prim_power:
+                # ref powerToRadianceFactor = INV_PI/area, area = 4 pi r^2
+                textures.const[etex] = (
+                    prim_power.pop(prim_id)
+                    / (4.0 * np.pi * np.pi * max(radius * radius, 1e-20))
+                ).astype(np.float32)
         elif ptype == "cylinder":
             # Analytic y-aligned cylinder (ref Cylinder.cpp:288-303
             # prepareForRender: rot = extractRotation, radius = 0.5 *
@@ -1140,7 +1178,7 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
 
         tri_end = geom.count()
         if etex >= 0 and samplable and ptype not in (
-                "infinite_sphere", "disk", "cylinder"):
+                "infinite_sphere", "disk", "cylinder", "sphere"):
             lights.append({"type": LIGHT_AREA, "prim": prim_id, "tex": etex})
             light_tri_ranges.append((tri_start, tri_end))
 
@@ -1205,6 +1243,21 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
             power / (np.pi * max(area, 1e-20))).astype(np.float32)
 
     for li, (light, (t0, t1)) in enumerate(zip(lights, light_tri_ranges)):
+        if light["type"] == LIGHT_SPHERE:
+            slot = light["slot"]
+            r = spheres_r[slot]
+            light_type[li] = LIGHT_SPHERE
+            light_prim[li] = light["prim"]
+            light_slot[li] = slot
+            light_emission[li] = textures.const[light["tex"]]
+            light_tri_off[li] = sum(len(x) for x in lt_tri_l)
+            light_tri_cnt[li] = 0
+            light_area[li] = 4.0 * np.pi * r * r
+            light_bsr[li, :3] = spheres_c[slot]
+            light_bsr[li, 3] = r
+            light_lum[li] = float(np.max(textures.const[light["tex"]]))
+            prim_light[light["prim"]] = li
+            continue
         if light["type"] in (LIGHT_DISK, LIGHT_CYLINDER):
             # analytic emitters: area + bounding sphere from the
             # primitive tables, no triangle alias rows
@@ -1340,6 +1393,40 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
     plane_dist = 1.0 / np.tan(np.deg2rad(fov) * 0.5)
     ratio = res[1] / res[0]
 
+    # thinlens focus pivot (ref ThinlensCamera::prepareForRender):
+    # focus distance = |named primitive's origin - camera position|
+    focus_distance = float(cam.get("focus_distance", 1.0))
+    pivot = cam.get("focus_pivot")
+    if pivot:
+        for prim in desc.primitives:
+            if prim.get("name") == pivot:
+                pm = xform.parse_transform(prim.get("transform"))
+                focus_distance = float(np.linalg.norm(
+                    pm[:3, 3] - cam_mat[:3, 3]))
+                break
+
+    # thinlens aperture texture (ref ThinlensCamera _aperture, sampled
+    # MAP_UNIFORM): alias table over texel luminances; absent -> the
+    # analytic uniform-disk default (DiskTexture)
+    ap_spec = cam.get("aperture")
+    cam_ap_prob = np.zeros((1,), np.float32)
+    cam_ap_alias = np.zeros((1,), np.int32)
+    cam_ap_hw = np.asarray([1, 1], np.int32)
+    aperture_tex = False
+    if isinstance(ap_spec, str) or (isinstance(ap_spec, dict)
+                                    and ap_spec.get("type") == "bitmap"):
+        from tungsten_tpu.io import image as im
+        path = ap_spec if isinstance(ap_spec, str) else ap_spec["file"]
+        ap_img = np.asarray(im.load_image(desc.resolve_path(path)),
+                            np.float32)
+        if ap_img.ndim == 3:
+            ap_img = ap_img.mean(axis=-1)
+        lum = np.maximum(ap_img.reshape(-1), 0.0)
+        if lum.sum() > 0:
+            cam_ap_prob, cam_ap_alias = _build_alias(lum / lum.sum())
+            cam_ap_hw = np.asarray(ap_img.shape, np.int32)
+            aperture_tex = True
+
     # ---- settings ----
     integ = desc.integrator
     rend = desc.renderer
@@ -1361,8 +1448,9 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         camera_type=cam.get("type", "pinhole"),
         cubemap_mode=cam.get("mode", "horizontal_cross"),
         fov_deg=fov,
-        focus_distance=float(cam.get("focus_distance", 1.0)),
+        focus_distance=focus_distance,
         aperture_size=float(cam.get("aperture_size", 0.001)),
+        aperture_tex=aperture_tex,
         cat_eye=float(cam.get("cateye", cam.get("cat_eye", 0.0))),
         has_env=env_info is not None,
         has_curves=any(c is not None for c in curve_segs),
@@ -1376,6 +1464,8 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         has_points=len(points) > 0,
         has_disk_lights=any(lt["type"] == LIGHT_DISK for lt in lights),
         has_cyl_lights=any(lt["type"] == LIGHT_CYLINDER for lt in lights),
+        has_sphere_lights=any(lt["type"] == LIGHT_SPHERE for lt in lights),
+        has_area_lights=any(lt["type"] == LIGHT_AREA for lt in lights),
         med_kinds=tuple(sorted(set(med_kind))),
         voxel_integration=voxel_integration,
         voxel_sampling=voxel_sampling,
@@ -1405,8 +1495,48 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
     def dev(x, dtype=None):
         return jnp.asarray(x, dtype=dtype)
 
+    tri_shade = np.concatenate(
+        [tri_e1, tri_e2, tri_n0, tri_n1, tri_n2,
+         tri_uv0, tri_uv1, tri_uv2], axis=1) if len(tri_v0) else \
+        np.zeros((0, 21), np.float32)
+
+    # scene-wide occluder bounds (tris + analytic prims + curves)
+    los, his = [], []
+    if len(tri_v0):
+        los.append(p_min.min(0))
+        his.append(p_max.max(0))
+    if spheres_c:
+        sc = np.asarray(spheres_c, np.float32)
+        sr = np.asarray(spheres_r, np.float32)[:, None]
+        los.append((sc - sr).min(0))
+        his.append((sc + sr).max(0))
+    if disks["c"]:
+        dc = np.asarray(disks["c"], np.float32)
+        dr = np.asarray(disks["r"], np.float32)[:, None]
+        los.append((dc - dr).min(0))
+        his.append((dc + dr).max(0))
+    if cyls["pos"]:
+        cp = np.asarray(cyls["pos"], np.float32)
+        cr = np.sqrt(np.asarray(cyls["r"], np.float32) ** 2
+                     + np.asarray(cyls["hh"], np.float32) ** 2)[:, None]
+        los.append((cp - cr).min(0))
+        his.append((cp + cr).max(0))
+    curve_tables = _build_curve_tables(curve_segs)
+    if curve_tables["crv_pc_q0"].shape[0] > 0:
+        q = np.concatenate([curve_tables["crv_pc_q0"][:, :3],
+                            curve_tables["crv_pc_q1"][:, :3]])
+        w_c = np.concatenate([curve_tables["crv_pc_q0"][:, 3],
+                              curve_tables["crv_pc_q1"][:, 3]]).max()
+        los.append(q.min(0) - w_c)
+        his.append(q.max(0) + w_c)
+    geo_lo = (np.min(los, axis=0) if los
+              else np.zeros(3)).astype(np.float32)
+    geo_hi = (np.max(his, axis=0) if his
+              else np.zeros(3)).astype(np.float32)
+
     flat = FlatScene(
         tri_v0=dev(tri_v0), tri_e1=dev(tri_e1), tri_e2=dev(tri_e2),
+        tri_shade=dev(tri_shade),
         tri_n0=dev(tri_n0), tri_n1=dev(tri_n1), tri_n2=dev(tri_n2),
         tri_uv0=dev(tri_uv0), tri_uv1=dev(tri_uv1), tri_uv2=dev(tri_uv2),
         tri_prim=dev(tri_prim),
@@ -1428,7 +1558,7 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         cyl_hh=dev(np.asarray(cyls["hh"], np.float32)),
         cyl_capped=dev(np.asarray(cyls["capped"], bool)),
         cyl_prim=dev(np.asarray(cyls["prim"], np.int32)),
-        **{k: dev(v) for k, v in _build_curve_tables(curve_segs).items()},
+        **{k: dev(v) for k, v in curve_tables.items()},
         **{k: dev(v) for k, v in _stack_hair_tables(fiber_tables).items()},
         prim_bsdf=dev(np.asarray(prim_bsdf, np.int32)),
         prim_emission_tex=dev(np.asarray(prim_emission_tex, np.int32)),
@@ -1454,6 +1584,7 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         lt_slot=dev(_lt_slot_of_tri(lt_tri_l, len(tri_v0))),
         light_tri_off=dev(light_tri_off),
         light_tri_cnt=dev(light_tri_cnt),
+        geo_lo=dev(geo_lo), geo_hi=dev(geo_hi),
         cap_dir=dev(cap_dir_arr), cap_cos=dev(cap_cos_arr),
         cap_emission=dev(cap_em_arr), cap_samplable=dev(cap_samp_arr),
         med_sigma_a=dev(np.asarray(med_sigma_a, np.float32).reshape(-1, 3)),
@@ -1478,15 +1609,21 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         prim_ext_medium=dev(np.asarray(prim_ext_med, np.int32)),
         cam_medium=dev(np.int32(cam.get("medium_index")
                                 if cam.get("medium_index") is not None else -1)),
-        env_image=dev(env_image),
+        # bf16 halves the random-gather working set; .hdr (RGBE) sources
+        # only carry 8-bit mantissas, so this loses no source precision
+        env_image=dev(env_image, jnp.bfloat16),
         env_cond_pdf=dev(cond_pdf), env_cond_cdf=dev(cond_cdf),
         env_marg_pdf=dev(marg_pdf), env_marg_cdf=dev(marg_cdf),
         env_alias=dev(env_alias),
+        env_pdf_tab=dev(np.ascontiguousarray(env_alias[:, 2])),
         env_to_world=dev(env_rot), env_to_local=dev(env_rot.T),
         env_light_index=dev(np.int32(env_light_index)),
         env_emission_scale=dev(np.float32(env_scale)),
         cam_mat=dev(cam_mat),
         cam_plane_dist=dev(np.float32(plane_dist)),
+        cam_ap_prob=dev(cam_ap_prob.astype(np.float32)),
+        cam_ap_alias=dev(cam_ap_alias.astype(np.int32)),
+        cam_ap_hw=dev(cam_ap_hw),
         cam_ratio=dev(np.float32(ratio)),
     )
     # auto-select the Pallas cluster traversal on TPU backends

@@ -125,7 +125,13 @@ def eval_texture(tex_type, tex_const, tex_params, tex_bitmap_id, bitmaps, tex_id
 
 
 def sample_bitmap(img, uv):
-    """Bilinear, wrap addressing, v flipped — matches BitmapTexture::operator[]."""
+    """Bilinear, wrap addressing, v flipped — matches BitmapTexture::operator[].
+
+    Taps gather through a FLAT (H*W, C) view with linear indices:
+    round-5 slope profiling measured the 2D advanced-index form at
+    ~2 ms per tap at 262k rays (8 ms per bilinear lookup — the single
+    largest cost in the whole bounce body) vs ~0.6 ms for 1D row
+    gathers."""
     h, w = img.shape[0], img.shape[1]
     u = uv[..., 0] * w - 0.5
     v = (1.0 - uv[..., 1]) * h - 0.5
@@ -137,10 +143,13 @@ def sample_bitmap(img, uv):
     iv0 = jnp.mod(iv0, h)
     iu1 = jnp.mod(iu0 + 1, w)
     iv1 = jnp.mod(iv0 + 1, h)
-    c00 = img[iv0, iu0]
-    c10 = img[iv0, iu1]
-    c01 = img[iv1, iu0]
-    c11 = img[iv1, iu1]
+    flat = img.reshape(h * w, -1)
+    r0 = iv0 * w
+    r1 = iv1 * w
+    c00 = flat[r0 + iu0].astype(jnp.float32)
+    c10 = flat[r0 + iu1].astype(jnp.float32)
+    c01 = flat[r1 + iu0].astype(jnp.float32)
+    c11 = flat[r1 + iu1].astype(jnp.float32)
     fu = fu[..., None]
     fv = fv[..., None]
     return (c00 * (1 - fu) + c10 * fu) * (1 - fv) + (c01 * (1 - fu) + c11 * fu) * fv
