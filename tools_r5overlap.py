@@ -17,11 +17,16 @@ import re
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8")
-os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+# sitecustomize registers the axon TPU backend and forces jax_platforms
+# via jax.config — override back to cpu BEFORE any backend initializes
+# (same dance as tests/conftest.py)
+jax.config.update("jax_platforms", "cpu")
 
 
 def main():
-    import jax
     import jax.numpy as jnp
     import numpy as np
     from dataclasses import replace
@@ -58,9 +63,9 @@ def main():
     compiled = lowered.compile()
     hlo = compiled.as_text()
 
-    starts = len(re.findall(r"all-reduce-start", hlo))
-    dones = len(re.findall(r"all-reduce-done", hlo))
-    sync = len(re.findall(r"= all-reduce\(", hlo))
+    starts = hlo.count("all-reduce-start(")
+    dones = hlo.count("all-reduce-done(")
+    sync = hlo.count(" all-reduce(")
     lines = hlo.splitlines()
     # ops scheduled between the first start and its done (module order
     # approximates the sequential schedule on CPU; on TPU the async
