@@ -78,6 +78,15 @@ FCOLS = 16          # ray feature columns: o d m 1 tmin tmax invd pad
 INF = 3.0e38
 NPINF = np.float32(3.0e38)
 BIGI = 1 << 30
+# clusters per MXU leaf pass in the resident kernel's drain: 4 = the
+# v7 quad (M=2048), 8 = octo (M=4096) — the round-4 microbench showed
+# the (M, 48, 128) matmul nearly flat in M, so wider leaves looked
+# like they'd amortize the per-visit issue/store overhead — but the
+# round-5 A/B measured Q=8 SLOWER on every case (coherent closest
+# 113 vs 99 ms/1M, incoherent 222 vs 206, any-hit 73/161 vs 66/153):
+# survivor sets are usually < 8, so the wider leaf pads with duplicate
+# clusters whose epilogue work is pure waste.  Kept at the v7 quad.
+LEAF_Q = 4
 # VMEM budget for the resident tables; larger scenes run the PAGED
 # variant (cluster tables stream through VMEM page by page via
 # scalar-prefetched block indices — see wave_intersect_paged)
@@ -352,7 +361,7 @@ def _make_kernel(ncp: int, nsp: int, any_hit: bool, debug_phase: int = 2,
                     live = live0
                 return jnp.max(jnp.where(live, tb, -INF))
 
-            def quad_leaf(c0, c1, c2, c3, tb, tri_v, off=0, f3=f3,
+            def quad_leaf(cids, tb, tri_v, f3=f3,
                           rtmin=rtmin, col=col):
                 """FOUR (128 rays) x (128 tris) cluster visits in ONE
                 MXU pass; returns the updated per-warp (best t, best
@@ -380,11 +389,11 @@ def _make_kernel(ncp: int, nsp: int, any_hit: bool, debug_phase: int = 2,
                 tail of a drain) are idempotent: the strict t test
                 rejects the second copy, and the q bits in the packed
                 key break the tie deterministically."""
-                for qi, cid in enumerate((c0, c1, c2, c3)):
+                for qi, cid in enumerate(cids):
                     base = pl.multiple_of(cid * ATTR_ROWS, ATTR_ROWS)
                     bh = attrh_ref[pl.ds(base, ATTR_ROWS), :]
                     bl = attrl_ref[pl.ds(base, ATTR_ROWS), :]
-                    c = off + qi * 512
+                    c = qi * 512
                     for ko, blk in ((0, bh), (16, bl), (32, bh)):
                         b2_ref[ko + 4:ko + 10, c + 128:c + 256] = blk[0:6, :]
                         b2_ref[ko + 4:ko + 10, c + 256:c + 384] = blk[6:12, :]
@@ -398,15 +407,15 @@ def _make_kernel(ncp: int, nsp: int, any_hit: bool, debug_phase: int = 2,
                     return tb, tri_v
 
                 s = jax.lax.dot_general(
-                    b2_ref[:, off:off + 2048], f3,
+                    b2_ref[:, 0:512 * LEAF_Q], f3,
                     dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (2048, 128)
+                    preferred_element_type=jnp.float32)  # (512*Q, 128)
 
                 if any_hit:
                     # occlusion: no t ordering or slot needed — slot 0
                     # of a visited cluster is always a real triangle
                     gotv = jnp.zeros((1, WARP), bool)
-                    for qi in range(4):
+                    for qi in range(LEAF_Q):
                         q = qi * 512
                         det = s[q:q + 128, :]
                         sg = jnp.where(det >= 0.0, 1.0, -1.0)
@@ -419,17 +428,19 @@ def _make_kernel(ncp: int, nsp: int, any_hit: bool, debug_phase: int = 2,
                               & (ad > 1e-16))
                         gotv = gotv | jnp.any(ok, axis=0, keepdims=True)
                     return (jnp.where(gotv, -INF, tb),
-                            jnp.where(gotv, c0 * CLUSTER, tri_v))
+                            jnp.where(gotv, cids[0] * CLUSTER, tri_v))
 
-                # packed winner reduction across all 4 clusters: bitcast
+                # packed winner reduction across all Q clusters: bitcast
                 # the positive t candidates to int32 (IEEE order),
-                # replace the low 9 mantissa bits with (q, slot), and
-                # resolve the winning (t, cluster, slot) with min-
-                # reductions (t to ~2^-14 rel; sharpened by the f32
-                # finalize outside the kernel).
+                # replace the low 7+log2(Q) mantissa bits with
+                # (q, slot), and resolve the winning (t, cluster, slot)
+                # with min-reductions (t to ~2^-13 rel at Q=8;
+                # sharpened by the f32 finalize outside the kernel).
+                qbits = max((LEAF_Q - 1).bit_length(), 1)
+                kmask = ~((1 << (7 + qbits)) - 1)
                 tb_key = jax.lax.bitcast_convert_type(tb, jnp.int32)
                 kmin = jnp.full((1, WARP), jnp.int32(0x7F800000))
-                for qi in range(4):
+                for qi in range(LEAF_Q):
                     q = qi * 512
                     det = s[q:q + 128, :]
                     sg = jnp.where(det >= 0.0, 1.0, -1.0)
@@ -442,16 +453,17 @@ def _make_kernel(ncp: int, nsp: int, any_hit: bool, debug_phase: int = 2,
                           & (ad > 1e-16))
                     tc = tn_ / jnp.maximum(ad, 1e-30)
                     key = jax.lax.bitcast_convert_type(tc, jnp.int32)
-                    key = jnp.where(ok, (key & ~511) | (qi << 7) | sub_tri,
+                    key = jnp.where(ok,
+                                    (key & kmask) | (qi << 7) | sub_tri,
                                     jnp.int32(0x7F800000))
                     kmin = jnp.minimum(
                         kmin, jnp.min(key, axis=0, keepdims=True))
                 got = kmin < tb_key
-                qv = (kmin >> 7) & 3
-                csel = jnp.where(qv == 0, c0,
-                                 jnp.where(qv == 1, c1,
-                                           jnp.where(qv == 2, c2, c3)))
-                t_new = jax.lax.bitcast_convert_type(kmin & ~511,
+                qv = (kmin >> 7) & ((1 << qbits) - 1)
+                csel = cids[0]
+                for qi in range(1, LEAF_Q):
+                    csel = jnp.where(qv == qi, cids[qi], csel)
+                t_new = jax.lax.bitcast_convert_type(kmin & kmask,
                                                      jnp.float32)
                 return (jnp.where(got, t_new, tb),
                         jnp.where(got, csel * CLUSTER + (kmin & 127),
@@ -490,9 +502,10 @@ def _make_kernel(ncp: int, nsp: int, any_hit: bool, debug_phase: int = 2,
                 # overhead (5 = stores only, 6 = stores + matmul)
                 def fixed_body(i, s, w=w):
                     tb, tri_v = s
-                    b = jnp.minimum(4 * i + w * 16, ncp - 4)
-                    return quad_leaf(b, b + 1, b + 2, b + 3, tb, tri_v)
-                tb, tri_v = jax.lax.fori_loop(0, 4, fixed_body,
+                    b = jnp.minimum(LEAF_Q * i + w * 16, ncp - LEAF_Q)
+                    return quad_leaf([b + j for j in range(LEAF_Q)],
+                                     tb, tri_v)
+                tb, tri_v = jax.lax.fori_loop(0, 16 // LEAF_Q, fixed_body,
                                               (tb0, tri0))
                 res_ref[0:1, col] = tb
                 tri_ref[0:1, col] = tri_v
@@ -573,12 +586,13 @@ def _make_kernel(ncp: int, nsp: int, any_hit: bool, debug_phase: int = 2,
                 def mini_body(s, col=col):
                     bits, tb, tri_v = s
                     ss = []
-                    for _ in range(4):
+                    for _ in range(LEAF_Q):
                         bits, sk = extract(bits)
                         ss.append(sk)
                     c0 = cid_of(ss[0], jnp.int32(0))
                     tb, tri_v = quad_leaf(
-                        c0, *[cid_of(s_, c0) for s_ in ss[1:]], tb, tri_v)
+                        [c0] + [cid_of(s_, c0) for s_ in ss[1:]],
+                        tb, tri_v)
                     if count:
                         n = 1.0 + sum(
                             jnp.where(s_ >= 0, 1.0, 0.0) for s_ in ss[1:])
