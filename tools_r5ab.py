@@ -37,8 +37,11 @@ def main(mode):
     from bench import simplified_bsdfs
 
     pt.SHADOW_ANY_HIT = mode != "fused"
+    if mode == "nosort":
+        isect.SORT_RAYS = False
     print("platform:", jax.devices()[0].platform,
-          "shadow_any_hit:", pt.SHADOW_ANY_HIT, flush=True)
+          "shadow_any_hit:", pt.SHADOW_ANY_HIT,
+          "sort:", isect.SORT_RAYS, flush=True)
 
     desc = load_scene("/root/reference/data/materialtest/materialtest.json")
     desc.bsdfs[:] = simplified_bsdfs(desc.bsdfs)

@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from tungsten_tpu.scene.flatten import LIGHT_AREA, LIGHT_INFINITE
-from tungsten_tpu.scene.textures import sample_bitmap
+from tungsten_tpu.scene.textures import sample_bitmap, sample_bitmap_quad
 from tungsten_tpu.utils.vecmath import INV_PI, INV_TWO_PI, INV_FOUR_PI
 
 INF = jnp.float32(3.0e38)
@@ -41,13 +41,17 @@ def env_uv_to_direction(scene, uv):
     return local @ scene.env_to_world.T, sin_t
 
 
-def env_eval(scene, d):
-    """Environment radiance for escaping rays."""
+def env_eval(scene, d, active=None):
+    """Environment radiance for escaping rays.  `active` (R,) bool,
+    optional: lanes whose result is discarded tap row 0 (cache-friendly
+    — see sample_bitmap_quad)."""
+    h, w = scene.env_cond_pdf.shape
     uv, _ = env_direction_to_uv(scene, d)
-    return sample_bitmap(scene.env_image, uv) * scene.env_emission_scale
+    return sample_bitmap_quad(scene.env_quad, h, w, uv, active) * \
+        scene.env_emission_scale
 
 
-def env_pdf(scene, d):
+def env_pdf(scene, d, active=None):
     """Solid-angle pdf of env importance sampling for direction d."""
     h, w = scene.env_cond_pdf.shape
     uv, sin_t = env_direction_to_uv(scene, d)
@@ -55,14 +59,17 @@ def env_pdf(scene, d):
     # BitmapTexture::pdf (src/core/textures/BitmapTexture.cpp:452-455)
     row = jnp.clip(((1.0 - uv[..., 1]) * h).astype(jnp.int32), 0, h - 1)
     col = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
-    tex_pdf = scene.env_pdf_tab[row * w + col]  # one narrow gather
+    idx = row * w + col
+    if active is not None:
+        idx = jnp.where(active, idx, 0)
+    tex_pdf = scene.env_pdf_tab[idx]  # one narrow gather
     return jnp.where(
         sin_t > 1e-8,
         INV_PI * INV_TWO_PI * tex_pdf / jnp.maximum(sin_t, 1e-8),
         0.0)
 
 
-def env_sample(scene, u1, u2):
+def env_sample(scene, u1, u2, active=None):
     """Importance-sample the envmap; returns (d, radiance, pdf).
 
     O(1) alias-table texel selection (Walker/Vose) — ONE packed gather
@@ -75,6 +82,8 @@ def env_sample(scene, u1, u2):
     x = u2 * n
     idx = jnp.minimum(x.astype(jnp.int32), n - 1)
     f = x - idx
+    if active is not None:
+        idx = jnp.where(active, idx, 0)
     cell = scene.env_alias[idx]                   # (R, 4) one gather
     keep = f < cell[..., 0]
     texel = jnp.where(keep, idx, cell[..., 1].astype(jnp.int32))
@@ -99,7 +108,8 @@ def env_sample(scene, u1, u2):
     pdf = jnp.where(sin_t > 1e-8,
                     INV_PI * INV_TWO_PI * tex_pdf / jnp.maximum(sin_t, 1e-8),
                     0.0)
-    radiance = sample_bitmap(scene.env_image, uv) * scene.env_emission_scale
+    radiance = sample_bitmap_quad(scene.env_quad, h, w, uv, active) * \
+        scene.env_emission_scale
     return d, radiance, pdf
 
 

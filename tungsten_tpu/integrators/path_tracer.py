@@ -409,6 +409,7 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
         return f_s, p_s
 
     # ---------------- light strategy ----------------
+    gate = ctx.get("gate")
     u1, u2 = rng.random_2d(seed, pixel, sample_idx,
                            bounce_dim_base + rng.BounceDims.LIGHT_SAMPLE)
     u_tri = rng.random_1d(seed, pixel, sample_idx,
@@ -425,7 +426,7 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
                  valid=jnp.zeros((R,), bool))
 
     if settings.has_env:
-        ed, erad, epdf = L.env_sample(scene, u1, u2)
+        ed, erad, epdf = L.env_sample(scene, u1, u2, active=gate)
         is_env = ltype == LIGHT_INFINITE
         d = vm.where3(is_env, ed, a["d"])
         dist = jnp.where(is_env, INF, a["dist"])
@@ -485,7 +486,6 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
 
     f, pdf_counter = eval_f_pdf(d)
     do_shadow = valid & (jnp.max(f, axis=-1) > 0.0) & (pdf > 1e-20)
-    gate = ctx.get("gate")
     if gate is not None:
         do_shadow = do_shadow & gate
 
@@ -652,8 +652,8 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
 
     if settings.has_env:
         escape = (ltype == LIGHT_INFINITE) & ~res_b["hit"]
-        e_env = L.env_eval(scene, wd)
-        lpdf_env = L.env_pdf(scene, wd)
+        e_env = L.env_eval(scene, wd, active=escape & trace_b)
+        lpdf_env = L.env_pdf(scene, wd, active=escape & trace_b)
         got = jnp.where(ltype == LIGHT_INFINITE, escape, hit_light_area)
         e_b = jnp.where((ltype == LIGHT_INFINITE)[..., None], e_env, e_area)
         lpdf = jnp.where(ltype == LIGHT_INFINITE, lpdf_env, lpdf_area)
@@ -1046,13 +1046,13 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
             guard = (~jnp.bool_(settings.enable_light_sampling)) | \
                 s["was_specular"]
             if settings.has_env:
-                env_val = L.env_eval(scene, s["d"])
+                env_val = L.env_eval(scene, s["d"], active=env_ok)
                 if one_sample:
                     # one-sample MIS: a non-specular escape into a
                     # samplable env light is power-heuristic-weighted
                     # against the NEE density (selection pmf x env pdf)
                     eli = jnp.full((R,), scene.env_light_index, jnp.int32)
-                    epdf = L.env_pdf(scene, s["d"]) * \
+                    epdf = L.env_pdf(scene, s["d"], active=env_ok) * \
                         _light_select_pmf(scene, settings, s["o"], eli)
                     w_env = jnp.where(
                         guard | (scene.env_light_index < 0), 1.0,
@@ -1276,7 +1276,8 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
             alb = sp.albedo + jnp.where(is_emissive[..., None], e_hit, 0.0)
             aov_albedo = add(s["aov_albedo"], alb, rec)
             if settings.has_env:
-                aov_albedo = add(aov_albedo, L.env_eval(scene, s["d"]), esc)
+                aov_albedo = add(aov_albedo,
+                                 L.env_eval(scene, s["d"], active=esc), esc)
             if settings.enable_light_sampling and settings.num_lights > 0:
                 vis_ok = rec & tr_valid
                 aov_vis = add(s["aov_vis"], jnp.mean(tr_nee, axis=-1),

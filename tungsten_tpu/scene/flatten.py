@@ -223,6 +223,10 @@ class FlatScene:
     env_marg_pdf: Any   # (H,)
     env_marg_cdf: Any   # (H+1,)
     env_alias: Any      # (H*W, 4) packed [prob, alias, pdf_self, pdf_alias]
+    env_quad: Any       # (H*W, 12) bf16 bilinear neighborhood rows
+                        # [c00 c10 c01 c11] (wrap) — ONE gather per
+                        # bilinear env tap instead of four (round-5b
+                        # glue profile: env taps were ~23 ms/bounce)
     env_pdf_tab: Any    # (H*W,) texel pdf only (env_pdf's hot gather:
                         # 4x smaller rows than env_alias -> smaller
                         # random-access working set)
@@ -784,6 +788,22 @@ def _build_env_distribution(img: np.ndarray):
     packed[:, 3] = pdf_rel[alias]
     return (cond_pdf.astype(np.float32), cond_cdf,
             marg.astype(np.float32), marg_cdf, packed)
+
+
+def _build_env_quad(img: np.ndarray) -> np.ndarray:
+    """(H*W, 12) bilinear neighborhood table: row (iy*W+ix) packs the
+    2x2 texel block [c00, c10, c01, c11] with wrap addressing, bf16
+    values identical to the bf16 env_image taps.  Lets the hot env
+    paths (env_eval escapes, env_sample radiance) fetch a full bilinear
+    footprint in ONE row gather instead of four (round-5b glue
+    profile: the four-tap form was the largest single glue cost)."""
+    h, w = img.shape[:2]
+    c00 = img
+    c10 = np.roll(img, -1, axis=1)
+    c01 = np.roll(img, -1, axis=0)
+    c11 = np.roll(c01, -1, axis=1)
+    return np.concatenate([c00, c10, c01, c11],
+                          axis=-1).reshape(h * w, 12).astype(np.float32)
 
 
 def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
@@ -1612,6 +1632,7 @@ def flatten_scene(desc: SceneDesc) -> tuple[FlatScene, RenderSettings]:
         # bf16 halves the random-gather working set; .hdr (RGBE) sources
         # only carry 8-bit mantissas, so this loses no source precision
         env_image=dev(env_image, jnp.bfloat16),
+        env_quad=dev(_build_env_quad(env_image), jnp.bfloat16),
         env_cond_pdf=dev(cond_pdf), env_cond_cdf=dev(cond_cdf),
         env_marg_pdf=dev(marg_pdf), env_marg_cdf=dev(marg_cdf),
         env_alias=dev(env_alias),

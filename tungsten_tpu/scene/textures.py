@@ -124,6 +124,31 @@ def eval_texture(tex_type, tex_const, tex_params, tex_bitmap_id, bitmaps, tex_id
     return out
 
 
+def sample_bitmap_quad(quad, h, w, uv, active=None):
+    """Bilinear tap through a (H*W, 12) neighborhood table (see
+    flatten._build_env_quad): ONE row gather fetches the whole 2x2
+    footprint.  Numerically identical to sample_bitmap over the bf16
+    image (same wrap, same weights).  `active` (R,) bool, optional:
+    lanes that don't consume the result tap row 0 so their fetches
+    ride the cache instead of thrashing it (round-5b: random-gather
+    cost is working-set-bound; a typical bounce evals the env only on
+    its escaped minority)."""
+    u = uv[..., 0] * w - 0.5
+    v = (1.0 - uv[..., 1]) * h - 0.5
+    iu0 = jnp.floor(u).astype(jnp.int32)
+    iv0 = jnp.floor(v).astype(jnp.int32)
+    fu = (u - iu0)[..., None]
+    fv = (v - iv0)[..., None]
+    idx = jnp.mod(iv0, h) * w + jnp.mod(iu0, w)
+    if active is not None:
+        idx = jnp.where(active, idx, 0)
+    rows = quad[idx].astype(jnp.float32)            # (R, 12) one gather
+    c00, c10, c01, c11 = (rows[..., 0:3], rows[..., 3:6],
+                          rows[..., 6:9], rows[..., 9:12])
+    return (c00 * (1 - fu) + c10 * fu) * (1 - fv) + \
+        (c01 * (1 - fu) + c11 * fu) * fv
+
+
 def sample_bitmap(img, uv):
     """Bilinear, wrap addressing, v flipped — matches BitmapTexture::operator[].
 
