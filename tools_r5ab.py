@@ -39,6 +39,11 @@ def main(mode):
     pt.SHADOW_ANY_HIT = mode != "fused"
     if mode == "nosort":
         isect.SORT_RAYS = False
+    if mode == "shsort":
+        pt.SHADOW_OWN_SORT = True
+    if mode == "q2":
+        from tungsten_tpu.ops import wave_trace as wt
+        wt.LEAF_Q = 2
     print("platform:", jax.devices()[0].platform,
           "shadow_any_hit:", pt.SHADOW_ANY_HIT,
           "sort:", isect.SORT_RAYS, flush=True)

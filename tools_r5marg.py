@@ -54,7 +54,7 @@ def run(stubbed):
 
     T = flat.tri_v0.shape[0]
 
-    def stub(scene, o, d, t_min, t_max, any_hit=False):
+    def stub(scene, o, d, t_min, t_max, any_hit=False, **kw):
         # every ray hits a pseudo-random triangle at t=1: keeps the
         # wavefront alive and the shading gathers index-diverse so the
         # glue marginal stays representative

@@ -59,7 +59,7 @@ def run(mode):
 
     T = flat.tri_v0.shape[0]
 
-    def stub(scene, o, d, t_min, t_max, any_hit=False):
+    def stub(scene, o, d, t_min, t_max, any_hit=False, **kw):
         R = o.shape[0]
         z = jnp.zeros((R,))
         tri = (jax.lax.bitcast_convert_type(o[:, 0], jnp.int32)
@@ -72,18 +72,18 @@ def run(mode):
                     u=z + 0.3, v=z + 0.3,
                     hit=jnp.ones((R,), bool))
 
-    def env_sample_c(scene, u1, u2):
+    def env_sample_c(scene, u1, u2, active=None):
         d = jnp.stack([u1 * 0.1, jnp.ones_like(u1), u2 * 0.1], axis=-1)
         d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
         return d, jnp.ones(d.shape), jnp.ones(u1.shape) * 0.25
 
-    def env_eval_c(scene, d):
+    def env_eval_c(scene, d, active=None):
         return jnp.ones(d.shape) * (1.0 + d[..., :1] * 0.0)
 
-    def env_pdf_c(scene, d):
+    def env_pdf_c(scene, d, active=None):
         return jnp.full(d.shape[:-1], 0.25) + d[..., 0] * 1e-30
 
-    def expand_c(scene, o, d, s):
+    def expand_c(scene, o, d, s, active=None):
         R = o.shape[0]
         up = jnp.zeros((R, 3)).at[:, 1].set(1.0)
         return dict(p=o + d, ng=up, ns=up,

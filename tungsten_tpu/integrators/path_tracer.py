@@ -39,6 +39,7 @@ from tungsten_tpu.integrators import lights as L
 from tungsten_tpu.media import grid as GR
 from tungsten_tpu.media import phase as PH
 from tungsten_tpu.media import transmittance as TR
+from tungsten_tpu.ops import intersect as _isect
 from tungsten_tpu.ops.intersect import bvh_intersect, occluded
 from tungsten_tpu.scene.flatten import (
     LIGHT_AREA, LIGHT_CAP, LIGHT_INFINITE, LIGHT_POINT)
@@ -53,6 +54,22 @@ MAX_SHADOW_HOPS = 8  # forward-surface crossings a shadow ray may pass
 # drain as their own launch (A/B'd on TPU vs the round-4 fused 2R
 # closest-hit batch — see PROFILE_r05.md)
 SHADOW_ANY_HIT = True
+# When the body-start state sort is active the closest-hit launch is
+# exactly sorted, but shadow rays only inherit the PARENT ray's
+# octant/origin key.  True = give the any-hit shadow launch its own
+# per-launch sort anyway: its directions (fresh light samples) span
+# octants, and the octant-first cull degrades badly without it
+# (round-5b A/B: 808 -> 611 ms staged wave).
+SHADOW_OWN_SORT = True
+# Body-start state sort (round-5b): the bounce body traces its
+# continuation ray AT THE TOP and, on Pallas backends, first reorders
+# the WHOLE wavefront state by the traversal sort key (one 2-operand
+# key sort + one packed row gather) so BOTH launches (closest
+# continuation + any-hit shadow) skip their per-launch 10-operand
+# sort / 5-operand un-permute pairs entirely.  Shadow rays inherit the
+# parent ray's origin locality.  Off for the detached replay path —
+# the path-replay suffix math assumes lanes keep their identity.
+BODY_SORT = True
 
 
 def _detach(tree):
@@ -365,6 +382,7 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
     extra_res when extra_ray is given, plus (tr, tr_valid) with
     want_tr, plus the traced-ray count (i32 scalar) last."""
     p = ctx["p"]
+    presorted = ctx.get("presorted", False)
     R = p.shape[0]
     nl = settings.num_lights
     if nl == 0:
@@ -515,9 +533,11 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
             res_extra = None
             if extra_ray is not None:
                 res_extra = bvh_intersect(scene, extra_ray[0],
-                                          extra_ray[1], 0.0, extra_ray[2])
-            occ = bvh_intersect(scene, shadow_o, d, 0.0, far_sh,
-                                any_hit=True)["hit"]
+                                          extra_ray[1], 0.0, extra_ray[2],
+                                          presorted=presorted)
+            occ = bvh_intersect(
+                scene, shadow_o, d, 0.0, far_sh, any_hit=True,
+                presorted=presorted and not SHADOW_OWN_SORT)["hit"]
             if detach:
                 occ = jax.lax.stop_gradient(occ)
                 res_extra = _detach(res_extra)
@@ -533,7 +553,8 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
             res_all = bvh_intersect(scene,
                                     jnp.concatenate(parts_o, axis=0),
                                     jnp.concatenate(parts_d, axis=0), 0.0,
-                                    jnp.concatenate(parts_t, axis=0))
+                                    jnp.concatenate(parts_t, axis=0),
+                                    presorted=presorted)
             if detach:
                 res_all = _detach(res_all)
             occ = res_all["hit"][:R]
@@ -590,7 +611,7 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
                         jnp.where(dist >= INF, INF, dist * SHADOW_FUDGE),
                         0.0)
         res_sh = bvh_intersect(scene, shadow_o, d, 0.0, far,
-                               any_hit=True)
+                               any_hit=True, presorted=presorted)
         # the bsdf-strategy ray is dead where the sample is invalid
         # (specular vertices: no_specular sampling returns weight 0) or
         # the vertex is gated off — a mirror-trapped tail otherwise
@@ -605,7 +626,8 @@ def _nee(scene, settings, ctx, seed, pixel, sample_idx, bounce_dim_base,
             parts_t.append(extra_ray[2])
         res_all = bvh_intersect(scene, jnp.concatenate(parts_o, axis=0),
                                 jnp.concatenate(parts_d, axis=0), 0.0,
-                                jnp.concatenate(parts_t, axis=0))
+                                jnp.concatenate(parts_t, axis=0),
+                                presorted=presorted)
         if detach:
             res_all = _detach(res_all)
             res_sh = _detach(res_sh)
@@ -885,23 +907,20 @@ def shading_frame(settings, info, ns):
 # --------------------------------------------------------------- the loop
 
 def _init_state(scene, settings, pixel, sample_idx, seed, detach):
+    """Initial wavefront: camera rays, NOT yet traced — the bounce body
+    traces each bounce's rays at its top (so the body-start state sort
+    covers them; see BODY_SORT)."""
     R = pixel.shape[0]
     from tungsten_tpu.cameras.camera import generate_rays_w
     o, d, cam_w = generate_rays_w(scene, settings, pixel, sample_idx, seed)
-    res = bvh_intersect(scene, o, d, 0.0, INF)
-    if detach:
-        res = _detach(res)
     state = dict(
         o=o, d=d,
-        t=res["t"], tri=res["tri"], sph=res["sph"], crv=res["crv"],
-        dsk=res["dsk"], cyl=res["cyl"],
-        u=res["u"], v=res["v"], hit=res["hit"],
         throughput=jnp.broadcast_to(cam_w[..., None], (R, 3)) * 1.0,
         emission=jnp.zeros((R, 3)),
         was_specular=jnp.ones((R,), bool),
         alive=cam_w > 0.0,
         bounce=jnp.int32(0),
-        rays=jnp.int32(R),  # primary rays already traced
+        rays=jnp.int32(0),  # counted at each body's top trace
         pixel=pixel, sample=sample_idx,
     )
     if settings.has_media:
@@ -935,13 +954,36 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
     detach=True all intersection results are stop-gradient'ed (detached
     sampling — interior derivatives only)."""
 
+    # body-start sort only helps when the Pallas wave path is active
+    # (read at trace time, like USE_PALLAS elsewhere); the detached
+    # replay path must keep lane identity for its suffix math
+    body_sort = BODY_SORT and not detach and bool(_isect.USE_PALLAS) \
+        and _isect.SORT_RAYS
+
     def body(s):
+        if body_sort:
+            Rs = s["pixel"].shape[0]
+            key = _isect.ray_sort_key(scene, s["o"], s["d"], ~s["alive"])
+            _, order = jax.lax.sort(
+                [key, jnp.arange(Rs, dtype=jnp.int32)], num_keys=1,
+                is_stable=True)
+            s = _gather_rows(s, order)
+
         pixel = s["pixel"]
         sample_idx = s["sample"]
         bounce = s["bounce"]
         dim_base = rng.DIMS_CAMERA + bounce * rng.DIMS_PER_BOUNCE
         alive = s["alive"]
         R = pixel.shape[0]
+
+        # ---- this bounce's closest-hit trace (camera ray at bounce 0,
+        # the previous body's continuation sample after) ----
+        res = bvh_intersect(scene, s["o"], s["d"], 0.0,
+                            jnp.where(alive, INF, 0.0),
+                            presorted=body_sort)
+        if detach:
+            res = _detach(res)
+        rays_top = jnp.sum(alive.astype(jnp.int32))
 
         emission = s["emission"]
         throughput = s["throughput"]
@@ -963,7 +1005,7 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
             sigma_tc = jnp.take_along_axis(sigma_t, comp[..., None],
                                            axis=-1)[..., 0]
             t_law = TR.sample_distance(tt, tp, s["med_first"], u_d, u_e)
-            max_t = jnp.where(s["hit"], s["t"], INF)
+            max_t = jnp.where(res["hit"], res["t"], INF)
             het = any(k != GR.MED_HOMOGENEOUS for k in settings.med_kinds)
             if het:
                 # heterogeneous: invert the unit optical depth
@@ -1015,7 +1057,7 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
             # infinity (weight 0, ref HomogeneousMedium early-out); a
             # bounded/falling-off heterogeneous medium still lets the
             # attenuated ray escape to the environment
-            died_in_fog = in_med & absorb_only & ~s["hit"]
+            died_in_fog = in_med & absorb_only & ~res["hit"]
             if het:
                 died_in_fog = died_in_fog & \
                     (scene.med_kind[mi] == GR.MED_HOMOGENEOUS)
@@ -1033,8 +1075,8 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
             vol_scatter = jnp.zeros((R,), bool)
             med_point = s["o"]
 
-        active = alive & s["hit"] & ~vol_scatter
-        escaped = alive & ~s["hit"] & ~vol_scatter
+        active = alive & res["hit"] & ~vol_scatter
+        escaped = alive & ~res["hit"] & ~vol_scatter
 
         # ---- escaped rays: environment + caps (ref handleInfiniteLights) ----
         one_sample = _one_sample_mis(settings)
@@ -1072,7 +1114,7 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
                     throughput * (jnp.where(guard[..., None], cap_samp, 0.0)
                                   + cap_unsamp), 0.0)
 
-        info = _expand_hit(scene, s["o"], s["d"], s)
+        info = _expand_hit(scene, s["o"], s["d"], res)
 
         # two-sided shading: flip the shading frame toward the ray
         backside = jnp.sum(info["ng"] * s["d"], axis=-1) > 0.0
@@ -1173,10 +1215,9 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
 
         o2 = vm.where3(alive2, new_o + new_d * EPSILON, s["o"])
         d2 = vm.where3(alive2, new_d, s["d"])
-        cont_ray = (o2, d2, jnp.where(alive2, INF, 0.0))
 
-        # ---- NEE (surface + medium vertices together) ----
-        res = None
+        # ---- NEE (surface + medium vertices together); the
+        # continuation ray is traced at the NEXT body's top, not here ----
         nee_ray_count = jnp.int32(0)
         if settings.enable_light_sampling and settings.num_lights > 0:
             do_nee = (shade | vol_scatter) & \
@@ -1191,6 +1232,7 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
                 ray_d=s["d"],
                 medium=s.get("medium", None) if settings.has_media else None,
                 gate=do_nee,
+                presorted=body_sort,
             )
             if settings.has_media:
                 mi2 = jnp.clip(s["medium"], 0, scene.med_phase.shape[0] - 1)
@@ -1198,12 +1240,12 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
                 ctx["phase_g"] = scene.med_g[mi2]
             want_dir = "rj_dims" in s
             rets = _nee(scene, settings, ctx, seed, pixel, sample_idx,
-                        dim_base, detach=detach, extra_ray=cont_ray,
+                        dim_base, detach=detach,
                         want_tr=settings.track_aovs, want_dir=want_dir)
             rets = list(rets)
-            nee, res = rets[0], rets[1]
+            nee = rets[0]
             nee_ray_count = rets[-1]
-            k = 2
+            k = 1
             if settings.track_aovs:
                 tr_nee, tr_valid = rets[k]
                 k += 1
@@ -1231,7 +1273,7 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
             # (specular / unsamplable / light sampling off) keep full
             # credit exactly as the reference's emitter-hit guard
             lpdf = L.area_light_direct_pdf(
-                scene, li, s["t"], s["d"], info["ng"], p=s["o"],
+                scene, li, res["t"], s["d"], info["ng"], p=s["o"],
                 has_sphere_lights=settings.has_sphere_lights) * \
                 _light_select_pmf(scene, settings, s["o"], li)
             w_emit = jnp.where(guard, 1.0,
@@ -1254,7 +1296,7 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
         # depth/normal/albedo/visibility at the first non-specular or
         # terminating surface vertex; escapes record normal/env-albedo ----
         if settings.track_aovs:
-            aov_dist = s["aov_dist"] + jnp.where(active, s["t"], 0.0)
+            aov_dist = s["aov_dist"] + jnp.where(active, res["t"], 0.0)
             terminate = active & ~ok
             rec = shade & ~s["aov_recorded"] & (~was_specular | terminate)
             esc = escaped & ~s["aov_recorded"]
@@ -1320,55 +1362,54 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
                                     s["rj_dims"])
                 rj_valid = s["rj_valid"] | take
 
-                # reverse side: does this bounce's continuation ray hit
-                # the front face of a samplable area light?
+                # reverse side: did bounce rj_b's CONTINUATION ray hit
+                # the front face of a samplable area light?  With the
+                # trace-at-top body that ray is exactly THIS body's top
+                # trace (`res`), checked when bounce == rj_b + 1; the
+                # rj_b shading point travels in s["rj_pp"].  The rj_b
+                # body's RNG dims key the inversion jitter so forward
+                # and reverse use the same stream position.
+                at_rev = s["alive"] & (bounce == s["rj_b"] + 1)
+                dim_prev = rng.DIMS_CAMERA + \
+                    (bounce - 1) * rng.DIMS_PER_BOUNCE
                 hit_prim2 = _hit_prim(scene, res)
                 li_hit = scene.prim_light[hit_prim2]
                 li_c = jnp.clip(li_hit, 0,
                                 max(scene.light_type.shape[0] - 1, 0))
                 ng_hit = _hit_ng(scene, res)
-                front2 = jnp.sum(d2 * ng_hit, axis=-1) < 0.0
+                front2 = jnp.sum(s["d"] * ng_hit, axis=-1) < 0.0
                 is_area_hit = res["hit"] & (li_hit >= 0) & \
                     (scene.light_type[li_c] == LIGHT_AREA) & front2 & \
                     (res["tri"] >= 0)
                 mu2 = jnp.stack(rng.untracked_4d(
                     seed ^ jnp.uint32(0x2E5),
-                    pixel, sample_idx, dim_base), axis=-1)
+                    pixel, sample_idx, dim_prev), axis=-1)
                 u_tri, lu1, lu2, ok_pos = invert_area_light_point(
                     scene, li_c, jnp.clip(res["tri"], 0,
                                           scene.lt_slot.shape[0] - 1),
                     res["u"], res["v"], mu2[:, 0])
                 u_sel, ok_sel = invert_choose_light(
-                    scene, settings, info["p"], li_hit, mu2[:, 1])
-                take_r = at_b & alive2 & is_area_hit & ok_pos & ok_sel
+                    scene, settings, s["rj_pp"], li_hit, mu2[:, 1])
+                take_r = at_rev & is_area_hit & ok_pos & ok_sel
                 nee_dims = jnp.stack([u_sel, lu1, lu2, u_tri], axis=-1)
                 rj_nee = jnp.where(take_r[..., None], nee_dims,
                                    s["rj_nee"])
                 rj_rev_valid = s["rj_rev_valid"] | take_r
+                rj_pp = vm.where3(at_b, info["p"], s["rj_pp"])
             else:
                 rj_dims, rj_valid = s["rj_dims"], s["rj_valid"]
                 rj_nee = s["rj_nee"]
                 rj_rev_valid = s["rj_rev_valid"]
+                rj_pp = s["rj_pp"]
 
         throughput = thr_next
 
-        # ---- next intersection (fused into the NEE traversal above
-        # when light sampling ran; standalone otherwise) ----
-        if res is None:
-            res = bvh_intersect(scene, o2, d2, 0.0, cont_ray[2])
-            if detach:
-                res = _detach(res)
-
-        # ray accounting: continuation + measured NEE rays (shadow +
-        # bsdf-MIS actually traced, from _nee)
-        rays = s["rays"] + jnp.sum(alive2.astype(jnp.int32)) + \
-            nee_ray_count
+        # ray accounting: this body's top closest-hit trace + measured
+        # NEE rays (shadow + bsdf-MIS actually traced, from _nee)
+        rays = s["rays"] + rays_top + nee_ray_count
 
         out = dict(
             o=o2, d=d2,
-            t=res["t"], tri=res["tri"], sph=res["sph"], crv=res["crv"],
-            dsk=res["dsk"], cyl=res["cyl"],
-            u=res["u"], v=res["v"], hit=res["hit"] & alive2,
             throughput=throughput,
             emission=emission,
             was_specular=was_specular,
@@ -1396,6 +1437,7 @@ def _make_bounce_body(scene, settings, seed, detach: bool = False):
             out["rj_valid"] = rj_valid
             out["rj_nee"] = rj_nee
             out["rj_rev_valid"] = rj_rev_valid
+            out["rj_pp"] = rj_pp
         return out
 
     return body
@@ -1435,6 +1477,7 @@ def trace_wave_rj(scene, settings, pixel, sample_idx, seed, rj_b):
     state["rj_valid"] = jnp.zeros((R,), bool)
     state["rj_nee"] = jnp.zeros((R, 4))
     state["rj_rev_valid"] = jnp.zeros((R,), bool)
+    state["rj_pp"] = jnp.zeros((R, 3))
     body = _make_bounce_body(scene, settings, seed)
 
     def cond(s):
@@ -1584,7 +1627,8 @@ trace_wave_diff = trace_wave_replay
 # full-width shading.  Host drives the width schedule (render.py).
 
 def init_wave(scene, settings, pixel, sample_idx, seed):
-    """Initial wavefront state (primary rays traced)."""
+    """Initial wavefront state (camera rays, traced by the first
+    bounce body — see _init_state)."""
     return _init_state(scene, settings, pixel, sample_idx, seed, False)
 
 
@@ -1610,23 +1654,20 @@ def bank_emission(state, n_total):
     return jnp.zeros((n_total, 3)).at[pix].add(em)
 
 
-def compact_wave(state, new_r: int):
-    """Gather alive rays to the front and slice to new_r rows; zeroes
-    the emission accumulator (bank_emission must be called first).
+def _gather_rows(state, idx):
+    """Apply a row permutation/slice `idx` to every leading-R state
+    field with ONE packed row gather.
 
-    The ~25 per-ray state fields are PACKED into one (r, F) f32 matrix
+    The ~20 per-ray state fields are PACKED into one (r, F) f32 matrix
     (ints/bools bitcast) and moved with a SINGLE row gather: round-5
     profiling measured the per-field gather form at 146 ms per
     1M-wide stage (large-table random gathers ~3-6 ms EACH at these
     row counts, and the telescoping width schedule runs many stages)
     vs ~0.6 ms for one wide row gather of the same bytes."""
     r = state["alive"].shape[0]
-    order = jnp.argsort(jnp.where(state["alive"], 0, 1).astype(jnp.int32),
-                        stable=True)
-    idx = order[:new_r]
-
+    new_r = idx.shape[0]
     cols = []
-    specs = []          # (key, trailing_shape, kind)
+    specs = []          # (key, trailing_shape, kind, width)
     passthru = {}
     for k, v in state.items():
         if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == r:
@@ -1660,6 +1701,15 @@ def compact_wave(state, new_r: int):
             part = jax.lax.bitcast_convert_type(
                 part, jnp.int32).astype(kind)
         out[k] = part.reshape((new_r,) + tshape)
+    return out
+
+
+def compact_wave(state, new_r: int):
+    """Gather alive rays to the front and slice to new_r rows; zeroes
+    the emission accumulator (bank_emission must be called first)."""
+    order = jnp.argsort(jnp.where(state["alive"], 0, 1).astype(jnp.int32),
+                        stable=True)
+    out = _gather_rows(state, order[:new_r])
     out["emission"] = jnp.zeros((new_r, 3))
     # compacted-away padding must not resurrect
     out["alive"] = out["alive"] & (jnp.arange(new_r) < jnp.sum(state["alive"]))

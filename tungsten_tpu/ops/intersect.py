@@ -111,7 +111,8 @@ def enable_pallas_if_suitable(scene) -> bool:
     return USE_PALLAS
 
 
-def bvh_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
+def bvh_intersect(scene, o, d, t_min, t_max, any_hit: bool = False,
+                  presorted: bool = False):
     """Closest-hit (or any-hit) traversal of the scene BVH + spheres +
     curves.
 
@@ -121,6 +122,10 @@ def bvh_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
       t_min: scalar or (R,)
       t_max: scalar or (R,) far clip
       any_hit: occlusion query — stop at first hit
+      presorted: caller guarantees rays already arrive in a
+        traversal-coherent order (e.g. the path tracer's body-end
+        state sort) — the wave dispatch skips its per-call sort +
+        un-permute
     Returns:
       dict with t (R,), tri (R,) [-1 = miss or sphere], sph (R,),
       crv (R,) [curve segment id, -1 otherwise], u, v (R,), hit (R,)
@@ -140,7 +145,8 @@ def bvh_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
         t_max = jnp.minimum(
             jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
                              exit_t.shape), exit_t)
-    res = _tri_sph_intersect(scene, o, d, t_min, t_max, any_hit)
+    res = _tri_sph_intersect(scene, o, d, t_min, t_max, any_hit,
+                             presorted=presorted)
     R = o.shape[0]
     crv = jnp.full((R,), -1, jnp.int32)
     if getattr(scene, "crv_pc_q0", None) is not None and \
@@ -409,7 +415,8 @@ def _analytic_prims(scene, o, d, t_min, t_max):
     return best_t, best_sph, best_dsk, best_cyl
 
 
-def _tri_sph_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
+def _tri_sph_intersect(scene, o, d, t_min, t_max, any_hit: bool = False,
+                       presorted: bool = False):
     """Triangle-BVH + analytic-primitive traversal (no curves)."""
     R = o.shape[0]
     num_nodes = scene.bvh_meta.shape[0]
@@ -429,7 +436,8 @@ def _tri_sph_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
 
     if USE_PALLAS:
         return _wave_dispatch(scene, o, d, t_min, best_t,
-                              (best_sph, best_dsk, best_cyl), any_hit)
+                              (best_sph, best_dsk, best_cyl), any_hit,
+                              presorted=presorted)
 
     # Several traversal steps are unrolled per while_loop iteration: this
     # backend has high fixed cost per loop iteration, so trading a few
@@ -496,18 +504,11 @@ def _tri_sph_intersect(scene, o, d, t_min, t_max, any_hit: bool = False):
                 hit=hit)
 
 
-def _sort_for_wave(scene, o, d, t_min=None, t_max=None):
-    """Sort rays by (dead, direction octant, origin morton, direction
-    morton) so each 128-ray warp shares an origin region and a
-    direction cone — the traversal's warp-interval cull tightness
-    depends directly on this.  The direction bits break ties for
-    shared-origin rays (primaries: all origins equal, so without
-    them the unstable sort scrambles pixels within an octant).
-
-    With t_min/t_max None returns (o_sorted, d_sorted) only (profiling
-    helper); otherwise returns (o_s, d_s, tmin_s, tmax_s, order) with
-    `order` the original ray index of each sorted slot."""
-    R = o.shape[0]
+def ray_sort_key(scene, o, d, dead):
+    """The wave traversal's coherence sort key:
+    (dead, direction octant, origin morton, direction morton) as one
+    uint32.  Exposed so the path tracer's body-end state sort and the
+    per-launch _sort_for_wave build IDENTICAL orders."""
     lo = scene.bvh_min[0]
     hi = scene.bvh_max[0]
     q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0)
@@ -542,14 +543,27 @@ def _sort_for_wave(scene, o, d, t_min=None, t_max=None):
             (spread5(qd[:, 2]) << 2)
         key_live = (morton << (3 * dir_bits)) | \
             (dmorton & jnp.uint32((1 << (3 * dir_bits)) - 1))
+    return (dead.astype(jnp.uint32) << 31) | key_live
+
+
+def _sort_for_wave(scene, o, d, t_min=None, t_max=None):
+    """Sort rays by ray_sort_key so each 128-ray warp shares an origin
+    region and a direction cone — the traversal's warp-interval cull
+    tightness depends directly on this.  The direction bits break ties
+    for shared-origin rays (primaries: all origins equal, so without
+    them the unstable sort scrambles pixels within an octant).
+
+    With t_min/t_max None returns (o_sorted, d_sorted) only (profiling
+    helper); otherwise returns (o_s, d_s, tmin_s, tmax_s, order) with
+    `order` the original ray index of each sorted slot."""
+    R = o.shape[0]
     if t_min is None:
-        sort_key = key_live
+        sort_key = ray_sort_key(scene, o, d, jnp.zeros((R,), bool))
         _, ox, oy, oz, dx, dy, dz = jax.lax.sort(
             [sort_key, o[:, 0], o[:, 1], o[:, 2],
              d[:, 0], d[:, 1], d[:, 2]], num_keys=1, is_stable=True)
         return jnp.stack([ox, oy, oz], -1), jnp.stack([dx, dy, dz], -1)
-    dead = (t_max <= 0.0).astype(jnp.uint32)
-    sort_key = (dead << 31) | key_live
+    sort_key = ray_sort_key(scene, o, d, t_max <= 0.0)
     # one multi-operand sort moves all ray payloads with the key —
     # cheaper than argsort + 8 permutation gathers on TPU; stable
     # so equal-key rays keep raster/submission adjacency
@@ -564,14 +578,16 @@ def _sort_for_wave(scene, o, d, t_min=None, t_max=None):
     return o_srt, d_srt, tmin_v, tmax_v, order
 
 
-def _wave_dispatch(scene, o, d, t_min, best_t, best_ana, any_hit):
+def _wave_dispatch(scene, o, d, t_min, best_t, best_ana, any_hit,
+                   presorted: bool = False):
     """Sort + pad rays and run the Pallas wave-traversal kernel
     (ops/wave_trace.py), then scatter results back to submission
     order."""
     from tungsten_tpu.ops.wave_trace import (BLOCK, wave_intersect,
                                              wave_intersect_paged)
     R = o.shape[0]
-    if SORT_RAYS:
+    do_sort = SORT_RAYS and not presorted
+    if do_sort:
         o_s, d_s, tmin_s, tmax_s, order = _sort_for_wave(
             scene, o, d, t_min, best_t)
     else:
@@ -598,7 +614,7 @@ def _wave_dispatch(scene, o, d, t_min, best_t, best_ana, any_hit):
         ncp=scene.wk_boxes.shape[1], any_hit=any_hit,
         tri_v0=sg(scene.tri_v0), tri_e1=sg(scene.tri_e1),
         tri_e2=sg(scene.tri_e2))
-    if SORT_RAYS:
+    if do_sort:
         # un-permute by sorting results back on the original ray index
         _, t, tri, u, v = jax.lax.sort(
             [order, t[:R], tri[:R], u[:R], v[:R]], num_keys=1,

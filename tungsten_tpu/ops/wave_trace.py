@@ -87,6 +87,15 @@ BIGI = 1 << 30
 # survivor sets are usually < 8, so the wider leaf pads with duplicate
 # clusters whose epilogue work is pure waste.  Kept at the v7 quad.
 LEAF_Q = 4
+# Any-hit (occlusion) leaf precision mode: False = the full closest-hit
+# K=48 [hi;lo;hi] x [fth;fth;ftl] 3-term split (~2^-21 rel);
+# "k32" = [hi;lo] x [fth;fth] (drops only the attr_hi*ray_lo term,
+# ~2^-9 rel, 8 scratch stores); "k16" = hi*hi only (~2^-8 rel, 4
+# stores).  Both reduced modes were A/B'd and REJECTED: 1.5-2% (k16)
+# and ~1% (k32) occlusion flips vs f32 brute force on the random-soup
+# fixture (tests/test_wave.py gate: <=0.2%) — bounded shadow segments
+# hit the ray-feature truncation error.  Keep False.
+ANYHIT_LITE = False
 # VMEM budget for the resident tables; larger scenes run the PAGED
 # variant (cluster tables stream through VMEM page by page via
 # scalar-prefetched block indices — see wave_intersect_paged)
@@ -361,7 +370,7 @@ def _make_kernel(ncp: int, nsp: int, any_hit: bool, debug_phase: int = 2,
                     live = live0
                 return jnp.max(jnp.where(live, tb, -INF))
 
-            def quad_leaf(cids, tb, tri_v, f3=f3,
+            def quad_leaf(cids, tb, tri_v, f3=f3, fth=fth,
                           rtmin=rtmin, col=col):
                 """FOUR (128 rays) x (128 tris) cluster visits in ONE
                 MXU pass; returns the updated per-warp (best t, best
@@ -389,12 +398,19 @@ def _make_kernel(ncp: int, nsp: int, any_hit: bool, debug_phase: int = 2,
                 tail of a drain) are idempotent: the strict t test
                 rejects the second copy, and the q bits in the packed
                 key break the tie deterministically."""
+                lite = ANYHIT_LITE if any_hit else False
+                arrangements = {False: ((0, "h"), (16, "l"), (32, "h")),
+                                "k32": ((0, "h"), (16, "l")),
+                                "k16": ((0, "h"),)}[lite]
+                kk = 16 * len(arrangements)
                 for qi, cid in enumerate(cids):
                     base = pl.multiple_of(cid * ATTR_ROWS, ATTR_ROWS)
                     bh = attrh_ref[pl.ds(base, ATTR_ROWS), :]
-                    bl = attrl_ref[pl.ds(base, ATTR_ROWS), :]
+                    bl = None if lite == "k16" else \
+                        attrl_ref[pl.ds(base, ATTR_ROWS), :]
                     c = qi * 512
-                    for ko, blk in ((0, bh), (16, bl), (32, bh)):
+                    for ko, which in arrangements:
+                        blk = bh if which == "h" else bl
                         b2_ref[ko + 4:ko + 10, c + 128:c + 256] = blk[0:6, :]
                         b2_ref[ko + 4:ko + 10, c + 256:c + 384] = blk[6:12, :]
                         b2_ref[ko + 0:ko + 4, c + 384:c + 512] = blk[12:16, :]
@@ -407,7 +423,7 @@ def _make_kernel(ncp: int, nsp: int, any_hit: bool, debug_phase: int = 2,
                     return tb, tri_v
 
                 s = jax.lax.dot_general(
-                    b2_ref[:, 0:512 * LEAF_Q], f3,
+                    b2_ref[0:kk, 0:512 * LEAF_Q], f3[0:kk, :],
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)  # (512*Q, 128)
 
