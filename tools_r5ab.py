@@ -44,6 +44,13 @@ def main(mode):
     if mode == "q2":
         from tungsten_tpu.ops import wave_trace as wt
         wt.LEAF_Q = 2
+    mw, step = 4096, 2
+    if mode == "mw1024":
+        mw = 1024
+    if mode == "mw512":
+        mw = 512
+    if mode == "step4":
+        step = 4
     print("platform:", jax.devices()[0].platform,
           "shadow_any_hit:", pt.SHADOW_ANY_HIT,
           "sort:", isect.SORT_RAYS, flush=True)
@@ -63,12 +70,12 @@ def main(mode):
         pixel = jnp.asarray(np.tile(np.arange(n, dtype=np.uint32), k))
         sample = jnp.asarray(np.repeat(np.arange(k, dtype=np.uint32), n))
 
-        from tungsten_tpu.render import MIN_WAVE, _jit_staged
+        from tungsten_tpu.render import _jit_staged
         fb, rays = _jit_staged(flat, settings, pixel, sample,
-                               np.uint32(1), n, MIN_WAVE, 2)
+                               np.uint32(1), n, mw, step)
         jax.block_until_ready(fb)
         t = timeit(lambda: jax.block_until_ready(_jit_staged(
-            flat, settings, pixel, sample, np.uint32(1), n, MIN_WAVE, 2)))
+            flat, settings, pixel, sample, np.uint32(1), n, mw, step)))
         r = int(rays)
         print(f"staged wave R={R}: {t*1e3:7.1f} ms  {r} rays -> "
               f"{r/t/1e6:5.2f} Mrays/s", flush=True)

@@ -108,6 +108,8 @@ def run(mode):
         patch(pt, "_expand_hit", expand_c)
     if mode == "real_nosort":
         patch(isect, "SORT_RAYS", False)
+    if mode == "stub_nobsort":
+        patch(pt, "BODY_SORT", False)
 
     try:
         @jax.jit
@@ -134,7 +136,7 @@ def main():
     import jax
     print("platform:", jax.devices()[0].platform, flush=True)
     modes = sys.argv[1:] or ["real", "stub", "stub_noenv", "stub_nonee",
-                             "stub_noexp", "real_nosort"]
+                             "stub_noexp", "stub_nobsort", "real_nosort"]
     for m in modes:
         run(m)
 

@@ -1044,9 +1044,13 @@ def wave_intersect_paged(boxes, cbox, attr, remap, sbox, o, d, t_min,
     v = jnp.zeros((R,))
     if tri_v0 is not None and not any_hit and tri_v0.shape[0] > 0:
         from tungsten_tpu.ops.intersect import ray_tri
+        # v0/e1/e2 fetch as ONE packed (T, 9) row gather; misses tap
+        # row 0 (tri = -1 clips there) so dead lanes ride the cache
+        fin = jnp.concatenate([tri_v0, tri_e1, tri_e2], axis=1)
         tid = jnp.clip(tri, 0, tri_v0.shape[0] - 1)
-        _, tf, uf, vf = ray_tri(o, d, tri_v0[tid], tri_e1[tid],
-                                tri_e2[tid], -INF, INF)
+        rows_f = fin[tid]
+        _, tf, uf, vf = ray_tri(o, d, rows_f[:, 0:3], rows_f[:, 3:6],
+                                rows_f[:, 6:9], -INF, INF)
         fine = hit_ok & jnp.isfinite(tf)
         t = jnp.where(fine, tf, t)
         u = jnp.where(fine, uf, u)
@@ -1139,9 +1143,13 @@ def wave_intersect(boxes, cbox, attr, remap, sbox, o, d, t_min, t_max,
         # (the kernel's 3-pass t is ~2^-21; this sharpens t and
         # produces the u/v the lean epilogue no longer computes)
         from tungsten_tpu.ops.intersect import ray_tri
+        # v0/e1/e2 fetch as ONE packed (T, 9) row gather; misses tap
+        # row 0 (tri = -1 clips there) so dead lanes ride the cache
+        fin = jnp.concatenate([tri_v0, tri_e1, tri_e2], axis=1)
         tid = jnp.clip(tri, 0, tri_v0.shape[0] - 1)
-        _, tf, uf, vf = ray_tri(o, d, tri_v0[tid], tri_e1[tid],
-                                tri_e2[tid], -INF, INF)
+        rows_f = fin[tid]
+        _, tf, uf, vf = ray_tri(o, d, rows_f[:, 0:3], rows_f[:, 3:6],
+                                rows_f[:, 6:9], -INF, INF)
         fine = hit_ok & jnp.isfinite(tf)
         t = jnp.where(fine, tf, t)
         u = jnp.where(fine, uf, u)

@@ -48,7 +48,10 @@ def _trace_chunk(scene: FlatScene, settings: RenderSettings, pixel,
 # nearly-empty full-width bounces on the table, tools_bprof.py.)
 
 BOUNCE_SEGMENT = 1
-MIN_WAVE = 4096
+# round-5b A/B: 1024 beats 4096 (587 vs 595 ms staged wave) — mirror
+# paths survive to max_bounces, so the tail runs ~50 bounces at the
+# final width and narrower is cheaper; step=4 measured worse (602)
+MIN_WAVE = 1024
 WIDTH_STEP = 2
 
 
@@ -317,13 +320,18 @@ def render_pass(scene: FlatScene, settings: RenderSettings, sample_start,
         while i < spp_chunk:
             k = min(spp_batch, spp_chunk - i)
             for ci in range(pixels.shape[0]):
-                pix = np.tile(pixels[ci], k)
-                smp = np.repeat(np.arange(int(sample_start) + i,
-                                          int(sample_start) + i + k,
-                                          dtype=np.uint32), C)
+                # build the (pixel, sample) ids ON DEVICE: the host-
+                # numpy form uploaded ~8 MB per 1M-wide batch through
+                # the remote-TPU tunnel (~190 ms — round-5b bench vs
+                # staged-jit gap)
+                pix = jnp.tile(jnp.arange(ci * C, (ci + 1) * C,
+                                          dtype=jnp.uint32), k)
+                smp = jnp.repeat(
+                    jnp.arange(int(sample_start) + i,
+                               int(sample_start) + i + k,
+                               dtype=jnp.uint32), C)
                 part, r = _trace_chunk_staged(
-                    scene, settings, jnp.asarray(pix), jnp.asarray(smp),
-                    np.uint32(seed), n)
+                    scene, settings, pix, smp, np.uint32(seed), n)
                 fb = fb + part
                 rays += r
             i += k
