@@ -615,10 +615,17 @@ def _wave_dispatch(scene, o, d, t_min, best_t, best_ana, any_hit,
         tri_v0=sg(scene.tri_v0), tri_e1=sg(scene.tri_e1),
         tri_e2=sg(scene.tri_e2))
     if do_sort:
-        # un-permute by sorting results back on the original ray index
-        _, t, tri, u, v = jax.lax.sort(
-            [order, t[:R], tri[:R], u[:R], v[:R]], num_keys=1,
-            is_stable=False)
+        # un-permute by sorting results back on the original ray index;
+        # occlusion queries only consume the winner id (t is returned
+        # as best_t below), so their un-permute moves 2 operands not 5
+        if any_hit:
+            _, tri = jax.lax.sort([order, tri[:R]], num_keys=1,
+                                  is_stable=False)
+            t, u, v = best_t, jnp.zeros((R,)), jnp.zeros((R,))
+        else:
+            _, t, tri, u, v = jax.lax.sort(
+                [order, t[:R], tri[:R], u[:R], v[:R]], num_keys=1,
+                is_stable=False)
     else:
         t, tri, u, v = t[:R], tri[:R], u[:R], v[:R]
     best_sph, best_dsk, best_cyl = best_ana
